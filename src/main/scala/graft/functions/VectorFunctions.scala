@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns using
+  * Spark's higher-order functions (`zip_with` + `aggregate`), which
+  * evaluate per-row inside codegen — no UDF, no driver round-trip.
+  *
+  * Accumulation is left-to-right in element order, matching DuckDB's
+  * `list_cosine_similarity` evaluation order, so oracle comparisons agree
+  * to the last bit before the defensive `round`.
+  */
+object VectorFunctions {
+
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane-style LSH bucket using axis-aligned planes: the
+    * sign bits of the first `bits` dimensions. Cheap, deterministic, and
+    * expressible identically in SQL (`embedding[i] > 0`). For isotropic
+    * embeddings this partitions the sphere into 2^bits buckets; near-dup
+    * vectors (cos ≈ 1) land in the same bucket with high probability.
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media treated as opaque `binary` payload
+  * columns plus a typed metadata struct, processed in partition-sized
+  * batches (the Scala analogue of `mapInPandas`: `Dataset.mapPartitions`
+  * over a typed row, so each task touches a stream of records without
+  * materializing the partition).
+  *
+  * The actual media decode is a STUB (this container has no image/audio
+  * codecs): `decodeStub` derives deterministic fake dimensions / frame
+  * counts from the payload bytes. The Spark-side contract — schema,
+  * batch iteration, partitioning, column pruning of heavy payloads — is
+  * real and tested; swap `decodeStub` for a codec call in production.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Long, checksum: String,
+                       width: Int, height: Int, n_frames: Long)
+
+  /** ??? in production: real codec. Here: deterministic fake decode from
+    * the first payload bytes, so tests are reproducible.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
+    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+    ((b0 % 64 + 1) * 16, (b1 % 48 + 1) * 16, payload.length / 1000L + 1L)
+  }
+
+  /** Attach a binary payload column (here: utf-8 of a text column, since
+    * testdata has no media) — at scale this is the parquet binary column
+    * itself and never passes through strings.
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", col(textCol).cast("binary"))
+
+  /** Batch "decode": mapPartitions over typed records — one task per
+    * input split, payloads streamed, only metadata comes back (payload
+    * column pruned from the output, as a real pipeline would do before
+    * any shuffle).
+    */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val (w, h, f) = decodeStub(r.payload)
+          md.reset()
+          val sum = md.digest(r.payload).map("%02x".format(_)).mkString
+          MediaMeta(r.doc_id, r.payload.length.toLong, sum, w, h, f)
+        }
+      }
+  }
+
+  /** Frame sampling plan: every `stride`-th frame index, kept as a lazy
+    * expression (no driver materialization).
+    */
+  def sampledFrameCount(nFrames: org.apache.spark.sql.Column, stride: Int) =
+    floor((nFrames - 1) / stride) + 1
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - `bruteForceTopK`: exact baseline — one pass over all vectors, the
+  *    (single-row) query side broadcast, top-k via TakeOrdered. O(n·d)
+  *    work, fully distributed, no O(n²) blow-up: this is the shape that
+  *    survives 100 TB (scan + broadcast + per-row expression + top-k).
+  *  - `signLshTopK`: the IVF-style scale path — vectors pre-bucketed by
+  *    sign-LSH; the probe only scans the query's bucket (1/2^bits of the
+  *    data in expectation). Recall < 1 by construction; callers can probe
+  *    multiple buckets for higher recall.
+  *  - `centroids`: per-label mean vector in long format (label, dim,
+  *    value) — the coarse-quantizer build step for a real IVF index.
+  */
+object Similarity {
+
+  /** cos_sim via the codegen'd ArrayDot expression; the scanned side's
+    * norm is computed inline (one extra fused dot per row), the query
+    * norm once on the broadcast side.
+    */
+  private def scored(df: DataFrame, id: Column, vec: Column,
+                     query: DataFrame): DataFrame = {
+    import graft.functions.ArrayDot.{dot => adot}
+    df.select(id.as("vec_id"), toDouble(vec).as("v"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(adot(col("v"), col("qv")) /
+          (sqrt(adot(col("v"), col("v"))) * col("qnrm")), 4).as("cos_sim"))
+  }
+
+  /** Query = the embedding of `queryId`; returns the k nearest others. */
+  def bruteForceTopK(df: DataFrame, id: Column, vec: Column,
+                     queryId: Long, k: Int): DataFrame = {
+    graft.functions.ArrayDot.register(df.sparkSession)
+    import graft.functions.ArrayDot.{dot => adot}
+    val q = df.filter(id === queryId).select(toDouble(vec).as("qv"))
+      .withColumn("qnrm", sqrt(adot(col("qv"), col("qv"))))
+    scored(df.filter(id =!= queryId), id, vec, q)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Sign-LSH (axis-aligned hyperplane) bucketed ANN: scan only the
+    * query's bucket.
+    */
+  def signLshTopK(df: DataFrame, id: Column, vec: Column,
+                  queryId: Long, k: Int, bits: Int): DataFrame = {
+    graft.functions.ArrayDot.register(df.sparkSession)
+    import graft.functions.ArrayDot.{dot => adot}
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"),
+      signBucket(vec.cast("array<double>"), bits).as("bucket"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("qnrm", sqrt(adot(col("qv"), col("qv"))))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"),
+        round(adot(col("v"), col("qv")) /
+          (sqrt(adot(col("v"), col("v"))) * col("qnrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-label centroid in long format: (label, dim [1-based], value). */
+  def centroids(df: DataFrame, label: Column, vec: Column): DataFrame =
+    df.select(label.as("label"), posexplode(toDouble(vec)).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid"))
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.util.Tables
+
+/** Dedup operator pack over the `documents` / `embeddings` tables.
+  * Each query replays the exact same algorithm in the DuckDB oracle
+  * (identical md5-derived hashes, identical shingling, identical
+  * thresholds applied to identically-rounded values), so LSH candidate
+  * generation is verified end-to-end, not just "rows > 0".
+  */
+object DedupQueries {
+
+  /** Shared oracle CTEs: normalized words and distinct 3-gram sets.
+    * Mirrors TextFunctions.normText/words/distinctGrams exactly.
+    */
+  private val gramCtes =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+      |      i -> array_to_string(ws[i:i+2], ' '))) AS grams
+      |  FROM w WHERE len(ws) >= 3)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on the full text. Scale: single shuffle
+    // on the key; partial agg (min/count) combines map-side.
+    Q("q22_dedup_exact",
+      (s, d) => Tables(s, d, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id"),
+      Some("""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin),
+      "exact duplicate groups (hash-groupBy)"),
+
+    // Exact word-3-gram Jaccard pairs — the quadratic correctness anchor.
+    Q("q23_dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, thr = 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$gramCtes,
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    round(shared / (len(sa.grams) + len(sb.grams) - shared), 4) AS jaccard
+        |  FROM p JOIN d sa ON doc_a = sa.doc_id JOIN d sb ON doc_b = sb.doc_id)
+        |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+      "exact n-gram Jaccard (quadratic baseline; scale path is q24)"),
+
+    // MinHash(16 perms) + LSH(4 bands x 4 rows) candidates, verified by
+    // exact Jaccard. Scale: signatures computed per-row with no shuffle;
+    // candidate join keyed on (band, bandSig) — never O(n^2).
+    Q("q24_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, numPerm = 16, bands = 4, thr = 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$gramCtes,
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |sigs AS (
+        |  SELECT g.doc_id, t.s,
+        |    min(('0x' || substring(md5(t.s::VARCHAR || '#' || g.gram), 1, 15))::BIGINT) AS mh
+        |  FROM g, generate_series(0, 15) AS t(s)
+        |  GROUP BY g.doc_id, t.s),
+        |bands AS (
+        |  SELECT doc_id, s // 4 AS band_id,
+        |    md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS band_sig
+        |  FROM sigs GROUP BY doc_id, band_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+        |    AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_filter(sa.grams, x -> list_contains(sb.grams, x))) AS DOUBLE) AS shared,
+        |    len(sa.grams) AS na, len(sb.grams) AS nb
+        |  FROM cand JOIN d sa ON doc_a = sa.doc_id JOIN d sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, round(shared / (na + nb - shared), 4) AS jaccard
+        |FROM j WHERE round(shared / (na + nb - shared), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "MinHash+LSH near-dup (band-bucket join, exact-Jaccard verify)"),
+
+    // SimHash 60-bit fingerprints; hamming<=3 pairs via 4x15-bit chunk
+    // pigeonhole buckets.
+    Q("q25_dedup_simhash",
+      (s, d) => Dedup.simhashPairs(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), maxDist = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substring(md5('0#' || word), 1, 15))::BIGINT AS h
+        |  FROM w WHERE len(word) > 0),
+        |bits AS (
+        |  SELECT doc_id, t.i, CAST(sum(((h >> t.i) & 1) * 2 - 1) AS BIGINT) AS s
+        |  FROM h, generate_series(0, 59) AS t(i)
+        |  GROUP BY doc_id, t.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, simhash, t.c, (simhash >> (t.c * 15)) & 32767 AS chunk
+        |  FROM fp, generate_series(0, 3) AS t(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sim_a, b.simhash AS sim_b
+        |  FROM ch a JOIN ch b
+        |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "SimHash near-dup (chunk-bucket candidates, hamming verify)"),
+
+    // Embedding cosine near-dup pairs — exact baseline. Scale note: the
+    // broadcast-nested-loop pair space is only viable within LSH buckets
+    // (see q28) or blocked candidate sets.
+    Q("q26_dedup_embedding",
+      // threshold 0.45 ~= the 99.99th percentile of pair similarity in the
+      // synthetic embeddings (max ~0.51) — high enough to be "near-dup",
+      // low enough that the query output is non-trivial.
+      (s, d) => Dedup.embeddingNearDup(Tables(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), thr = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |j AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT * FROM j WHERE cos_sim >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+      "embedding cosine near-dup (exact pairwise baseline)")
+  )
+}

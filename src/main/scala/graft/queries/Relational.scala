@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables
+
+/** Relational operator pack: every operator class from SURVEY.md §2
+  * (cast-projection P8, identity staging P9, union-all U1, unionByName U2,
+  * limit F1, key-derivation P7, timestamp tagging P5, JSON field access
+  * P1/P6 analogue, sinks are exercised in tests) plus the table-stakes
+  * extensions the reference lacks (filter, joins, aggregation, windows,
+  * set ops, rollup, sessionization) — all expressed declaratively so
+  * Catalyst does pushdown/pruning/join-selection.
+  *
+  * Scale notes are on each query: what shuffles, what broadcasts, and why
+  * the plan survives 100 TB.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** q01 — the mart analogue (SURVEY §2.2 P8 + §2.5 U1 + §2.2 P9).
+    * The reference mart is Union(7 x Project(Cast..., Scan)); we model each
+    * c_mktsegment as a "channel" CTE: filter -> cast-project -> UNION ALL.
+    * Scale: shuffle-free (scan+project+union); Catalyst merges the five
+    * filter-scans of the same file and pushes the segment predicate to
+    * parquet. Ref: /root/reference/dags/dbt/.../YT_Facts_stg.sql:3-115.
+    */
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  private def martCastUnion(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val slices = segments.map { seg =>
+      c.filter(col("c_mktsegment") === seg).select(
+        col("c_name").cast("string").as("title"),
+        lower(col("c_name")).cast("string").as("custom_url"),
+        expr("timestampadd(DAY, cast(c_custkey as int), TIMESTAMP '1995-01-01 00:00:00')").as("published_at"),
+        col("c_nationkey").cast("long").as("country_id"),
+        expr("CAST(floor(c_acctbal) AS BIGINT)").as("view_count"),
+        (col("c_acctbal") > 0).as("made_for_kids"),
+        col("c_mktsegment").cast("string").as("channel"))
+    }
+    slices.reduce(_ union _).orderBy(col("title"))
+  }
+
+  private val martOracle = {
+    val cte = segments.map { seg =>
+      s"""SELECT CAST(c_name AS VARCHAR) AS title,
+         |  CAST(lower(c_name) AS VARCHAR) AS custom_url,
+         |  TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (CAST(c_custkey AS INT)) DAY AS published_at,
+         |  CAST(c_nationkey AS BIGINT) AS country_id,
+         |  CAST(floor(c_acctbal) AS BIGINT) AS view_count,
+         |  c_acctbal > 0 AS made_for_kids,
+         |  CAST(c_mktsegment AS VARCHAR) AS channel
+         |FROM customer WHERE c_mktsegment = '$seg'""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    cte + "\nORDER BY title"
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("q01_mart_cast_union", martCastUnion, Some(martOracle),
+      "Reference mart: per-channel cast-projection + 7-way UNION ALL (P8,U1)"),
+
+    // q02 — identity staging view (P9/S4): `select * from {{source}}`.
+    Q("q02_identity_staging",
+      (s, d) => t(s, d, "region").orderBy("r_regionkey"),
+      Some("SELECT * FROM region ORDER BY r_regionkey"),
+      "dbt staging passthrough view"),
+
+    // q03 — cast semantics matrix (P8, SURVEY §7.4 cast-drift): Spark cast
+    // yields NULL on malformed input; oracle uses TRY_CAST to match.
+    Q("q03_cast_matrix",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_orderkey").cast("string").cast("long").as("key_roundtrip"),
+        expr("try_cast(o_orderstatus as int)").as("status_as_int"), // always NULL
+        col("o_custkey").cast("int").as("cust_int"),
+        (col("o_totalprice") > 1000).cast("int").as("big_flag"),
+        col("o_orderdate").cast("string").as("date_str")
+      ).orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+        |  TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+        |  CAST(o_custkey AS INTEGER) AS cust_int,
+        |  CAST(o_totalprice > 1000 AS INTEGER) AS big_flag,
+        |  CAST(o_orderdate AS VARCHAR) AS date_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "cast matrix incl. malformed->NULL (Spark cast == DuckDB TRY_CAST)"),
+
+    // q04 — filter + projection pushdown. Scale: predicate and 3-column
+    // ReadSchema reach the parquet scan; no shuffle until the sort.
+    Q("q04_filter_pushdown",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-09-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "WHERE + column pruning (pushed to parquet)"),
+
+    // q05 — limit/top-k (F1: the head(5) load,
+    // /root/reference/dags/optimized_extract.py:106). Deterministic via sort.
+    Q("q05_limit",
+      (s, d) => t(s, d, "orders").orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice").limit(5),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5"),
+      "limit-5 warehouse load variant (F1/W3)"),
+
+    // q06 — string key derivation (P7: title -> S3 key / RAW table name,
+    // /root/reference/dags/extract.py:115-116,162-164). Pure codegen'd
+    // string expressions, no shuffle.
+    Q("q06_key_derivation",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        concat_ws("_", split(regexp_replace(col("p_name"), "-", " "), " ")).as("s3_key_stem"),
+        concat(concat_ws("_", split(split(col("p_name"), "/").getItem(0), " ")), lit("_RAW")).as("raw_table"),
+        concat_ws("/", split(col("p_name"), " ").getItem(0),
+          concat(split(col("p_name"), " ").getItem(0), lit("_data.csv"))).as("object_key")
+      ).orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        |  array_to_string(string_split(replace(p_name, '-', ' '), ' '), '_') AS s3_key_stem,
+        |  array_to_string(string_split(string_split(p_name, '/')[1], ' '), '_') || '_RAW' AS raw_table,
+        |  string_split(p_name, ' ')[1] || '/' || string_split(p_name, ' ')[1] || '_data.csv' AS object_key
+        |FROM part ORDER BY p_partkey""".stripMargin),
+      "channel-title -> S3 key / table-name derivation (P7)"),
+
+    // q07 — unionByName with missing columns null-filled (U2: pd.concat
+    // name alignment, /root/reference/dags/extract.py:121).
+    Q("q07_union_by_name",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val a = c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val b = c.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin),
+      "pd.concat-style name-aligned union with NULL fill (U2)"),
+
+    // q08 — batch timestamp tagging (P5) + time derivations (§2.9).
+    Q("q08_timestamp_tag",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"), col("ts"),
+        date_trunc("hour", col("ts")).as("batch_hour"),
+        date_trunc("day", col("ts")).as("batch_day"),
+        hour(col("ts")).as("hour_of_day"),
+        unix_micros(col("ts")).as("epoch_us")
+      ).orderBy("event_id"),
+      Some("""SELECT event_id, ts,
+        |  date_trunc('hour', ts) AS batch_hour,
+        |  date_trunc('day', ts)::TIMESTAMP AS batch_day,
+        |  CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |  epoch_us(ts) AS epoch_us
+        |FROM events ORDER BY event_id""".stripMargin),
+      "per-batch wall-clock tag + time bucketing (P5, §2.9)"),
+
+    // q09 — TPC-H Q1-style aggregation. Scale: map-side partial agg on 6
+    // groups -> tiny shuffle; whole-stage codegen end to end.
+    Q("q09_agg_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "group-by aggregation with partial (map-side) combine"),
+
+    // q10 — star join over broadcast dims. Scale: nation/region are tiny
+    // -> broadcast hash join, zero shuffle on the fact side until the agg.
+    Q("q10_join_broadcast_dims",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name").as("region"), n("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("region", "nation")
+      },
+      Some("""SELECT r_name AS region, n_name AS nation,
+        |  count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY region, nation""".stripMargin),
+      "broadcast star join (dims broadcast, fact never shuffled pre-agg)"),
+
+    // q11 — large fact-fact join + top-k (Q3-style). Scale: lineitem join
+    // orders shuffles on orderkey (both sides huge -> sort-merge w/ AQE);
+    // top-10 via TakeOrdered, no global sort materialization.
+    Q("q11_join_shuffle_topk",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      "shuffle join on fact keys + TakeOrdered top-k"),
+
+    // q12 — window functions: rank / lag / running sum per customer.
+    // Scale: single shuffle on the partition key, then sorted windows.
+    Q("q12_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).as("rn"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_spend"),
+          lag("o_totalprice", 1).over(w).as("prev_price")
+        ).orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        |  lag(o_totalprice, 1) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin),
+      "row_number/lag/running-sum windows"),
+
+    // q13 — row-level DISTINCT (the reference only dedups column names, P3).
+    Q("q13_distinct",
+      (s, d) => t(s, d, "customer").select("c_mktsegment", "c_nationkey")
+        .distinct().orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin),
+      "distinct (hash aggregate)"),
+
+    // q14/q15 — set ops beyond the reference's UNION ALL.
+    Q("q14_intersect",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        val high = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+        open.intersect(high).orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |ORDER BY custkey""".stripMargin),
+      "INTERSECT (distinct semantics in both engines)"),
+
+    Q("q15_except",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        f.except(op).orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin),
+      "EXCEPT: customers with only-finished orders"),
+
+    // q16 — semi/anti joins (EXISTS / NOT EXISTS).
+    Q("q16_semi_anti",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").select("o_custkey")
+        val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+        val noO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_without_orders"))
+        withO.join(noO, Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+            coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH w AS (
+        |  SELECT c_nationkey, count(*) AS n_with_orders FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey),
+        |x AS (
+        |  SELECT c_nationkey, count(*) AS n_without_orders FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey)
+        |SELECT coalesce(w.c_nationkey, x.c_nationkey) AS c_nationkey,
+        |  coalesce(n_with_orders, 0) AS n_with_orders,
+        |  coalesce(n_without_orders, 0) AS n_without_orders
+        |FROM w FULL OUTER JOIN x ON w.c_nationkey = x.c_nationkey
+        |ORDER BY c_nationkey""".stripMargin),
+      "left_semi/left_anti joins + full outer recombine"),
+
+    // q17 — ROLLUP grouping sets.
+    Q("q17_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      "rollup grouping sets (explicit NULLS FIRST on both engines)"),
+
+    // q18 — scalar function battery (§2.8 string/date/math surface).
+    Q("q18_scalar_funcs",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_type")).as("type_upper"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        (col("p_size") % 7).as("size_mod"),
+        round(col("p_retailprice") * 1.1, 2).as("price_up"),
+        floor(col("p_retailprice")).as("price_floor"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        abs(col("p_size") - 25).as("size_dist")
+      ).orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        |  upper(p_type) AS type_upper,
+        |  substring(p_name, 1, 5) AS name_pfx,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  CAST(p_size % 7 AS INTEGER) AS size_mod,
+        |  round(p_retailprice * 1.1, 2) AS price_up,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(abs(p_size - 25) AS INTEGER) AS size_dist
+        |FROM part ORDER BY p_partkey""".stripMargin),
+      "string/math scalar functions (all codegen'd, no UDFs)"),
+
+    // q19 — JSON field extraction (P1/P6 analogue on events.props).
+    Q("q19_json_extract",
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket")
+      ).orderBy("event_id"),
+      Some("""SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin),
+      "semi-structured JSON column access"),
+
+    // q20 — sessionization: 30-min-gap sessions per user via windows.
+    // Scale: one shuffle on user_id; state never held on the driver.
+    Q("q20_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = t(s, d, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("session_id",
+            sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"), max("ts").as("session_end"),
+            round(sum("value"), 4).as("session_value"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin),
+      "gap-based sessionization (lag + cumulative window)"),
+
+    // q21 — tumbling time-window aggregation (batch equivalent of the
+    // Structured Streaming pipeline in graft.streaming; §2.9).
+    Q("q21_time_window_agg",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
+      "tumbling 1h window agg (streaming-equivalent batch query)")
+  )
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.util.Tables
+
+/** Text-analysis pack over `documents`: token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting. All per-row expression
+  * work (codegen'd, shuffle-free until the final sort/agg) — the shape
+  * that scales linearly to 100 TB.
+  */
+object TextQueries {
+
+  private val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]" // Scala: \\s == regex \s
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "de", "las"))
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  val qs: Seq[Q] = Seq(
+
+    // Token counting: whitespace tokens + a BPE-ish regex token count
+    // (letter runs | digit runs | single non-alnum symbol).
+    Q("q30_text_tokens",
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(words(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(tokenPattern), lit(0))).as("re_tokens"),
+        length(col("text")).as("len_chars"),
+        col("n_chars")
+      ).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        |  CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS re_tokens,
+        |  CAST(length(text) AS INTEGER) AS len_chars,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      "whitespace + regex token counting"),
+
+    // Quality scoring: length/punctuation/stopword signals combined into
+    // a deterministic score (same raw-expression order as the oracle).
+    Q("q31_text_quality",
+      (s, d) => {
+        val w = words(col("text"))
+        val nWords = size(w).cast("double")
+        val meanLen = aggregate(transform(w, x => length(x)), lit(0),
+          (acc, x) => acc + x).cast("double") / nWords
+        val punct = size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9\\s]"), lit(0))).cast("double")
+        val punctRatio = punct / length(col("text")).cast("double")
+        val stopCnt = size(filter(w, x => x.isin(stopwords: _*))).cast("double")
+        val stopRatio = stopCnt / nWords
+        val score = least(lit(1.0), nWords / 200.0) - punctRatio * 0.5 + stopRatio * 0.2
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(w).as("n_words"),
+          round(meanLen, 4).as("mean_word_len"),
+          round(punctRatio, 4).as("punct_ratio"),
+          round(stopRatio, 4).as("stopword_ratio"),
+          round(score, 4).as("quality_score")
+        ).orderBy("doc_id")
+      },
+      Some(s"""WITH r AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE) AS punct,
+        |    CAST(length(text) AS DOUBLE) AS n_chars_d
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS INTEGER) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |    punct / n_chars_d AS punct_ratio,
+        |    CAST(len(list_filter(ws, x -> x IN (${inList(stopwords)}))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio
+        |  FROM r)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 4) AS mean_word_len,
+        |  round(punct_ratio, 4) AS punct_ratio,
+        |  round(stop_ratio, 4) AS stopword_ratio,
+        |  round(least(1.0, CAST(n_words AS DOUBLE) / 200.0) - punct_ratio * 0.5 + stop_ratio * 0.2, 4) AS quality_score
+        |FROM x ORDER BY doc_id""".stripMargin),
+      "doc quality scoring (length/punct/stopword signals)"),
+
+    // Language-ID heuristic: marker-word counts per language, argmax with
+    // a fixed priority order (en > de > fr > es > und).
+    Q("q32_text_langid",
+      (s, d) => {
+        val w = words(col("text"))
+        val scores = langMarkers.map { case (lang, ms) =>
+          lang -> size(filter(w, x => x.isin(ms: _*)))
+        }
+        val Seq(en, de, fr, es) = scores.map(_._2)
+        val guess = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+          .when(de > 0 && de >= fr && de >= es, "de")
+          .when(fr > 0 && fr >= es, "fr")
+          .when(es > 0, "es")
+          .otherwise("und")
+        Tables(s, d, "documents").select(
+          (Seq(col("doc_id")) ++
+            scores.map { case (l, c) => c.as(s"s_$l") } ++
+            Seq(guess.as("lang_guess"),
+              (guess === col("lang")).as("is_match"))): _*
+        ).orderBy("doc_id")
+      },
+      Some({
+        val scoreCols = langMarkers.map { case (l, ms) =>
+          s"CAST(len(list_filter(ws, x -> x IN (${inList(ms)}))) AS INTEGER) AS s_$l"
+        }.mkString(",\n    ")
+        s"""WITH r AS (
+          |  SELECT doc_id, lang,
+          |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          |  FROM documents),
+          |x AS (
+          |  SELECT doc_id, lang,
+          |    $scoreCols
+          |  FROM r),
+          |y AS (
+          |  SELECT doc_id, s_en, s_de, s_fr, s_es,
+          |    CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |         WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |         WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+          |         WHEN s_es > 0 THEN 'es'
+          |         ELSE 'und' END AS lang_guess,
+          |    lang
+          |  FROM x)
+          |SELECT doc_id, s_en, s_de, s_fr, s_es, lang_guess,
+          |  lang_guess = lang AS is_match
+          |FROM y ORDER BY doc_id""".stripMargin
+      }),
+      "marker-word language-ID heuristic"),
+
+    // Document fingerprinting: md5 of whitespace-normalized text, grouped
+    // into duplicate families.
+    Q("q33_text_fingerprint",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), md5(normText(col("text"))).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min("doc_id").as("first_doc_id"), count(lit(1)).as("n_docs"))
+        .orderBy("fingerprint"),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS first_doc_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin),
+      "normalized-text md5 fingerprint families")
+  )
+}

@@ -1,0 +1,60 @@
+package graft.ingest
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Ingest: YouTube `channels().list` JSON responses -> flat raw rows.
+  * Replicates /root/reference/dags/extract.py:92-116 (extract step):
+  * json_normalize (P1) -> last-segment rename (P2) -> keep-first dedup
+  * (P3) -> batch-constant timestamp (P5) -> column drops (P4) ->
+  * channel-key derivation (P7).
+  *
+  * The reference fetches from the live API; this engine is offline, so
+  * responses arrive as JSON strings (fixture files or any upstream
+  * fetcher) and are parsed with the explicit schema — the distributed
+  * part (parse/flatten/project) is identical either way.
+  */
+object Ingest {
+
+  private val dropCols =
+    Seq("kind", "description", "etag", "id", "topicIds", "topicCategories")
+
+  /** Parse one-JSON-document-per-string responses into item rows. */
+  def parseResponses(spark: SparkSession, jsons: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(Schemas.channelResponse).json(jsons.toDS())
+      .select(explode(col("items")).as("item"))
+      .select("item.*")
+  }
+
+  /** Full extract: flatten + timestamp + drops. `batchTs` is the batch-
+    * constant wall-clock tag (reference: datetime.now(America/Toronto)
+    * taken ONCE per batch, extract.py:109-111 — hence a literal, not
+    * per-row current_timestamp()).
+    */
+  def extract(spark: SparkSession, jsons: Seq[String], batchTs: Timestamp): DataFrame =
+    Flatten.loopdict(parseResponses(spark, jsons))
+      .withColumn("timestamp", lit(batchTs))
+      .drop(dropCols: _*)
+
+  /** Channel key (P7): title.replace('-',' ').split('/')[0].split(' ')
+    * joined by '_' — extract.py:115. The reference computes this driver-
+    * side on row 0; as a Column it runs distributed for free.
+    */
+  def channelKey(title: Column): Column =
+    concat_ws("_", split(element_at(split(regexp_replace(title, "-", " "), "/"), 1), " "))
+
+  /** Lake object key: `<key>/<key>_data.csv` — extract.py:116. */
+  def objectKey(title: Column): Column = {
+    val k = channelKey(title)
+    concat(k, lit("/"), k, lit("_data.csv"))
+  }
+
+  /** RAW table name from a lake prefix: `'_'.join(prefix.split(' ')) +
+    * "_RAW"` — extract.py:162-164 (lowercased for Spark catalog rules).
+    */
+  def rawTableName(channelKey: String): String =
+    (channelKey.split(' ').mkString("_") + "_RAW").toLowerCase
+}

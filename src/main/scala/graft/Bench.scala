@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Each query is fully executed via the `noop`
   * sink (all columns materialized — `count()` would let Catalyst prune
   * the projection work away and under-report).
+  *
+  * Failure policy: a query that throws is recorded in "errors" and the
+  * process exits nonzero — a broken query must make the bench red, never
+  * report a (fast, bogus) green time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,27 +20,43 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); must be set before the
+      // FIRST read (warmup included) or the vectorized reader rejects it.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM + parquet-footer warmup so per-query numbers measure the query,
-    // not first-touch class loading.
+    // not first-touch class loading. Warmup failures are fatal: a table
+    // that cannot even be counted means every query over it is broken.
     graft.util.Tables.names.foreach { n =>
-      try spark.read.parquet(s"$sfDir/$n.parquet").count()
-      catch { case _: Throwable => () }
+      spark.read.parquet(s"$sfDir/$n.parquet").count()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -55,17 +55,22 @@ case class ArrayDot(left: Expression, right: Expression)
 }
 
 object ArrayDot {
-  @volatile private var registered = Set.empty[SparkSession]
+  // Weak keys: a retired SparkSession must be collectable — the registry
+  // cache must never pin it. Synchronized map access also removes the
+  // check-then-act race of the old Set-based version.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Register `graft_array_dot` in the session's function registry (the
     * public way to surface a custom expression without internal Column
-    * constructors), idempotently.
+    * constructors), idempotently per session. createOrReplaceTempFunction
+    * is itself idempotent, so a racing double-registration is harmless.
     */
   def register(spark: SparkSession): Unit = {
-    if (!registered.contains(spark)) synchronized {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
-      registered += spark
     }
   }
 

@@ -61,9 +61,11 @@ object TextFunctions {
       transform(slice(sig, band * bandSize + 1, bandSize),
         x => x.cast("string"))))
 
-  /** Jaccard over two pre-distinct gram arrays: |A∩B| / (|A|+|B|-|A∩B|). */
-  def jaccard(a: Column, b: Column): Column = {
-    val shared = size(array_intersect(a, b)).cast("double")
-    shared / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
+  /** Jaccard over two pre-distinct gram arrays: |A∩B| / (|A|+|B|-|A∩B|).
+    * The intersection (the inner loop of the LSH verify stage) is computed
+    * once and shared via a lambda binding, not twice.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    aggregate(array(size(array_intersect(a, b)).cast("double")), lit(0.0),
+      (_, shared) => shared / (size(a) + size(b) - shared))
 }

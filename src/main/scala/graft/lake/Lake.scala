@@ -23,6 +23,22 @@ object Lake {
       .withColumn("channel_key", Ingest.channelKey(col("title")))
       .write.mode("append").partitionBy("channel_key").parquet(path)
 
+  /** W1 (reference-fidelity variant): header CSV lake, matching the
+    * reference's at-rest format exactly (extract.py:119-120,160-166 —
+    * header CSV, schema re-inferred on read). The parquet lake is the
+    * scale default; this variant exists because header-CSV is part of the
+    * declared surface (S2/W1).
+    */
+  def appendBatchCsv(batch: DataFrame, path: String): Unit =
+    batch
+      .withColumn("channel_key", Ingest.channelKey(col("title")))
+      .write.mode("append").partitionBy("channel_key")
+      .option("header", "true").csv(path)
+
+  /** S2 (CSV variant): header + inferSchema, like pd.read_csv. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
   /** S2/S3: read the whole lake (or one channel via partition pruning). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -31,10 +47,20 @@ object Lake {
     read(spark, path).filter(col("channel_key") === channelKey)
 
   /** Channel discovery (reference: s3.list_objects, extract.py:158-159)
-    * — here: the partition values, resolved from directory listing only
-    * (no data scan).
+    * — a pure filesystem directory listing of the `channel_key=` partition
+    * dirs: no parquet footer reads, no data scan, no Spark job. This is
+    * the exact analogue of the reference's bucket listing, and stays O(#
+    * partitions) at any data size.
     */
-  def channels(spark: SparkSession, path: String): Seq[String] =
-    read(spark, path).select("channel_key").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+  def channels(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("channel_key=") =>
+        java.net.URLDecoder.decode(n.stripPrefix("channel_key="), "UTF-8") }
+      .sorted
+  }
 }

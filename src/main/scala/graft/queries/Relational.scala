@@ -23,9 +23,14 @@ object Relational {
   /** q01 — the mart analogue (SURVEY §2.2 P8 + §2.5 U1 + §2.2 P9).
     * The reference mart is Union(7 x Project(Cast..., Scan)); we model each
     * c_mktsegment as a "channel" CTE: filter -> cast-project -> UNION ALL.
-    * Scale: shuffle-free (scan+project+union); Catalyst merges the five
-    * filter-scans of the same file and pushes the segment predicate to
-    * parquet. Ref: /root/reference/dags/dbt/.../YT_Facts_stg.sql:3-115.
+    * Scale: shuffle-free until the determinism sort. Tradeoff kept for
+    * reference fidelity: each union branch scans `customer` independently
+    * (Catalyst does NOT merge same-file scans across union branches), so
+    * this reads the table 5x — exactly like the reference's 7 per-channel
+    * CTEs each scanning their own table. The single-scan equivalent
+    * (filter isin(segments)) exists but would not exercise the union
+    * shape; q35 exercises the real multi-table union.
+    * Ref: /root/reference/dags/dbt/.../YT_Facts_stg.sql:3-115.
     */
   private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 

@@ -23,6 +23,9 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); must be set before the
       // FIRST read (warmup included) or the vectorized reader rejects it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // q35's warehouse tables land here, not in the repo working dir.
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

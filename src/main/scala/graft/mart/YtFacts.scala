@@ -51,6 +51,6 @@ object YtFacts {
   }
 
   /** W5: CTAS full rebuild each run (dbt `materialized: table`). */
-  def materialize(mart: DataFrame): Unit =
-    mart.write.mode("overwrite").format("parquet").saveAsTable(tableName)
+  def materialize(mart: DataFrame, table: String = tableName): Unit =
+    mart.write.mode("overwrite").format("parquet").saveAsTable(table)
 }

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ingest.Ingest
+import graft.lake.Lake
+import graft.warehouse.Warehouse
+import graft.mart.YtFacts
+
+/** The end-to-end pipeline driver — the Spark re-expression of the
+  * reference's `extract_cloud` DAG (SURVEY §2.11;
+  * /root/reference/dags/extract.py:196-217):
+  *
+  *   extract (API JSON → flat raw rows)           extract.py:199-203
+  *   → lake append (per-channel partitions)       extract.py:114-129
+  *   → warehouse load (one RAW table per channel) extract.py:156-171
+  *   → staging views (dbt `materialized: view`)   dbt_project.yml:36-38
+  *   → mart CTAS (cast ×10 cols + N-way UNION)    YT_Facts_stg.sql:3-115
+  *
+  * What Airflow sequenced as three tasks is three function calls; what
+  * dbt ordered via ref() is lazy DataFrame composition Catalyst inlines.
+  * Every stage is a distributed Spark job; only the per-channel JSON
+  * responses (a handful of driver-side strings, exactly like the
+  * reference's API fetch) and table/view names touch the driver.
+  */
+object Pipeline {
+
+  /** @param lakePath lake root directory
+    * @param database catalog database for RAW + mart tables (the
+    *                 reference's schema `ytanalytics`, yt_sources.yml:4-14)
+    * @param csvLake  header-CSV lake (reference at-rest fidelity, S2/W1)
+    *                 vs parquet (the scale default)
+    */
+  final case class Config(
+      lakePath: String,
+      database: String = "ytanalytics",
+      csvLake: Boolean = false)
+
+  val martTable = "yt_facts_stg"
+
+  /** Extract one batch (all channels' JSON responses) and append it to
+    * the lake — task `downloading_rates` (extract.py:199-203).
+    */
+  def extractBatch(spark: SparkSession, jsons: Seq[String], batchTs: Timestamp,
+                   conf: Config): Unit = {
+    val raw = Ingest.extract(spark, jsons, batchTs)
+    if (conf.csvLake) Lake.appendBatchCsv(raw, conf.lakePath)
+    else Lake.appendBatch(raw, conf.lakePath)
+  }
+
+  /** Load every discovered channel into `<db>.<channel>_raw` — task
+    * `loading_data_db` (extract.py:205-208,156-171). Channel discovery is
+    * a filesystem listing (like the reference's bucket listing); each
+    * load is truncate+reload (W2). Returns qualified table names.
+    */
+  def loadWarehouse(spark: SparkSession, conf: Config): Seq[String] = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${conf.database}")
+    Lake.channels(spark, conf.lakePath).map { ch =>
+      val table = s"${conf.database}.${Ingest.rawTableName(ch)}"
+      val df =
+        if (conf.csvLake)
+          Lake.readCsv(spark, s"${conf.lakePath}/channel_key=$ch")
+        else Lake.readChannel(spark, conf.lakePath, ch).drop("channel_key")
+      Warehouse.loadRaw(df, table)
+      table
+    }
+  }
+
+  /** W4: one identity staging view per RAW table (dbt `materialized:
+    * view`) — a zero-copy named subquery the analyzer inlines into the
+    * mart plan, exactly like Snowflake inlining dbt's staging views.
+    * Returns the view names.
+    */
+  def registerStaging(spark: SparkSession, rawTables: Seq[String]): Seq[String] =
+    rawTables.map { t =>
+      val view = t.split('.').last.stripSuffix("_raw") + "_stg"
+      Warehouse.table(spark, t).createOrReplaceTempView(view)
+      view
+    }
+
+  /** Transform: mart build over the staging views + CTAS readback (the
+    * Cosmos dbt task group, extract.py:211-215).
+    */
+  def transform(spark: SparkSession, stagingViews: Seq[String],
+                conf: Config): DataFrame = {
+    val mart = YtFacts.build(stagingViews.map(spark.table))
+    YtFacts.materialize(mart, s"${conf.database}.$martTable")
+    spark.table(s"${conf.database}.$martTable")
+  }
+
+  /** Full deterministic run over a batch sequence, from a clean lake
+    * (the lake is append-only state — replaying without the reset would
+    * accumulate prior runs).
+    */
+  def run(spark: SparkSession, batches: Seq[(Timestamp, Seq[String])],
+          conf: Config): DataFrame = {
+    deleteDir(spark, conf.lakePath)
+    // Reset the database AND its on-disk location: the in-memory catalog
+    // forgets tables across JVMs while their files persist, and
+    // saveAsTable refuses a "new" managed table over a leftover location.
+    spark.sql(s"DROP DATABASE IF EXISTS ${conf.database} CASCADE")
+    deleteDir(spark,
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${conf.database}.db")
+    batches.foreach { case (ts, jsons) => extractBatch(spark, jsons, ts, conf) }
+    val rawTables = loadWarehouse(spark, conf)
+    val views = registerStaging(spark, rawTables)
+    transform(spark, views, conf)
+  }
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}

@@ -58,8 +58,11 @@ object Flatten {
         f.dataType match {
           case s: StructType => walk(s, p)
           case _: ArrayType =>
+            // try_element_at: a row whose list is shorter than the pinned
+            // width gets NULL (ANSI element_at would throw) — matching the
+            // reference's "column absent for that row" pandas behavior.
             val n = arrayLens.getOrElse(f.name, 0)
-            (0 until n).map(i => s"${f.name}_$i" -> element_at(col(p), i + 1))
+            (0 until n).map(i => s"${f.name}_$i" -> try_element_at(col(p), lit(i + 1)))
           case _ => Seq(f.name -> col(p))
         }
       }

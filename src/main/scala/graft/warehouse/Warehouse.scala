@@ -13,15 +13,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Warehouse {
 
   /** W2: truncate + insert (or auto-create on first load). */
-  def loadRaw(df: DataFrame, table: String): Unit =
+  def loadRaw(df: DataFrame, table: String): Unit = {
+    clearStaleLocation(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
 
   /** W3: the optimized_extract.py:106-107 variant — head(5) + append w/
     * auto-create. Preserved as a labeled variant (its 5-row truncation is
     * reference behavior, not something to generalize).
     */
-  def loadRawHead5(df: DataFrame, table: String): Unit =
+  def loadRawHead5(df: DataFrame, table: String): Unit = {
+    clearStaleLocation(df.sparkSession, table)
     df.limit(5).write.mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /** The in-memory catalog forgets tables across sessions while their
+    * managed locations persist on disk; saveAsTable then refuses to
+    * create the "new" table (LOCATION_ALREADY_EXISTS). The reference's
+    * load is truncate+reload-with-auto-create (extract.py:167-171) —
+    * i.e., tolerant of preexisting state — so a location that the
+    * catalog does not know about is stale output to clear.
+    */
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val parts = table.split('.')
+      val (db, tbl) =
+        if (parts.length == 2) (parts(0), parts(1)) else ("default", parts(0))
+      try {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.catalog.getDatabase(db).locationUri + "/" + tbl)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+      } catch { case _: org.apache.spark.sql.AnalysisException => () } // db absent
+    }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

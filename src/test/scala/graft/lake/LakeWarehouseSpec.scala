@@ -1,0 +1,66 @@
+package graft.lake
+
+import java.sql.Timestamp
+import java.time.Instant
+import graft.SparkSpec
+import graft.ingest.Ingest
+import graft.pipeline.SyntheticChannels.{Chan, json}
+import graft.warehouse.Warehouse
+
+/** W1/W2/W3 sink semantics + S2/S3 reads (SURVEY §2.7): append
+  * accumulation, partition pruning, filesystem channel discovery,
+  * overwrite idempotence, the labeled head-5 variant, and the header-CSV
+  * fidelity lake.
+  */
+class LakeWarehouseSpec extends SparkSpec {
+
+  private val ts1 = Timestamp.from(Instant.parse("2026-04-01T00:00:00Z"))
+  private val ts2 = Timestamp.from(Instant.parse("2026-04-02T00:00:00Z"))
+  private val chans = Seq(Chan(1, "Alpha#One", 1, 5.0), Chan(2, "Beta#Two", 2, 6.0))
+
+  private def batch(ts: Timestamp, b: Int) =
+    Ingest.extract(spark, chans.map(json(_, b)), ts)
+
+  test("lake append accumulates batches under channel_key partitions") {
+    val lake = scratch("lake_parquet")
+    Lake.appendBatch(batch(ts1, 1), lake)
+    Lake.appendBatch(batch(ts2, 2), lake)
+    assert(Lake.read(spark, lake).count() === 4)
+    // channel discovery = filesystem listing of partition dirs, sorted
+    // (Chan k=2 title "Beta Two-Kids/HD" -> key "Beta_Two_Kids")
+    assert(Lake.channels(spark, lake) === Seq("Alpha_One", "Beta_Two_Kids"))
+    val one = Lake.readChannel(spark, lake, Lake.channels(spark, lake).head)
+    assert(one.count() === 2)
+    assert(one.select("title").distinct().count() === 1)
+  }
+
+  test("CSV lake variant roundtrips with header + inferred schema") {
+    val lake = scratch("lake_csv")
+    Lake.appendBatchCsv(batch(ts1, 1), lake)
+    Lake.appendBatchCsv(batch(ts2, 2), lake)
+    val ch = Lake.channels(spark, lake).head
+    val df = Lake.readCsv(spark, s"$lake/channel_key=$ch")
+    assert(df.count() === 2)
+    // inferSchema re-derives types from text, like pd.read_csv (S2);
+    // small numerics may infer as int rather than long
+    assert(Set("integer", "long").contains(df.schema("viewCount").dataType.typeName))
+    assert(df.schema("madeForKids").dataType.typeName === "boolean")
+  }
+
+  test("loadRaw is truncate+reload idempotent (W2)") {
+    val df = batch(ts1, 1)
+    Warehouse.loadRaw(df, "t_raw_idemp")
+    Warehouse.loadRaw(df, "t_raw_idemp")
+    assert(Warehouse.table(spark, "t_raw_idemp").count() === 2)
+  }
+
+  test("loadRawHead5 appends at most 5 rows per call (W3)") {
+    spark.sql("DROP TABLE IF EXISTS t_raw_head5")
+    val many = Ingest.extract(spark,
+      (1 to 7).map(k => json(Chan(k, s"C#$k", k, 1.0), 1)), ts1)
+    Warehouse.loadRawHead5(many, "t_raw_head5")
+    assert(Warehouse.table(spark, "t_raw_head5").count() === 5)
+    Warehouse.loadRawHead5(many, "t_raw_head5")
+    assert(Warehouse.table(spark, "t_raw_head5").count() === 10)
+  }
+}

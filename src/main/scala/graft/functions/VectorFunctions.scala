@@ -23,13 +23,14 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane-style LSH bucket using axis-aligned planes: the
-    * sign bits of the first `bits` dimensions. Cheap, deterministic, and
-    * expressible identically in SQL (`embedding[i] > 0`). For isotropic
-    * embeddings this partitions the sphere into 2^bits buckets; near-dup
-    * vectors (cos ≈ 1) land in the same bucket with high probability.
+    * sign bits of `bits` consecutive dimensions starting at `offset`
+    * (0-based). Cheap, deterministic, and expressible identically in SQL
+    * (`embedding[i] > 0`). For isotropic embeddings this partitions the
+    * sphere into 2^bits buckets; near-dup vectors (cos ≈ 1) land in the
+    * same bucket with high probability.
     */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucket(v: Column, bits: Int, offset: Int = 0): Column =
     (0 until bits).map { i =>
-      when(element_at(v, i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+      when(element_at(v, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -120,8 +120,8 @@ object Dedup {
   }
 
   /** Exact embedding cosine near-dup pairs (id_a < id_b, rounded sim >=
-    * thr). Quadratic: the smaller side must be broadcastable; at scale,
-    * bucket with sign-LSH first and run this within buckets.
+    * thr). Quadratic: the smaller side must be broadcastable. This is the
+    * correctness anchor; the scale default is `embeddingNearDupLsh`.
     */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
                        thr: Double): DataFrame = {
@@ -134,6 +134,42 @@ object Dedup {
     e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(adot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= thr)
+  }
+
+  /** Banded sign-LSH embedding near-dup — the 100 TB default. Band b is
+    * the sign pattern of dims [b·r, (b+1)·r); a pair is a candidate iff
+    * it collides in ≥1 band; candidates are verified with exact cosine.
+    *
+    * Plan shape: per-row signature projection (no shuffle) → explode to
+    * (band, sig) → self-join SHUFFLED ON THE BAND KEYS (never a full
+    * broadcast, never the global O(n²) pair space) → distinct → two
+    * vec_id joins for the verify stage. Candidate volume per band-bucket
+    * is |bucket|², bounded by choosing r so 2^r buckets keep buckets
+    * small; recall for a pair with per-bit agreement p is 1-(1-p^r)^B
+    * (documented <1: this operator trades recall for a 10-100x pair-space
+    * cut; raise `bands` for higher recall).
+    */
+  def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
+                          thr: Double, bands: Int, bitsPerBand: Int): DataFrame = {
+    graft.functions.ArrayDot.register(df.sparkSession)
+    import graft.functions.ArrayDot.{dot => adot}
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
+      .withColumn("nrm", sqrt(adot(col("v"), col("v"))))
+    val sigCols = (0 until bands).map(b =>
+      signBucket(col("v"), bitsPerBand, b * bitsPerBand))
+    val banded = e.select(col("vec_id"),
+      posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(adot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= thr)
   }
 }

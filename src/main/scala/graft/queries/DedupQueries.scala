@@ -126,22 +126,54 @@ object DedupQueries {
         |ORDER BY doc_a, doc_b""".stripMargin),
       "SimHash near-dup (chunk-bucket candidates, hamming verify)"),
 
-    // Embedding cosine near-dup pairs — exact baseline. Scale note: the
-    // broadcast-nested-loop pair space is only viable within LSH buckets
-    // (see q28) or blocked candidate sets.
+    // Embedding near-dup, banded sign-LSH default (the 100 TB path):
+    // 10 bands x 6 sign bits over disjoint dims, candidates = band
+    // collisions (shuffle join on band keys — NO full-table broadcast,
+    // never the global O(n^2) pair space), verified with exact cosine.
+    // Recall is <1 by design (≈58% at thr 0.45 on this data; rises
+    // sharply with the threshold) — the oracle replays the identical
+    // banding, so the contract is verified end to end.
     Q("q26_dedup_embedding",
       // threshold 0.45 ~= the 99.99th percentile of pair similarity in the
       // synthetic embeddings (max ~0.51) — high enough to be "near-dup",
       // low enough that the query output is non-trivial.
-      (s, d) => Dedup.embeddingNearDup(Tables(s, d, "embeddings"),
-          col("vec_id"), col("embedding"), thr = 0.45)
+      (s, d) => Dedup.embeddingNearDupLsh(Tables(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), thr = 0.45,
+          bands = 10, bitsPerBand = 6)
         .orderBy("id_a", "id_b"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, v, b.b AS band,
+        |    (SELECT CAST(sum(CASE WHEN v[b.b * 6 + i + 1] > 0
+        |                    THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+        |     FROM generate_series(0, 5) AS t(i)) AS sig
+        |  FROM e, generate_series(0, 9) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+        |  FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id)
+        |SELECT * FROM j WHERE cos_sim >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+      "embedding near-dup via banded sign-LSH + exact-cosine verify (scale default)"),
+
+    // Exact pairwise anchor on a deterministic 1/5 sample: verifies the
+    // exact-cosine path (the LSH verify stage) against the oracle without
+    // running the full quadratic pair space at bench scale.
+    Q("q36_dedup_embedding_exact",
+      (s, d) => Dedup.embeddingNearDup(
+          Tables(s, d, "embeddings").filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"), thr = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
         |j AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT * FROM j WHERE cos_sim >= 0.45 ORDER BY id_a, id_b""".stripMargin),
-      "embedding cosine near-dup (exact pairwise baseline)")
+        |SELECT * FROM j WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+      "embedding cosine near-dup (exact pairwise anchor, sampled)")
   )
 }

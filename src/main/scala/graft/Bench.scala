@@ -44,6 +44,7 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
+        finally spark.catalog.clearCache() // release operator-level caches per query
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     def jstr(s: String): String =

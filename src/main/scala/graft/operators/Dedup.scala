@@ -36,19 +36,35 @@ object Dedup {
     df.select(id.as("doc_id"), distinctGrams(text, n).as("grams"))
       .filter(size(col("grams")) > 0)
 
-  /** Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= thr).
+  /** N-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= thr) over
+    * DF-capped gram sets: grams appearing in more than `maxDf` documents
+    * are removed from every set before pairing AND before the set sizes —
+    * the standard skew guard, since a single hot shingle with frequency f
+    * contributes f² join pairs (stopword shingles at corpus scale would
+    * otherwise make one key quadratic). Semantics = exact Jaccard over
+    * the filtered sets; the oracle replays the same cap.
+    *
     * Output: doc_a, doc_b, jaccard (rounded 4dp; threshold applied to the
     * rounded value so engine float drift cannot flip boundary pairs).
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
-                   n: Int, thr: Double): DataFrame = {
+                   n: Int, thr: Double, maxDf: Int): DataFrame = {
+    // Cached: the gram computation is the dominant per-row cost and is
+    // otherwise recomputed by the DF pass AND the kept build.
     val d = gramSets(df, id, text, n).cache()
     val g = d.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val pairs = g.as("a").join(g.as("b"),
+    // grams are pre-distinct per doc, so count == document frequency
+    val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gram")
+    // Cached: consumed by the self-join (both sides) and the size agg.
+    // Released by the query runner's clearCache() — operators cannot
+    // unpersist a plan their caller has not consumed yet.
+    val kept = g.join(hot, Seq("gram"), "left_anti").cache()
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    val sz = d.select(col("doc_id"), size(col("grams")).as("n_grams"))
     pairs
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -58,19 +74,42 @@ object Dedup {
       .filter(col("jaccard") >= thr)
   }
 
-  /** MinHash + LSH near-dup pairs, verified by exact Jaccard.
-    * numPerm hashes split into `bands` bands of numPerm/bands rows.
+  /** MinHash + LSH near-dup pairs, verified by exact Jaccard over the
+    * full gram sets. numPerm permutations split into `bands` bands;
+    * band-buckets larger than `maxBucket` docs are discarded before
+    * pairing — a degenerate signature (e.g. many near-empty documents
+    * sharing one band) would otherwise reintroduce O(bucket²) inside a
+    * single key. No caching: gram sets recompute per use, which is the
+    * correct call at 100 TB (a cached full-corpus gram table would
+    * spill); the gram projection is cheap per-row work.
     */
   def minhashLsh(df: DataFrame, id: Column, text: Column, n: Int,
-                 numPerm: Int, bands: Int, thr: Double): DataFrame = {
+                 numPerm: Int, bands: Int, thr: Double,
+                 maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bandSize = numPerm / bands
+    // Cached (gram arrays): consumed by the signature build and both
+    // verify-stage joins; released by the runner's clearCache().
     val d = gramSets(df, id, text, n).cache()
-    val sig = d.select(col("doc_id"),
-      minhashSignature(col("grams"), numPerm).as("sig"))
+    // Signature = one codegen'd md5 per gram instance + numPerm cheap
+    // permutations, min-combined in ONE hash aggregate (map-side partial
+    // min, one small shuffle of numPerm longs per doc). This beats both
+    // md5-per-(gram,seed) (16x the hashing) and per-row higher-order
+    // functions (interpreted, no codegen).
+    val h = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), hash60(col("gram"), 0).as("h"))
+    val mins = (0 until numPerm).map(s => min(permHash(col("h"), s)).as(s"m$s"))
+    val sig = h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(s => col(s"m$s")): _*).as("sig"))
     val bandCols = (0 until bands).map(b => bandSignature(col("sig"), b, bandSize))
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_sig")))
-    val cand = banded.as("a").join(banded.as("b"),
+    val guarded = banded
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band_id", "band_sig")))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = guarded.as("a").join(guarded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -84,18 +123,22 @@ object Dedup {
       .filter(col("jaccard") >= thr)
   }
 
-  /** 60-bit SimHash fingerprint per document (word-level features). */
+  /** 60-bit SimHash fingerprint per document (word-level features): one
+    * codegen'd md5 per token, then ONE wide hash aggregate (60 ±1-bit
+    * sums with map-side partial combine — the shuffle carries 60 longs
+    * per doc, not 60 rows per token like the explode-per-(token,bit)
+    * formulation this replaces).
+    */
   def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(words(text)).as("word"))
       .filter(length(col("word")) > 0)
       .select(col("doc_id"), hash60(col("word"), 0).as("h"))
-    val bits = tok.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(59))).as("i"))
-    val perBit = bits.groupBy("doc_id", "i")
-      .agg(sum(expr("(shiftright(h, i) & 1) * 2 - 1")).as("s"))
-    perBit.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(cast(1 as bigint), i)")).otherwise(lit(0L))).as("simhash"))
+    val sums = (0 until 60).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$i"))
+    val fp = (0 until 60).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (pigeonhole:
@@ -104,6 +147,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column,
                    maxDist: Int): DataFrame = {
     require(maxDist <= 3, "chunking is sized for hamming <= 3")
+    // Cached: the chunk projection self-joins (both sides re-derive fp);
+    // released by the runner's clearCache().
     val fp = simhashFingerprints(df, id, text).cache()
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))

@@ -26,6 +26,15 @@ object DedupQueries {
       |      i -> array_to_string(ws[i:i+2], ' '))) AS grams
       |  FROM w WHERE len(ws) >= 3)""".stripMargin
 
+  /** The q24 permutation constants, inlined from the same source of
+    * truth the Spark side uses (TextFunctions.permConst).
+    */
+  private val permValues: String =
+    (0 until 16).map { s =>
+      val (a, b, c) = graft.functions.TextFunctions.permConst(s)
+      s"($s, ${a}, ${b}, ${c})"
+    }.mkString(", ")
+
   val qs: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the full text. Scale: single shuffle
@@ -40,46 +49,61 @@ object DedupQueries {
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin),
       "exact duplicate groups (hash-groupBy)"),
 
-    // Exact word-3-gram Jaccard pairs — the quadratic correctness anchor.
+    // Word-3-gram Jaccard pairs over DF-capped gram sets (maxDf=20: the
+    // skew guard against hot shingles whose f² join pairs would make one
+    // key quadratic at corpus scale). Correctness anchor for the exact
+    // pairing path; q24 is the sublinear scale path.
     Q("q23_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(Tables(s, d, "documents"),
-          col("doc_id"), col("text"), n = 3, thr = 0.5)
+          col("doc_id"), col("text"), n = 3, thr = 0.5, maxDf = 20)
         .orderBy("doc_a", "doc_b"),
       Some(s"""$gramCtes,
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 20),
+        |k AS (SELECT g.doc_id, g.gram FROM g ANTI JOIN hot USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(count(*) AS DOUBLE) AS shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |j AS (
         |  SELECT doc_a, doc_b,
-        |    round(shared / (len(sa.grams) + len(sb.grams) - shared), 4) AS jaccard
-        |  FROM p JOIN d sa ON doc_a = sa.doc_id JOIN d sb ON doc_b = sb.doc_id)
+        |    round(shared / (sa.n + sb.n - shared), 4) AS jaccard
+        |  FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
         |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
-      "exact n-gram Jaccard (quadratic baseline; scale path is q24)"),
+      "n-gram Jaccard with gram document-frequency cap (skew-guarded)"),
 
-    // MinHash(16 perms) + LSH(4 bands x 4 rows) candidates, verified by
-    // exact Jaccard. Scale: signatures computed per-row with no shuffle;
-    // candidate join keyed on (band, bandSig) — never O(n^2).
+    // MinHash(16 perms, one md5 per gram + cheap permutations) +
+    // LSH(4 bands x 4 rows) candidates with a bucket-size cap, verified
+    // by exact Jaccard. Scale: signatures per-row with no shuffle;
+    // candidate join keyed on (band, bandSig) — never O(n^2); degenerate
+    // buckets (>100 docs) dropped before pairing.
     Q("q24_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLsh(Tables(s, d, "documents"),
-          col("doc_id"), col("text"), n = 3, numPerm = 16, bands = 4, thr = 0.5)
+          col("doc_id"), col("text"), n = 3, numPerm = 16, bands = 4,
+          thr = 0.5, maxBucket = 100)
         .orderBy("doc_a", "doc_b"),
       Some(s"""$gramCtes,
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substring(md5('0#' || gram), 1, 15))::BIGINT AS h FROM g),
+        |perms(s, a, b, c) AS (VALUES $permValues),
         |sigs AS (
-        |  SELECT g.doc_id, t.s,
-        |    min(('0x' || substring(md5(t.s::VARCHAR || '#' || g.gram), 1, 15))::BIGINT) AS mh
-        |  FROM g, generate_series(0, 15) AS t(s)
-        |  GROUP BY g.doc_id, t.s),
+        |  SELECT h.doc_id, p.s,
+        |    min((p.a * (h.h % 1073741824) + p.b * (h.h // 1073741824) + p.c)
+        |        % 2147483647) AS mh
+        |  FROM h, perms p
+        |  GROUP BY h.doc_id, p.s),
         |bands AS (
         |  SELECT doc_id, s // 4 AS band_id,
         |    md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS band_sig
         |  FROM sigs GROUP BY doc_id, band_id),
+        |guard AS (SELECT * FROM bands
+        |  QUALIFY count(*) OVER (PARTITION BY band_id, band_sig) <= 100),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
+        |  FROM guard a JOIN guard b
         |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
         |    AND a.doc_id < b.doc_id),
         |j AS (
@@ -90,7 +114,7 @@ object DedupQueries {
         |SELECT doc_a, doc_b, round(shared / (na + nb - shared), 4) AS jaccard
         |FROM j WHERE round(shared / (na + nb - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
-      "MinHash+LSH near-dup (band-bucket join, exact-Jaccard verify)"),
+      "MinHash+LSH near-dup (1-md5 permutation scheme, capped band buckets, exact-Jaccard verify)"),
 
     // SimHash 60-bit fingerprints; hamming<=3 pairs via 4x15-bit chunk
     // pigeonhole buckets.

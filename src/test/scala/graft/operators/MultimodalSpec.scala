@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The mapPartitions decode seam must agree with the expression-only
+  * metadata path (q34) on everything both can compute — this is the
+  * contract that lets production swap `decodeStub` for a real codec
+  * without touching the Spark plumbing (schema, batching, pruning).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.withPayload(
+    graft.util.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text"), "text")
+
+  test("decodeMeta (mapPartitions seam) == the expression path, row for row") {
+    val seam = Multimodal.decodeMeta(spark, media).toDF()
+      .orderBy("doc_id").collect()
+    val expr = media.select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      ((ascii(substring(col("text"), 1, 1)) % 64 + 1) * 16).as("width"),
+      ((ascii(substring(col("text"), 2, 1)) % 48 + 1) * 16).as("height"),
+      (floor(octet_length(col("payload")) / 1000) + 1).cast("long").as("n_frames")
+    ).orderBy("doc_id").collect()
+    assert(seam.length === expr.length)
+    seam.zip(expr).foreach { case (s, e) =>
+      assert(s.getLong(0) === e.getLong(0))       // doc_id
+      assert(s.getLong(1) === e.getLong(1))       // n_bytes
+      assert(s.getString(2) === e.getString(2))   // md5 checksum
+      assert(s.getInt(3) === e.getInt(3))         // width
+      assert(s.getInt(4) === e.getInt(4))         // height
+      assert(s.getLong(5) === e.getLong(5))       // n_frames
+    }
+  }
+
+  test("decodeMeta output prunes the payload column (metadata only)") {
+    val out = Multimodal.decodeMeta(spark, media).toDF()
+    assert(!out.columns.contains("payload"))
+    assert(out.columns.toSeq === Seq("doc_id", "n_bytes", "checksum",
+      "width", "height", "n_frames"))
+  }
+
+  test("sampledFrameCount: every stride-th frame, at least one") {
+    import spark.implicits._
+    val got = Seq(1L, 9L, 10L, 11L, 95L).toDF("f")
+      .select(Multimodal.sampledFrameCount(col("f"), 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 1L, 1L, 2L, 10L))
+  }
+}

@@ -31,6 +31,46 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise similarity into dedup decisions (keep one doc per
+    * component). Input: (doc_a, doc_b) edges; output: (doc_id,
+    * cluster_id) for every endpoint, cluster_id = min doc_id in the
+    * component.
+    *
+    * Algorithm: Pregel-style min-label propagation — each iteration
+    * joins labels to edges, takes the per-node min of own + neighbor
+    * labels, and stops when no label changed. Iterations = graph
+    * diameter (near-dup graphs are short chains/cliques, so single
+    * digits); each iteration is one shuffle join + one aggregation, all
+    * distributed — the driver only checks the convergence count. The
+    * result is the unique fixpoint, so an engine replaying it any other
+    * way (e.g. DuckDB's recursive CTE) must agree exactly.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    // undirected: both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 50) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      iters += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** (doc_id, grams) pairs with non-empty distinct gram sets. */
   def gramSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc_id"), distinctGrams(text, n).as("grams"))

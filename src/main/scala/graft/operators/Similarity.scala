@@ -71,4 +71,50 @@ object Similarity {
     df.select(label.as("label"), posexplode(toDouble(vec)).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
       .agg(round(avg(col("x")), 6).as("centroid"))
+
+  /** IVF probe: full inverted-file ANN over a learned coarse quantizer.
+    * Centroids = per-label means (rounded 6dp so both engines agree on
+    * the quantizer bit-for-bit); every vector is assigned to its
+    * nearest centroid by cosine (rounded 4dp, ties broken by label —
+    * fully deterministic); the probe scans ONLY the query's centroid
+    * bucket.
+    *
+    * Scale shape: the centroid table is tiny (labels x dims) and
+    * broadcast; assignment is a per-row argmax over C dots (linear scan,
+    * one window shuffle on vec_id — swap for groupBy max(struct) if C
+    * grows); the probe reads 1/C of the data in expectation. This is the
+    * standard IVF architecture: at 100 TB the assignment is written once
+    * at ingest (partitioned by bucket) and probes touch one partition.
+    */
+  def ivfTopK(df: DataFrame, id: Column, vec: Column, label: Column,
+              queryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.ArrayDot.register(df.sparkSession)
+    import graft.functions.ArrayDot.{dot => adot}
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+    val cents = e.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("lbl", "pos").agg(round(avg("x"), 6).as("c"))
+      .groupBy("lbl")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("lbl").as("c_lbl"),
+        transform(col("pc"), p => p.getField("c")).as("cv"))
+      .withColumn("cnrm", sqrt(adot(col("cv"), col("cv"))))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_lbl"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sim", round(
+        adot(col("v"), col("cv")) /
+          (sqrt(adot(col("v"), col("v"))) * col("cnrm")), 4))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_lbl").as("bucket"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("qnrm", sqrt(adot(col("qv"), col("qv"))))
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"),
+        round(adot(col("v"), col("qv")) /
+          (sqrt(adot(col("v"), col("v"))) * col("qnrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -35,6 +35,37 @@ object DedupQueries {
       s"($s, ${a}, ${b}, ${c})"
     }.mkString(", ")
 
+  /** Shared MinHash+LSH candidate chain (q24 and q37 replay the same
+    * algorithm; `j` holds verified-jaccard inputs per candidate pair).
+    */
+  private lazy val minhashCtes: String =
+    s"""g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substring(md5('0#' || gram), 1, 15))::BIGINT AS h FROM g),
+       |perms(s, a, b, c) AS (VALUES $permValues),
+       |sigs AS (
+       |  SELECT h.doc_id, p.s,
+       |    min((p.a * (h.h % 1073741824) + p.b * (h.h // 1073741824) + p.c)
+       |        % 2147483647) AS mh
+       |  FROM h, perms p
+       |  GROUP BY h.doc_id, p.s),
+       |bands AS (
+       |  SELECT doc_id, s // 4 AS band_id,
+       |    md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS band_sig
+       |  FROM sigs GROUP BY doc_id, band_id),
+       |guard AS (SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band_id, band_sig) <= 100),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM guard a JOIN guard b
+       |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       |    AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(sa.grams, x -> list_contains(sb.grams, x))) AS DOUBLE) AS shared,
+       |    len(sa.grams) AS na, len(sb.grams) AS nb
+       |  FROM cand JOIN d sa ON doc_a = sa.doc_id JOIN d sb ON doc_b = sb.doc_id)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on the full text. Scale: single shuffle
@@ -85,32 +116,7 @@ object DedupQueries {
           thr = 0.5, maxBucket = 100)
         .orderBy("doc_a", "doc_b"),
       Some(s"""$gramCtes,
-        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
-        |h AS (SELECT doc_id,
-        |  ('0x' || substring(md5('0#' || gram), 1, 15))::BIGINT AS h FROM g),
-        |perms(s, a, b, c) AS (VALUES $permValues),
-        |sigs AS (
-        |  SELECT h.doc_id, p.s,
-        |    min((p.a * (h.h % 1073741824) + p.b * (h.h // 1073741824) + p.c)
-        |        % 2147483647) AS mh
-        |  FROM h, perms p
-        |  GROUP BY h.doc_id, p.s),
-        |bands AS (
-        |  SELECT doc_id, s // 4 AS band_id,
-        |    md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS band_sig
-        |  FROM sigs GROUP BY doc_id, band_id),
-        |guard AS (SELECT * FROM bands
-        |  QUALIFY count(*) OVER (PARTITION BY band_id, band_sig) <= 100),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM guard a JOIN guard b
-        |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-        |    AND a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |    CAST(len(list_filter(sa.grams, x -> list_contains(sb.grams, x))) AS DOUBLE) AS shared,
-        |    len(sa.grams) AS na, len(sb.grams) AS nb
-        |  FROM cand JOIN d sa ON doc_a = sa.doc_id JOIN d sb ON doc_b = sb.doc_id)
+        |$minhashCtes
         |SELECT doc_a, doc_b, round(shared / (na + nb - shared), 4) AS jaccard
         |FROM j WHERE round(shared / (na + nb - shared), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
@@ -198,6 +204,35 @@ object DedupQueries {
         |    round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT * FROM j WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin),
-      "embedding cosine near-dup (exact pairwise anchor, sampled)")
+      "embedding cosine near-dup (exact pairwise anchor, sampled)"),
+
+    // Dedup CLUSTERS: connected components over the MinHash near-dup
+    // pair graph — the step that turns pairwise similarity into keep/
+    // drop decisions. Spark: Pregel-style min-label propagation (one
+    // shuffle join + agg per iteration, iterations = component
+    // diameter); oracle: DuckDB recursive CTE reaching the same unique
+    // fixpoint.
+    Q("q37_dedup_clusters",
+      (s, d) => Dedup.dupClusters(
+          Dedup.minhashLsh(Tables(s, d, "documents"),
+            col("doc_id"), col("text"), n = 3, numPerm = 16, bands = 4,
+            thr = 0.5, maxBucket = 100))
+        .orderBy("doc_id"),
+      Some(s"""${gramCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$minhashCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM j
+        |  WHERE round(shared / (na + nb - shared), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src)
+        |SELECT id AS doc_id, min(label) AS cluster_id
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin),
+      "near-dup clusters: connected components of the LSH pair graph")
   )
 }

@@ -50,6 +50,29 @@ object SimilarityQueries {
         |  round(avg(embedding[t.dim]), 6) AS centroid
         |FROM embeddings, generate_series(1, 64) AS t(dim)
         |GROUP BY label, t.dim ORDER BY label, dim""".stripMargin),
-      "per-label mean vectors (IVF coarse-quantizer build)")
+      "per-label mean vectors (IVF coarse-quantizer build)"),
+
+    // Full IVF ANN: quantizer build (q29's centroids, widened) + nearest-
+    // centroid assignment + single-bucket probe. ~1/|labels| of the data
+    // scanned per probe; recall < 1 documented.
+    Q("q38_ann_ivf",
+      (s, d) => Similarity.ivfTopK(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), queryId = 0L, k = 10),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
+        |c AS (
+        |  SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |a AS (
+        |  SELECT vec_id, v, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |q AS (SELECT v AS qv, c_lbl AS qb FROM a WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |FROM a, q WHERE vec_id <> 0 AND c_lbl = qb
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      "IVF ANN: centroid quantizer + nearest-centroid assign + bucket probe")
   )
 }

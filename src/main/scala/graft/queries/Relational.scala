@@ -425,6 +425,32 @@ object Relational {
       Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
-      "tumbling 1h window agg (streaming-equivalent batch query)")
+      "tumbling 1h window agg (streaming-equivalent batch query)"),
+
+    // q39 — the SQL entry point: ANSI SQL text over registered views
+    // (the engine's analogue of dbt's source()/ref() resolution, S4/S5).
+    // Same Catalyst plan as the DataFrame form — views are inlined by
+    // the analyzer, the join broadcasts the dim side, agg combines
+    // map-side.
+    Q("q39_sql_surface",
+      (s, d) => {
+        Tables(s, d, "customer").createOrReplaceTempView("v_customer")
+        Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c.c_mktsegment AS segment,
+                 |  count(*) AS n_orders,
+                 |  round(sum(o.o_totalprice), 2) AS total_price,
+                 |  round(avg(o.o_totalprice), 4) AS avg_price
+                 |FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+                 |GROUP BY c.c_mktsegment
+                 |ORDER BY segment""".stripMargin)
+      },
+      Some("""SELECT c.c_mktsegment AS segment,
+        |  count(*) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS total_price,
+        |  round(avg(o.o_totalprice), 4) AS avg_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY segment""".stripMargin),
+      "SQL-text entry point over registered views (S4/S5 analogue)")
   )
 }

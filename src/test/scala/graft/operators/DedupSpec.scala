@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit-level dedup semantics on hand-built corpora (the oracle gate
+  * covers the full algorithms at sf0.01; these pin the edge cases).
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exact(
+      docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z"),
+      col("text"), col("doc_id"))
+    val byKeep = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeep === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("dupClusters: chain a-b, b-c plus isolated pair d-e -> two components") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters converges on a cycle") {
+    import spark.implicits._
+    val pairs = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect().map(_.getLong(1)).distinct
+    assert(got === Array(5L))
+  }
+
+  test("ngramJaccard finds near-identical docs and respects the threshold") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat", // high overlap
+      3L -> "completely different text with no overlap at all")
+    val pairs = Dedup.ngramJaccard(d, col("doc_id"), col("text"),
+      n = 3, thr = 0.4, maxDf = 100).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("ngramJaccard DF cap removes corpus-wide shingles from the metric") {
+    // 'x y z' appears in every doc; with maxDf=2 it is dropped, leaving
+    // docs 1/2 sharing nothing -> no pair survives
+    val d = docs(1L -> "x y z a b c", 2L -> "x y z d e f", 3L -> "x y z")
+    val without = Dedup.ngramJaccard(d, col("doc_id"), col("text"),
+      n = 3, thr = 0.1, maxDf = 2).collect()
+    assert(!without.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    val withHot = Dedup.ngramJaccard(d, col("doc_id"), col("text"),
+      n = 3, thr = 0.1, maxDf = 100).collect()
+    assert(withHot.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("minhashLsh: identical docs always collide; verify stage is exact") {
+    val d = docs(
+      1L -> "one two three four five six seven eight",
+      2L -> "one two three four five six seven eight",
+      3L -> "nine ten eleven twelve thirteen fourteen")
+    val pairs = Dedup.minhashLsh(d, col("doc_id"), col("text"),
+      n = 3, numPerm = 16, bands = 4, thr = 0.9, maxBucket = 100).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs -> identical fingerprints, hamming 0") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta")
+    val fps = Dedup.simhashFingerprints(d, col("doc_id"), col("text"))
+      .collect().map(_.getLong(1))
+    assert(fps(0) === fps(1))
+    val pairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 3)
+      .collect()
+    assert(pairs.length === 1 && pairs.head.getInt(2) === 0)
+  }
+
+  test("embeddingNearDupLsh agrees with the exact form on found pairs") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(1.0f)),                       // identical to 1
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupLsh(vecs, col("vec_id"), col("embedding"),
+      thr = 0.9, bands = 10, bitsPerBand = 6).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 2L, 1.0)))
+  }
+}

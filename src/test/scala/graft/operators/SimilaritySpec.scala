@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = graft.util.Tables(
+    spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("bruteForceTopK returns k rows sorted by similarity desc") {
+    val top = Similarity.bruteForceTopK(emb,
+      col("vec_id"), col("embedding"), queryId = 0L, k = 5).collect()
+    assert(top.length === 5)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse)
+    assert(!top.exists(_.getLong(0) == 0L)) // query excluded
+  }
+
+  test("ivfTopK results are a subset of brute-force candidates scored identically") {
+    val bf = Similarity.bruteForceTopK(emb,
+        col("vec_id"), col("embedding"), queryId = 0L, k = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb,
+      col("vec_id"), col("embedding"), col("label"), queryId = 0L, k = 10).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(bf(r.getLong(0)) === r.getDouble(1)) // same exact cosine
+    }
+  }
+
+  test("signBucket with offset reads different dims") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.signBucket
+    val v = Seq(Array(1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, -1.0)).toDF("v")
+    val row = v.select(
+      signBucket(col("v"), 4),
+      signBucket(col("v"), 4, 4)).head()
+    assert(row.getLong(0) === (1L + 4L + 8L)) // dims 1,-1,1,1 -> bits 0,2,3
+    assert(row.getLong(1) === 4L)             // dims -1,-1,1,-1 -> bit 2
+  }
+
+  test("q04 plan pushes filters and prunes columns at the parquet scan") {
+    val df = graft.SparkEntry.queries("q04_filter_pushdown")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("l_discount"))
+    // pruned read schema: only the 4 referenced columns reach the scan
+    assert(!plan.contains("l_extendedprice"))
+  }
+
+  test("q10 plan broadcasts the dimension tables") {
+    val df = graft.SparkEntry.queries("q10_join_broadcast_dims")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

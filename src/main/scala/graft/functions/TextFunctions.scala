@@ -88,6 +88,24 @@ object TextFunctions {
       transform(slice(sig, band * bandSize + 1, bandSize),
         x => x.cast("string"))))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): hash every POSITIONAL word n-gram (rolling
+    * shingles), slide a window of `w` consecutive hashes, keep the min
+    * of each window, dedupe. Guarantees any shared run of n+w-1 words
+    * between two documents shares ≥1 fingerprint, at ~1/w the storage
+    * of full shingling. Per-row expressions only (the window mins use
+    * the same shifted-slice zip_with fold as wordGrams — O(w) array ops
+    * per document).
+    */
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column = {
+    val hs = transform(wordGrams(words(text), n), g => hash60(g, 0))
+    val m = size(hs) - (w - 1)
+    val mins = (0 until w).map(i => slice(hs, lit(i + 1), m))
+      .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    when(size(hs) >= w, array_distinct(mins))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Jaccard over two pre-distinct gram arrays: |A∩B| / (|A|+|B|-|A∩B|).
     * The intersection (the inner loop of the LSH verify stage) is computed
     * once and shared via a lambda binding, not twice.

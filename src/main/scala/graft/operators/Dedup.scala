@@ -51,11 +51,18 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).cache()
-    var changed = 1L
+    // Convergence check without a join: labels only ever DECREASE under
+    // min-propagation, so the (exact, decimal) label sum is stationary
+    // iff the fixpoint is reached — one aggregate per iteration instead
+    // of a join+filter+count.
+    var prevSum = labelSum(labels)
     var iters = 0
-    while (changed > 0 && iters < 50) {
+    var converged = false
+    while (!converged && iters < 50) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
@@ -63,8 +70,10 @@ object Dedup {
         .union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels.unpersist()
       labels = next
       iters += 1
     }

@@ -144,6 +144,37 @@ object TextQueries {
       Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS first_doc_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin),
-      "normalized-text md5 fingerprint families")
+      "normalized-text md5 fingerprint families"),
+
+    // Rolling-hash winnowing fingerprints (MOSS): any shared run of
+    // n+w-1 = 6 words between two docs shares >=1 fingerprint — the
+    // partial-overlap detector that whole-doc md5 (q33) cannot provide.
+    Q("q40_text_winnowing",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(winnowFingerprints(col("text"), n = 3, w = 4)).as("fingerprint"))
+        .orderBy("doc_id", "fingerprint"),
+      Some("""WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' ')) AS grams
+        |  FROM w WHERE len(ws) >= 3),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams,
+        |      g -> ('0x' || substring(md5('0#' || g), 1, 15))::BIGINT) AS hs
+        |  FROM g),
+        |mn AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+        |      j -> list_min(hs[j:j+3]))) AS fps
+        |  FROM h WHERE len(hs) >= 4)
+        |SELECT doc_id, unnest(fps) AS fingerprint
+        |FROM mn ORDER BY doc_id, fingerprint""".stripMargin),
+      "winnowing rolling-hash fingerprints (MOSS; partial-overlap detection)")
   )
 }

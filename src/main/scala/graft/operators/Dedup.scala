@@ -219,15 +219,12 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column,
                        thr: Double): DataFrame = {
-    graft.functions.ArrayDot.register(df.sparkSession)
-    import graft.functions.ArrayDot.{dot => adot}
-    // Norms precomputed once per vector (O(n)), so the O(pairs) join only
-    // pays one fused codegen'd dot per pair.
+    graft.functions.ArrayCosine.register(df.sparkSession)
+    import graft.functions.ArrayCosine.cosine
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
-      .withColumn("nrm", sqrt(adot(col("v"), col("v"))))
     e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(adot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos_sim"))
+        round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= thr)
   }
 
@@ -246,10 +243,9 @@ object Dedup {
     */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
                           thr: Double, bands: Int, bitsPerBand: Int): DataFrame = {
-    graft.functions.ArrayDot.register(df.sparkSession)
-    import graft.functions.ArrayDot.{dot => adot}
+    graft.functions.ArrayCosine.register(df.sparkSession)
+    import graft.functions.ArrayCosine.cosine
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
-      .withColumn("nrm", sqrt(adot(col("v"), col("v"))))
     val sigCols = (0 until bands).map(b =>
       signBucket(col("v"), bitsPerBand, b * bitsPerBand))
     val banded = e.select(col("vec_id"),
@@ -260,10 +256,10 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(adot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= thr)
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.functions.ArrayCosine
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -10,37 +11,28 @@ import graft.functions.VectorFunctions._
   *    (single-row) query side broadcast, top-k via TakeOrdered. O(n·d)
   *    work, fully distributed, no O(n²) blow-up: this is the shape that
   *    survives 100 TB (scan + broadcast + per-row expression + top-k).
-  *  - `signLshTopK`: the IVF-style scale path — vectors pre-bucketed by
-  *    sign-LSH; the probe only scans the query's bucket (1/2^bits of the
-  *    data in expectation). Recall < 1 by construction; callers can probe
-  *    multiple buckets for higher recall.
-  *  - `centroids`: per-label mean vector in long format (label, dim,
-  *    value) — the coarse-quantizer build step for a real IVF index.
+  *  - `signLshTopK`: sign-LSH pre-bucketing — the probe only scans the
+  *    query's bucket (1/2^bits of the data in expectation). Recall < 1
+  *    by construction; callers can probe multiple buckets.
+  *  - `centroids` / `ivfTopK`: the coarse-quantizer build and the full
+  *    IVF probe (assign to nearest centroid, scan one bucket).
+  *
+  * All scoring uses the fused codegen'd ArrayCosine expression (one
+  * array pass per pair: dot + both norms in a single loop).
   */
 object Similarity {
 
-  /** cos_sim via the codegen'd ArrayDot expression; the scanned side's
-    * norm is computed inline (one extra fused dot per row), the query
-    * norm once on the broadcast side.
-    */
-  private def scored(df: DataFrame, id: Column, vec: Column,
-                     query: DataFrame): DataFrame = {
-    import graft.functions.ArrayDot.{dot => adot}
-    df.select(id.as("vec_id"), toDouble(vec).as("v"))
-      .crossJoin(broadcast(query))
-      .select(col("vec_id"),
-        round(adot(col("v"), col("qv")) /
-          (sqrt(adot(col("v"), col("v"))) * col("qnrm")), 4).as("cos_sim"))
-  }
+  private def cos(a: Column, b: Column): Column = ArrayCosine.cosine(a, b)
 
   /** Query = the embedding of `queryId`; returns the k nearest others. */
   def bruteForceTopK(df: DataFrame, id: Column, vec: Column,
                      queryId: Long, k: Int): DataFrame = {
-    graft.functions.ArrayDot.register(df.sparkSession)
-    import graft.functions.ArrayDot.{dot => adot}
+    ArrayCosine.register(df.sparkSession)
     val q = df.filter(id === queryId).select(toDouble(vec).as("qv"))
-      .withColumn("qnrm", sqrt(adot(col("qv"), col("qv"))))
-    scored(df.filter(id =!= queryId), id, vec, q)
+    df.filter(id =!= queryId)
+      .select(id.as("vec_id"), toDouble(vec).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -50,18 +42,14 @@ object Similarity {
     */
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
                   queryId: Long, k: Int, bits: Int): DataFrame = {
-    graft.functions.ArrayDot.register(df.sparkSession)
-    import graft.functions.ArrayDot.{dot => adot}
+    ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"),
       signBucket(vec.cast("array<double>"), bits).as("bucket"))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
-      .withColumn("qnrm", sqrt(adot(col("qv"), col("qv"))))
     e.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
-      .select(col("vec_id"),
-        round(adot(col("v"), col("qv")) /
-          (sqrt(adot(col("v"), col("v"))) * col("qnrm")), 4).as("cos_sim"))
+      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -80,17 +68,17 @@ object Similarity {
     * bucket.
     *
     * Scale shape: the centroid table is tiny (labels x dims) and
-    * broadcast; assignment is a per-row argmax over C dots (linear scan,
-    * one window shuffle on vec_id — swap for groupBy max(struct) if C
-    * grows); the probe reads 1/C of the data in expectation. This is the
-    * standard IVF architecture: at 100 TB the assignment is written once
-    * at ingest (partitioned by bucket) and probes touch one partition.
+    * broadcast; assignment is a per-row argmax over C fused cosines
+    * (linear scan, one window shuffle on vec_id — swap for groupBy
+    * max(struct) if C grows); the probe reads 1/C of the data in
+    * expectation. This is the standard IVF architecture: at 100 TB the
+    * assignment is written once at ingest (partitioned by bucket) and
+    * probes touch one partition.
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, label: Column,
               queryId: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.ArrayDot.register(df.sparkSession)
-    import graft.functions.ArrayDot.{dot => adot}
+    ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
     val cents = e.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("lbl", "pos").agg(round(avg("x"), 6).as("c"))
@@ -98,22 +86,16 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("lbl").as("c_lbl"),
         transform(col("pc"), p => p.getField("c")).as("cv"))
-      .withColumn("cnrm", sqrt(adot(col("cv"), col("cv"))))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_lbl"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("sim", round(
-        adot(col("v"), col("cv")) /
-          (sqrt(adot(col("v"), col("v"))) * col("cnrm")), 4))
+      .withColumn("sim", round(cos(col("v"), col("cv")), 4))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("c_lbl").as("bucket"))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
-      .withColumn("qnrm", sqrt(adot(col("qv"), col("qv"))))
     assigned.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
-      .select(col("vec_id"),
-        round(adot(col("v"), col("qv")) /
-          (sqrt(adot(col("v"), col("v"))) * col("qnrm")), 4).as("cos_sim"))
+      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -19,6 +19,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce partitions when materializing CACHED plans too
+      // (default false pins cached shuffles at the static partition count
+      // — tiny cached iterables like the dedup-cluster graph would burn
+      // hundreds of empty tasks per iteration otherwise)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); must be set before the
       // FIRST read (warmup included) or the vectorized reader rejects it.

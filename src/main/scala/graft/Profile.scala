@@ -11,6 +11,11 @@ object Profile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce partitions when materializing CACHED plans too
+      // (default false pins cached shuffles at the static partition count
+      // — tiny cached iterables like the dedup-cluster graph would burn
+      // hundreds of empty tasks per iteration otherwise)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -46,6 +51,11 @@ object Profile {
     spark.catalog.clearCache()
     val q24 = SparkEntry.queries("q24_dedup_minhash_lsh")
     time("q24 full")(q24(spark, sfDir).write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+    val mhPairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+      n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 100)
+    time("pairs noop")(mhPairs.write.format("noop").mode("overwrite").save())
+    time("dupClusters total")(Dedup.dupClusters(mhPairs).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -14,6 +14,11 @@ object RunOne {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce partitions when materializing CACHED plans too
+      // (default false pins cached shuffles at the static partition count
+      // — tiny cached iterables like the dedup-cluster graph would burn
+      // hundreds of empty tasks per iteration otherwise)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",

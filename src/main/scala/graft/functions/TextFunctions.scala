@@ -98,12 +98,17 @@ object TextFunctions {
     * per document).
     */
   def winnowFingerprints(text: Column, n: Int, w: Int): Column = {
-    val hs = transform(wordGrams(words(text), n), g => hash60(g, 0))
-    val m = size(hs) - (w - 1)
-    val mins = (0 until w).map(i => slice(hs, lit(i + 1), m))
-      .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    when(size(hs) >= w, array_distinct(mins))
-      .otherwise(array().cast("array<bigint>"))
+    // The gram-hash array is BOUND once via the inner lambda (interpreted
+    // higher-order exprs do no common-subexpression elimination — naming
+    // it directly would re-run grams+md5 for each of the w slices).
+    val hsExpr = transform(wordGrams(words(text), n), g => hash60(g, 0))
+    element_at(transform(array(hsExpr), hs => {
+      val m = size(hs) - (w - 1)
+      val mins = (0 until w).map(i => slice(hs, lit(i + 1), m))
+        .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+      when(size(hs) >= w, array_distinct(mins))
+        .otherwise(array().cast("array<bigint>"))
+    }), 1)
   }
 
   /** Jaccard over two pre-distinct gram arrays: |A∩B| / (|A|+|B|-|A∩B|).

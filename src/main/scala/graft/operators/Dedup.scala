@@ -60,22 +60,26 @@ object Dedup {
     // iff the fixpoint is reached — one aggregate per iteration instead
     // of a join+filter+count.
     var prevSum = labelSum(labels)
-    var iters = 0
+    var rounds = 0
     var converged = false
-    while (!converged && iters < 50) {
+    def step(cur: DataFrame): DataFrame = {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(cur.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
+      cur.select(col("id"), col("label"))
         .union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
-        .cache()
+    }
+    while (!converged && rounds < 25) {
+      // two propagation hops per materialization: halves the per-round
+      // job overhead while the fixpoint (and its sum check) stay exact
+      val next = step(step(labels)).cache()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist()
       labels = next
-      iters += 1
+      rounds += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -451,6 +451,29 @@ object Relational {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin),
-      "SQL-text entry point over registered views (S4/S5 analogue)")
+      "SQL-text entry point over registered views (S4/S5 analogue)"),
+
+    // q41 — salted skew join: q11's fact-fact join rewritten with
+    // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
+    // right side replicated 8x). Salting is a physical rewrite only, so
+    // the oracle is the PLAIN join — identical rows out proves the
+    // technique is semantics-preserving.
+    Q("q41_skew_salted_join",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+        graft.operators.SkewJoin.salted(l, o, "l_orderkey",
+            col("l_linenumber"), buckets = 8)
+          .groupBy(col("l_orderkey").as("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      "salted skew join == plain join (physical rewrite, same rows)")
   )
 }

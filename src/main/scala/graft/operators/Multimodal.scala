@@ -61,4 +61,30 @@ object Multimodal {
     */
   def sampledFrameCount(nFrames: org.apache.spark.sql.Column, stride: Int) =
     floor((nFrames - 1) / stride) + 1
+
+  /** Resize stub: target dims clamped to the decoded (fake) source dims,
+    * aspect preserved by the caller's choice of box — the metadata
+    * contract a real resize kernel would fill. Deterministic, no codec.
+    */
+  def resizeStub(width: org.apache.spark.sql.Column,
+                 height: org.apache.spark.sql.Column,
+                 boxW: Int, boxH: Int): org.apache.spark.sql.Column =
+    struct(
+      least(width, lit(boxW)).as("out_w"),
+      least(height, lit(boxH)).as("out_h"),
+      (least(width, lit(boxW)) * least(height, lit(boxH))).as("out_pixels"))
+
+  /** Feature-extraction stub: a deterministic `dim`-dimensional float
+    * vector derived from the payload's md5 — the embedding a real
+    * vision/audio encoder would produce, with the exact Spark plumbing
+    * (binary in, array<double> out, per-row expression, no UDF) that a
+    * production encoder swap would keep. Values in [-1, 1]; replayable
+    * bit-for-bit in the DuckDB oracle.
+    */
+  def featureStub(payload: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.hash60
+    array((0 until dim).map { i =>
+      ((hash60(md5(payload), i) % 2001L) - 1000L).cast("double") / 1000.0
+    }: _*)
+  }
 }

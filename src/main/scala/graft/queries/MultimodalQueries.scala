@@ -35,6 +35,39 @@ object MultimodalQueries {
         |  CAST(floor(n_chars / 1000) + 1 AS BIGINT) AS n_frames,
         |  CAST(floor((floor(n_chars / 1000) + 1 - 1) / 10) + 1 AS BIGINT) AS n_sampled_frames
         |FROM documents ORDER BY doc_id""".stripMargin),
-      "binary payload + typed metadata + frame-sampling arithmetic")
+      "binary payload + typed metadata + frame-sampling arithmetic"),
+
+    // q42 — the multimodal -> embedding -> ANN integration: deterministic
+    // md5-derived feature vectors from binary payloads (the encoder
+    // stub), scored against doc 0's features with the fused ArrayCosine
+    // expression, top-10. The full path a media near-dup pipeline takes —
+    // decode seam -> feature extract -> similarity — with every stage
+    // oracle-replayable.
+    Q("q42_multimodal_feature_ann",
+      (s, d) => {
+        graft.functions.ArrayCosine.register(s)
+        val media = Multimodal.withPayload(
+          Tables(s, d, "documents").select("doc_id", "text"), "text")
+        val feats = media.select(col("doc_id"),
+          Multimodal.featureStub(col("payload"), dim = 8).as("f"))
+        val q = feats.filter(col("doc_id") === 0L).select(col("f").as("qf"))
+        feats.filter(col("doc_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("doc_id"),
+            round(graft.functions.ArrayCosine.cosine(col("f"), col("qf")), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 7), i ->
+        |      CAST((('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || md5(text)), 1, 15))::BIGINT
+        |            % 2001 - 1000) AS DOUBLE) / 1000.0) AS v
+        |  FROM documents),
+        |q AS (SELECT v AS qv FROM f WHERE doc_id = 0)
+        |SELECT doc_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |FROM f, q WHERE doc_id <> 0
+        |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin),
+      "payload -> md5-derived feature vector -> cosine top-k (encoder-stub ANN path)")
   )
 }

@@ -43,6 +43,24 @@ class MultimodalSpec extends SparkSpec {
       "width", "height", "n_frames"))
   }
 
+  test("resizeStub clamps to the target box and reports pixel count") {
+    import spark.implicits._
+    val r = Seq((800, 600), (100, 50)).toDF("w", "h")
+      .select(Multimodal.resizeStub(col("w"), col("h"), 640, 480).as("r"))
+      .select("r.out_w", "r.out_h", "r.out_pixels").collect()
+    assert((r(0).getInt(0), r(0).getInt(1), r(0).getInt(2)) === ((640, 480, 640 * 480)))
+    assert((r(1).getInt(0), r(1).getInt(1), r(1).getInt(2)) === ((100, 50, 5000)))
+  }
+
+  test("featureStub: deterministic unit-free vectors in [-1, 1]") {
+    val f = media.select(Multimodal.featureStub(col("payload"), 8).as("f"))
+      .select(explode(col("f"))).collect().map(_.getDouble(0))
+    assert(f.forall(x => x >= -1.0 && x <= 1.0))
+    val again = media.select(Multimodal.featureStub(col("payload"), 8).as("f"))
+      .select(explode(col("f"))).collect().map(_.getDouble(0))
+    assert(f.toSeq === again.toSeq)
+  }
+
   test("sampledFrameCount: every stride-th frame, at least one") {
     import spark.implicits._
     val got = Seq(1L, 9L, 10L, 11L, 95L).toDF("f")

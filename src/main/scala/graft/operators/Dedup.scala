@@ -47,9 +47,13 @@ object Dedup {
     * way (e.g. DuckDB's recursive CTE) must agree exactly.
     */
   def dupClusters(pairs: DataFrame): DataFrame = {
-    // undirected: both directions
+    // undirected (both directions) + self-loops: with (id, id) edges the
+    // propagation step is ONE join + ONE aggregation — no union branch
+    // needed to keep a node's own label in play.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(pairs.select(col("doc_a").as("src"), col("doc_a").as("dst")))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_b").as("dst")))
       .distinct().cache()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -62,14 +66,9 @@ object Dedup {
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    def step(cur: DataFrame): DataFrame = {
-      val viaNeighbor = edges
-        .join(cur.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
-      cur.select(col("id"), col("label"))
-        .union(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
-    }
+    def step(cur: DataFrame): DataFrame =
+      edges.join(cur.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("label"))
     while (!converged && rounds < 25) {
       // two propagation hops per materialization: halves the per-round
       // job overhead while the fixpoint (and its sum check) stay exact

@@ -46,6 +46,27 @@ class MicroBatchSpec extends SparkSpec {
     assert(n2 === ev.count()) // complete mode: full aggregate over both
   }
 
+  test("append-mode parquet sink emits only watermark-finalized windows, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = scratch("stream_pq_src"); val out = scratch("stream_pq_out")
+    val cp = scratch("stream_pq_cp")
+    val ev = eventsBatch
+    ev.write.mode("overwrite").parquet(src)
+    val q = MicroBatch.runToParquet(spark, src, ev.schema, out, cp,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+    val emitted = spark.read.parquet(out)
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
+    // append emits only windows the watermark finalized: a non-empty,
+    // exact subset of the batch answer (boundary windows stay pending)
+    assert(emitted.count() > 0)
+    assert(emitted.count() < batch.count())
+    assert(emitted.exceptAll(batch).count() === 0)
+  }
+
   test("reference cadences map to ProcessingTime triggers") {
     import org.apache.spark.sql.streaming.Trigger
     assert(MicroBatch.hourly === Trigger.ProcessingTime(3600000L))

@@ -55,8 +55,10 @@ object Dedup {
       .union(pairs.select(col("doc_a").as("src"), col("doc_a").as("dst")))
       .union(pairs.select(col("doc_b").as("src"), col("doc_b").as("dst")))
       .distinct().cache()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).cache()
     // Convergence check without a join: labels only ever DECREASE under

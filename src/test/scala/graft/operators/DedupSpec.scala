@@ -29,6 +29,12 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters on an empty pair set returns an empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dupClusters(empty).count() === 0)
+  }
+
   test("dupClusters converges on a cycle") {
     import spark.implicits._
     val pairs = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("doc_a", "doc_b")

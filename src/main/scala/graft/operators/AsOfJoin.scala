@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — enrich each left row with the most recent right row at
+  * or before its time, per key. Spark has no native asof operator; the
+  * scalable composition is the union+window pattern:
+  *
+  *   1. union both sides into (key, time, side, payload) rows
+  *   2. ONE shuffle: window partitioned by key, ordered by
+  *      (time, side, tiebreak) — right rows sort before left rows at
+  *      equal times, so matches are inclusive (right.time <= left.time)
+  *   3. last(payload, ignoreNulls) over the running frame carries the
+  *      latest right payload forward; keep only left rows
+  *
+  * No range-explosion (the naive t1 >= t2 theta-join is O(n·m) per
+  * key), no broadcast requirement, state = one payload per key per
+  * partition — the plan that survives both sides being huge, matching
+  * how a stream-stream temporal join would shard.
+  *
+  * Determinism contract: callers must ensure at most one right row per
+  * (key, time) (dedupe first) — otherwise "the" most recent row at a
+  * tied time is not well-defined in any engine.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (each row gets enriched)
+    * @param right     reference side (must be unique per (key, time))
+    * @param leftKey   join key on left;  @param rightKey on right
+    * @param leftTime  event time on left; @param rightTime on right
+    * @param payload   right-side columns to carry (renamed as given)
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: Column, rightKey: Column,
+           leftTime: Column, rightTime: Column,
+           payload: Seq[(Column, String)]): DataFrame = {
+    val pType = payloadType(right, payload)
+    val leftCols = left.columns.toSeq
+    val lAligned = left.select(
+      (Seq(leftKey.as("__k"), leftTime.as("__t"), lit(1).as("__side"),
+        lit(null).cast(pType).as("__p")) ++ leftCols.map(col)): _*)
+    val rAligned = right.select(
+      (Seq(rightKey.as("__k"), rightTime.as("__t"), lit(0).as("__side"),
+        struct(payload.map { case (c, n) => c.as(n) }: _*).as("__p")) ++
+        leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(n))): _*)
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rAligned.union(lAligned)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) :+ col("__match")): _*)
+  }
+
+  private def payloadType(right: DataFrame,
+                          payload: Seq[(Column, String)]): org.apache.spark.sql.types.DataType = {
+    // resolve payload column types from a zero-row projection
+    val probe = right.select(payload.map { case (c, n) => c.as(n) }: _*)
+    org.apache.spark.sql.types.StructType(probe.schema.fields)
+  }
+}

@@ -474,6 +474,46 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
-      "salted skew join == plain join (physical rewrite, same rows)")
+      "salted skew join == plain join (physical rewrite, same rows)"),
+
+    // q43 — AS-OF join (an operator Spark lacks; DuckDB has it natively,
+    // which makes the oracle independent): each event enriched with the
+    // user's most recent order at event time. Spark side = the
+    // union+window composition (one shuffle on the key, no range
+    // explosion); right side deduped to one order per (custkey, date)
+    // first so "most recent at a tied time" is well-defined in both
+    // engines.
+    Q("q43_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val latestPerDay = t(s, d, "orders")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val e = t(s, d, "events").select("event_id", "ts", "user_id")
+        graft.operators.AsOfJoin.asof(
+            e, latestPerDay,
+            leftKey = col("user_id"), rightKey = col("o_custkey"),
+            leftTime = col("ts"), rightTime = col("o_orderdate"),
+            payload = Seq(col("o_orderkey") -> "o_orderkey",
+              col("o_orderdate") -> "o_orderdate",
+              col("o_totalprice") -> "o_totalprice"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("__match.o_orderkey").as("o_orderkey"),
+            col("__match.o_orderdate").as("o_orderdate"),
+            col("__match.o_totalprice").as("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1),
+        |e AS (SELECT event_id, ts, user_id FROM events)
+        |SELECT e.event_id, e.ts, e.user_id,
+        |  o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin),
+      "as-of join: union+window composition vs DuckDB's native ASOF JOIN")
   )
 }

@@ -514,6 +514,72 @@ object Relational {
         |FROM e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY event_id""".stripMargin),
-      "as-of join: union+window composition vs DuckDB's native ASOF JOIN")
+      "as-of join: union+window composition vs DuckDB's native ASOF JOIN"),
+
+    // q44 — range (interval) join: for each event, the same user's other
+    // events in the preceding hour. Bucketized by the window length
+    // (each interval overlaps <=2 buckets -> equi-join on (key, bucket),
+    // exact predicate after) — never the per-key O(n*m) theta join.
+    Q("q44_range_join",
+      (s, d) => {
+        val e = t(s, d, "events").select("event_id", "ts", "user_id", "value")
+        val prior = e.select(col("event_id").as("prior_id"),
+          col("ts").as("prior_ts"), col("user_id").as("uid"),
+          col("value").as("prior_value"))
+        graft.operators.RangeJoin.withinAfter(
+            e, prior,
+            leftKey = col("user_id"), rightKey = col("uid"),
+            leftTime = col("ts"), rightTime = col("prior_ts"),
+            windowUs = 3600L * 1000000L)
+          .filter(col("prior_id") =!= col("event_id"))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_prior"),
+            round(sum("prior_value"), 4).as("prior_value_sum"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, count(*) AS n_prior,
+        |  round(sum(b.value), 4) AS prior_value_sum
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts <= a.ts AND a.ts < b.ts + INTERVAL 1 HOUR
+        |  AND b.event_id <> a.event_id
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin),
+      "bucketized interval self-join (prior events within 1h)"),
+
+    // q45 — pivot (wide aggregation): revenue matrix returnflag x
+    // linestatus. Same single-shuffle hash aggregate as a groupBy; the
+    // pivot values are declared so no extra distinct pass runs.
+    Q("q45_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "declared-values pivot == CASE aggregation"),
+
+    // q46 — exact interpolated percentiles per group (sort-based
+    // aggregate; both engines use linear interpolation).
+    Q("q46_percentiles",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "exact interpolated percentiles per group")
   )
 }

@@ -48,6 +48,16 @@ class IngestSpec extends SparkSpec {
     assert(raw.count() === 2)
   }
 
+  test("corrupt or schema-less JSON responses degrade to zero rows, not errors") {
+    val ts = Timestamp.from(Instant.parse("2026-02-01T00:00:00Z"))
+    val raw = Ingest.extract(spark, Seq(
+      json(Chan(1, "A#B", 1, 5.0), 1), // one good response
+      "{ this is not json",            // syntactically corrupt
+      """{"kind": "other#thing"}"""),  // valid JSON, no items array
+      ts)
+    assert(raw.count() === 1) // load-tolerant: only the good item lands
+  }
+
   test("extract keeps the flattened raw surface (FIXTURES A.2)") {
     val ts = Timestamp.from(Instant.parse("2026-02-01T00:00:00Z"))
     val raw = Ingest.extract(spark, Seq(json(Chan(3, "E#F", 3, 1.0), 2)), ts)

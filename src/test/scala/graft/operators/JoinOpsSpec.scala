@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Boundary semantics of the time-join operators — the cases an oracle
+  * over bulk data may never isolate.
+  */
+class JoinOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof: ties are inclusive, earlier rows win over nothing, no-match is null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // exact tie with right row
+      (2L, 10L, ts("2024-01-01 11:30:00")),  // after both right rows
+      (3L, 20L, ts("2024-01-01 09:00:00"))   // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "a"),
+      (10L, ts("2024-01-01 11:00:00"), "b")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOfJoin.asof(left, right,
+        leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"),
+        payload = Seq(col("tag") -> "tag"))
+      .select(col("id"), col("__match.tag").as("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out === Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+  }
+
+  test("range join: window start inclusive, end exclusive, bucket boundary crossed") {
+    import spark.implicits._
+    val w = 3600L * 1000000L // 1 hour
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:59:59")), // 59:59 after right row -> in
+      (2L, 1L, ts("2024-01-01 11:00:00")), // exactly 1h after -> out
+      (3L, 1L, ts("2024-01-01 10:00:00"))  // simultaneous -> in
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 42L))
+      .toDF("rk", "rt", "tag")
+    val out = RangeJoin.withinAfter(left, right,
+        leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"), windowUs = w)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(1L, 3L))
+  }
+
+  test("range join bucketization finds matches across a bucket boundary") {
+    import spark.implicits._
+    val w = 3600L * 1000000L
+    // right at 10:30, left at 11:15: different 1h-buckets, within window
+    val left = Seq((1L, 1L, ts("2024-01-01 11:15:00"))).toDF("id", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 10:30:00"), 7L)).toDF("rk", "rt", "tag")
+    val out = RangeJoin.withinAfter(left, right,
+      leftKey = col("k"), rightKey = col("rk"),
+      leftTime = col("t"), rightTime = col("rt"), windowUs = w)
+    assert(out.count() === 1)
+  }
+
+  test("GraftExtensions injects both native functions; SQL text resolves them") {
+    // injection point: a fresh extensions object accepts both functions
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must inject without error
+    // resolution path: the registered function is callable from SQL text
+    val s2 = spark.newSession()
+    graft.functions.ArrayCosine.register(s2)
+    graft.functions.ArrayDot.register(s2)
+    val row = s2.sql(
+      """SELECT graft_array_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       graft_array_dot(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS d""".stripMargin)
+      .head()
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getDouble(1) === 23.0)
+  }
+}

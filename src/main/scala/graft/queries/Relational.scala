@@ -580,6 +580,37 @@ object Relational {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-      "exact interpolated percentiles per group")
+      "exact interpolated percentiles per group"),
+
+    // q47 — CUBE grouping sets (rollup's sibling, all 2^k subtotal
+    // combinations in one shuffle).
+    Q("q47_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+      "CUBE grouping sets"),
+
+    // q48 — custom typed Aggregator (the UDAF surface): geometric mean
+    // of positive balances per segment. Constant-size (Σ ln x, n)
+    // buffer -> map-side partial agg like any built-in; the oracle
+    // replays the same math as exp(avg(ln x)).
+    Q("q48_custom_aggregator",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(round(graft.functions.GeoMean.column(col("c_acctbal")), 4).as("geo_mean_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+        |  round(exp(avg(ln(c_acctbal))), 4) AS geo_mean_bal,
+        |  count(*) AS n
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      "custom Aggregator (geometric mean) == exp(avg(ln x)) oracle")
   )
 }

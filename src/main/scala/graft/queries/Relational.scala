@@ -611,6 +611,30 @@ object Relational {
         |  count(*) AS n
         |FROM customer WHERE c_acctbal > 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-      "custom Aggregator (geometric mean) == exp(avg(ln x)) oracle")
+      "custom Aggregator (geometric mean) == exp(avg(ln x)) oracle"),
+
+    // q49 — top-k per group (rank + filter): the 3 highest-value orders
+    // per order priority. One shuffle on the partition key; the rank
+    // filter prunes before any downstream work (no global sort of the
+    // full table).
+    Q("q49_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_orderpriority"), col("rk").cast("int").as("rk"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderpriority", "rk")
+      },
+      Some("""SELECT o_orderpriority,
+        |  CAST(row_number() OVER w AS INTEGER) AS rk, o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin),
+      "top-k per group via rank window + filter")
   )
 }

@@ -46,6 +46,17 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("GeoMean: ignores non-positive inputs, NaN on empty, matches exp(avg(ln))") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val df = Seq(("a", 2.0), ("a", 8.0), ("a", -1.0), ("b", -5.0))
+      .toDF("k", "x")
+    val got = df.groupBy("k").agg(GeoMean.column(col("x")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 4.0) < 1e-12) // sqrt(2*8), -1 ignored
+    assert(got("b").isNaN)                   // no positive inputs
+  }
+
   test("expressions survive whole-stage codegen (no fallback in the plan)") {
     val df = vecs.as("a").crossJoin(vecs.as("b"))
       .select(ArrayCosine.cosine(col("a.v"), col("b.v")).as("c"))

@@ -60,7 +60,26 @@ object Lake {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("channel_key=") =>
-        java.net.URLDecoder.decode(n.stripPrefix("channel_key="), "UTF-8") }
+        unescapePartitionValue(n.stripPrefix("channel_key=")) }
       .sorted
+  }
+
+  /** Hive partition-dir unescape: %XX sequences only. (URLDecoder would
+    * additionally turn a literal '+' into a space — Hive never
+    * plus-encodes, so that corrupts keys containing '+'.)
+    */
+  private[lake] def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -34,6 +34,23 @@ class LakeWarehouseSpec extends SparkSpec {
     assert(one.select("title").distinct().count() === 1)
   }
 
+  test("channel discovery round-trips Hive-escaped and plus-containing keys") {
+    import spark.implicits._
+    val lake = scratch("lake_escape")
+    // '#' is %-escaped in partition dirs; '+' is NOT and must survive
+    val weird = Seq(("A#B", "u", "2020-01-01T00:00:00Z", "url", "C1",
+        "1", "2", "3"))
+      .toDF("title", "customUrl", "publishedAt", "url", "country",
+        "viewCount", "subscriberCount", "videoCount")
+    Lake.appendBatch(weird, lake)
+    Lake.appendBatch(weird.withColumn("title",
+      org.apache.spark.sql.functions.lit("X+Y Z")), lake)
+    assert(Lake.channels(spark, lake) === Seq("A#B", "X+Y_Z"))
+    assert(Lake.unescapePartitionValue("A%23B") === "A#B")
+    assert(Lake.unescapePartitionValue("X+Y") === "X+Y")
+    assert(Lake.unescapePartitionValue("100%") === "100%")
+  }
+
   test("CSV lake variant roundtrips with header + inferred schema") {
     val lake = scratch("lake_csv")
     Lake.appendBatchCsv(batch(ts1, 1), lake)

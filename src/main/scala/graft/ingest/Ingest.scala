@@ -18,7 +18,8 @@ import graft.model.Schemas
   */
 object Ingest {
 
-  private val dropCols =
+  /** API housekeeping columns removed after flatten (P4, extract.py:113). */
+  val dropCols: Seq[String] =
     Seq("kind", "description", "etag", "id", "topicIds", "topicCategories")
 
   /** Response-string column -> exploded item rows (streaming-capable:

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @param windowUs interval length in microseconds */
+  /** @param windowUs interval length in microseconds
+    * @note left and right must not share column names (rename the right
+    *       side first, as a self-join caller would anyway) — the output
+    *       carries both sides' columns verbatim.
+    */
   def withinAfter(left: DataFrame, right: DataFrame,
                   leftKey: Column, rightKey: Column,
                   leftTime: Column, rightTime: Column,

@@ -128,7 +128,7 @@ object Pipeline {
       .option("wholetext", "true").text(jsonDir)
     val items = Ingest.itemsOf(responses)
     val flat = graft.ingest.Flatten.loopdict(items)
-      .drop("kind", "description", "etag", "id", "topicIds", "topicCategories")
+      .drop(Ingest.dropCols: _*)
     flat.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>

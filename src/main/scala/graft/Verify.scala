@@ -17,7 +17,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // q35's warehouse tables land here, not in the repo working dir.
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        graft.util.TmpDirs.perProcess("graft_warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

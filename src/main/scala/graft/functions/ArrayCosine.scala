@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * DuckDB's list functions, and combines as dot/(sqrt(na)*sqrt(nb)) —
   * the same operand values and operation order as the composed form, so
   * oracle hash-matches are unaffected.
+  *
+  * Malformed-input contract: mismatched array lengths yield NULL (DuckDB's
+  * list_cosine_similarity errors there — either way the bad row is
+  * surfaced, never silently truncated); a zero vector yields NaN
+  * (0/0, same as the composed dot/norm form).
   */
 case class ArrayCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -24,11 +29,14 @@ case class ArrayCosine(left: Expression, right: Expression)
   // Inputs must already be array<double> — call sites cast explicitly.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_array_cosine"
+  // NULL on length mismatch even when both inputs are non-nullable
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -42,17 +50,21 @@ case class ArrayCosine(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graftCosN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftCosS = 0.0; double graftCosA = 0.0; double graftCosB = 0.0;
-         |for (int graftCosI = 0; graftCosI < graftCosN; graftCosI++) {
-         |  double graftCosX = $a.getDouble(graftCosI);
-         |  double graftCosY = $b.getDouble(graftCosI);
-         |  graftCosS += graftCosX * graftCosY;
-         |  graftCosA += graftCosX * graftCosX;
-         |  graftCosB += graftCosY * graftCosY;
+         |int graftCosN = $a.numElements();
+         |if ($b.numElements() != graftCosN) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double graftCosS = 0.0; double graftCosA = 0.0; double graftCosB = 0.0;
+         |  for (int graftCosI = 0; graftCosI < graftCosN; graftCosI++) {
+         |    double graftCosX = $a.getDouble(graftCosI);
+         |    double graftCosY = $b.getDouble(graftCosI);
+         |    graftCosS += graftCosX * graftCosY;
+         |    graftCosA += graftCosX * graftCosX;
+         |    graftCosB += graftCosY * graftCosY;
+         |  }
+         |  ${ev.value} = graftCosS /
+         |    (java.lang.Math.sqrt(graftCosA) * java.lang.Math.sqrt(graftCosB));
          |}
-         |${ev.value} = graftCosS /
-         |  (java.lang.Math.sqrt(graftCosA) * java.lang.Math.sqrt(graftCosB));
        """.stripMargin)
 
   override protected def withNewChildrenInternal(

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Accumulation order is left-to-right over elements, matching both the
   * HOF formulation and DuckDB's list functions, so oracle results are
-  * unchanged.
+  * unchanged. Mismatched array lengths yield NULL (same contract as
+  * ArrayCosine) — the bad row is surfaced, never silently truncated.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,11 +28,14 @@ case class ArrayDot(left: Expression, right: Expression)
   // (toDouble), so no implicit-coercion contract is needed here.
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_array_dot"
+  // NULL on length mismatch even when both inputs are non-nullable
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -41,12 +45,16 @@ case class ArrayDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graftDotN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftDotS = 0.0;
-         |for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
-         |  graftDotS += $a.getDouble(graftDotI) * $b.getDouble(graftDotI);
+         |int graftDotN = $a.numElements();
+         |if ($b.numElements() != graftDotN) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double graftDotS = 0.0;
+         |  for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
+         |    graftDotS += $a.getDouble(graftDotI) * $b.getDouble(graftDotI);
+         |  }
+         |  ${ev.value} = graftDotS;
          |}
-         |${ev.value} = graftDotS;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(

@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   * Determinism contract: callers must ensure at most one right row per
   * (key, time) (dedupe first) — otherwise "the" most recent row at a
   * tied time is not well-defined in any engine.
+  *
+  * Column contract (like RangeJoin's): the names `__k`, `__t`, `__side`,
+  * `__p`, `__match` are reserved for the internal union layout — a left
+  * DataFrame (or payload alias) using any of them is rejected up front,
+  * since the positional union would silently misalign otherwise. Output =
+  * every left column unchanged + `__match` (struct of the payload fields,
+  * null when no right row at or before the left time).
   */
 object AsOfJoin {
+
+  private val reserved = Set("__k", "__t", "__side", "__p", "__match")
 
   /** @param left      probe side (each row gets enriched)
     * @param right     reference side (must be unique per (key, time))
@@ -36,6 +45,9 @@ object AsOfJoin {
            leftKey: Column, rightKey: Column,
            leftTime: Column, rightTime: Column,
            payload: Seq[(Column, String)]): DataFrame = {
+    val clashes = (left.columns.toSet ++ payload.map(_._2)) & reserved
+    require(clashes.isEmpty,
+      s"asof reserves ${reserved.mkString(", ")} internally; rename: ${clashes.mkString(", ")}")
     val pType = payloadType(right, payload)
     val leftCols = left.columns.toSeq
     val lAligned = left.select(

@@ -33,27 +33,46 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise similarity into dedup decisions (keep one doc per
-    * component). Input: (doc_a, doc_b) edges; output: (doc_id,
-    * cluster_id) for every endpoint, cluster_id = min doc_id in the
-    * component.
+    * component). Input: (doc_a, doc_b) edges with integral (long) ids;
+    * output: (doc_id, cluster_id) for every endpoint, cluster_id = min
+    * doc_id in the component.
     *
-    * Algorithm: Pregel-style min-label propagation — each iteration
-    * joins labels to edges, takes the per-node min of own + neighbor
-    * labels, and stops when no label changed. Iterations = graph
-    * diameter (near-dup graphs are short chains/cliques, so single
-    * digits); each iteration is one shuffle join + one aggregation, all
-    * distributed — the driver only checks the convergence count. The
-    * result is the unique fixpoint, so an engine replaying it any other
-    * way (e.g. DuckDB's recursive CTE) must agree exactly.
+    * Two physical strategies behind one exact semantics (the unique
+    * min-label fixpoint, so DuckDB's recursive CTE must agree either way):
+    *
+    *  - **small graph (≤ `localEdgeLimit` distinct undirected edges)**:
+    *    collect the edge list and run union-find on the driver. The
+    *    verified near-dup pair graph is orders of magnitude smaller than
+    *    the corpus (it only contains documents that HAVE a near-dup), so
+    *    even a 100 TB corpus commonly yields a graph that fits in tens of
+    *    MB — and one collect beats paying a full shuffle join per
+    *    propagation hop. Same reasoning as a broadcast join: bounded
+    *    driver data in exchange for eliminating iteration shuffles.
+    *  - **large graph**: Pregel-style min-label propagation — each
+    *    iteration joins labels to edges and takes the per-node min of
+    *    own + neighbor labels; iterations = graph diameter (near-dup
+    *    graphs are short chains/cliques, so single digits); each
+    *    iteration is one shuffle join + one aggregation, all distributed
+    *    — the driver only checks the convergence count.
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
-    // undirected (both directions) + self-loops: with (id, id) edges the
-    // propagation step is ONE join + ONE aggregation — no union branch
-    // needed to keep a node's own label in play.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .union(pairs.select(col("doc_a").as("src"), col("doc_a").as("dst")))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_b").as("dst")))
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 25,
+                  localEdgeLimit: Long = 4L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // Undirected distinct edge list: shared by both strategies, cached
+    // because the size probe (count) and the chosen strategy both scan
+    // it — without the cache the (expensive) upstream pair computation
+    // would run twice. Released by the runner's clearCache().
+    val und = pairs.select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .distinct().cache()
+    if (und.count() <= localEdgeLimit) return localClusters(spark, und)
+    // both directions + self-loops: with (id, id) edges the propagation
+    // step is ONE join + ONE aggregation — no union branch needed to
+    // keep a node's own label in play.
+    val edges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .union(und.select(col("src"), col("src").as("dst")))
+      .union(und.select(col("dst").as("src"), col("dst")))
       .distinct().cache()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -71,7 +90,7 @@ object Dedup {
     def step(cur: DataFrame): DataFrame =
       edges.join(cur.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("label"))
-    while (!converged && rounds < 25) {
+    while (!converged && rounds < maxRounds) {
       // two propagation hops per materialization: halves the per-round
       // job overhead while the fixpoint (and its sum check) stay exact
       val next = step(step(labels)).cache()
@@ -82,7 +101,40 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // The fixpoint guarantee (and oracle agreement) only holds if we
+    // actually converged — a graph with diameter > 50 hops must fail
+    // loudly, never return partially-propagated labels.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $rounds rounds (graph diameter > ${2 * rounds} hops)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side union-find over a collected (bounded) edge list; same
+    * min-label fixpoint as the distributed loop, exact and rounds-free.
+    */
+  private def localClusters(spark: org.apache.spark.sql.SparkSession,
+                            und: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    und.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      nodes(a) = (); nodes(b) = ()
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // relabel every component to its min member (union-by-min above
+    // keeps roots minimal, so find() IS the min label)
+    val out = nodes.keysIterator.map(id => (id, find(id))).toSeq
+    out.toDF("doc_id", "cluster_id")
   }
 
   /** (doc_id, grams) pairs with non-empty distinct gram sets. */

@@ -24,7 +24,7 @@ object PipelineQueries {
 
   private def q35(s: SparkSession, d: String): DataFrame = {
     val conf = Pipeline.Config(
-      lakePath = s"${System.getProperty("java.io.tmpdir")}/graft_q35_lake")
+      lakePath = graft.util.TmpDirs.perProcess("graft_q35_lake"))
     Pipeline.run(s, SyntheticChannels.batches(s, d), conf)
       .orderBy("title", "timestamp")
   }

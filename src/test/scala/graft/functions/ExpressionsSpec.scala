@@ -46,6 +46,21 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("ArrayDot/ArrayCosine: mismatched lengths yield NULL, never a truncated value") {
+    import spark.implicits._
+    ArrayDot.register(spark)
+    ArrayCosine.register(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),
+                 (Array(1.0, 2.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(ArrayDot.dot(col("a"), col("b")).as("d"),
+        ArrayCosine.cosine(col("a"), col("b")).as("c"))
+      .collect()
+    assert(df(0).isNullAt(0) && df(0).isNullAt(1)) // 3 vs 2 elements
+    assert(df(1).getDouble(0) === 5.0)
+    assert(math.abs(df(1).getDouble(1) - 1.0) < 1e-12) // 5/(√5·√5) in fp
+  }
+
   test("GeoMean: ignores non-positive inputs, NaN on empty, matches exp(avg(ln))") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._

@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
     assert(got === Array(5L))
   }
 
+  test("dupClusters fails loudly when the round cap is hit before the fixpoint") {
+    import spark.implicits._
+    // 12-node path: diameter 11 > the 4 hops that maxRounds=2 allows;
+    // localEdgeLimit=0 forces the distributed loop (the local union-find
+    // has no round cap)
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, maxRounds = 2, localEdgeLimit = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("dupClusters: distributed loop and local union-find agree exactly") {
+    import spark.implicits._
+    // chains, a cycle, an isolated pair, overlapping cliques
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.dupClusters(pairs, localEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local(23L) === 20L && local(7L) === 5L && local(11L) === 10L)
+  }
+
   test("ngramJaccard finds near-identical docs and respects the threshold") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog",

@@ -31,6 +31,23 @@ class JoinOpsSpec extends SparkSpec {
     assert(out === Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
   }
 
+  test("asof rejects left/payload columns that collide with reserved __ names") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "__match")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), "a")).toDF("rk", "rt", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, col("k"), col("rk"), col("t"), col("rt"),
+        payload = Seq(col("tag") -> "tag"))
+    }
+    assert(e.getMessage.contains("__match"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left.withColumnRenamed("__match", "m"), right,
+        col("k"), col("rk"), col("t"), col("rt"),
+        payload = Seq(col("tag") -> "__p"))
+    }
+    assert(e2.getMessage.contains("__p"))
+  }
+
   test("range join: window start inclusive, end exclusive, bucket boundary crossed") {
     import spark.implicits._
     val w = 3600L * 1000000L // 1 hour

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for a training-data pipeline: rule-based
+  * quality filtering (Gopher-style), token-window chunking (sequence
+  * packing), deterministic hash-stratified sampling (data mixing), and
+  * pattern scrubbing (PII redaction).
+  *
+  * All per-row expression work over `org.apache.spark.sql.functions` —
+  * shuffle-free, linear, and replayable bit-for-bit by the DuckDB
+  * oracles. The only nonlinear step anywhere is the caller's final sort.
+  */
+object Curation {
+
+  /** Gopher-style quality signals + keep decision (rule thresholds are
+    * parameters; the published heuristics gate on word count, mean word
+    * length, alphabetic-word fraction, and a minimum stop-word hit
+    * count). Emits the signals alongside `keep` so downstream can audit
+    * WHY a document was dropped — a filter that only returns survivors
+    * makes corpus debugging impossible at 100 TB.
+    */
+  def qualitySignals(df: DataFrame, id: Column, text: Column,
+                     stopwords: Seq[String],
+                     minWords: Int, maxWords: Int,
+                     minMeanLen: Double, maxMeanLen: Double,
+                     minAlphaFrac: Double, minStopHits: Int): DataFrame = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val meanLen = aggregate(transform(ws, w => length(w)), lit(0),
+      (acc, x) => acc + x).cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") /
+      nWords.cast("double")
+    val stopHits = size(filter(ws, w => w.isin(stopwords: _*)))
+    df.select(
+      id.as("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        round(meanLen, 4).between(minMeanLen, maxMeanLen) &&
+        round(alphaFrac, 4) >= minAlphaFrac &&
+        stopHits >= minStopHits).as("keep"))
+  }
+
+  /** Token-window chunking: split each document into windows of
+    * `chunkSize` whitespace tokens, starting every `chunkSize - overlap`
+    * tokens. A tail window that would contribute no new tokens (i.e. it
+    * lies entirely inside the previous window's overlap) is dropped.
+    * Emits (doc_id, chunk_start [1-based token index], n_tokens, fp =
+    * md5 of the space-joined window) — the shape a sequence-packing
+    * stage consumes. Pure per-row explode: no shuffle, output rows ≈
+    * corpus tokens / stride.
+    */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    val ws = words(text)
+    val n = size(ws)
+    val starts = filter(sequence(lit(1), greatest(n, lit(1)), lit(stride)),
+      s => s === lit(1) || s + lit(overlap) <= n)
+    df.select(id.as("doc_id"), ws.as("ws"), explode(starts).as("chunk_start"))
+      .select(
+        col("doc_id"), col("chunk_start"),
+        size(slice(col("ws"), col("chunk_start"), chunkSize)).as("n_tokens"),
+        md5(array_join(slice(col("ws"), col("chunk_start"), chunkSize), " "))
+          .as("fp"))
+  }
+
+  /** Deterministic hash-stratified sampling for data mixing: keep a row
+    * iff md5-hash(id) mod 1000 < the per-mille rate of its stratum.
+    * Hash-gated (not `TABLESAMPLE`/rand()) so the sample is stable
+    * across runs, engines, and partitionings — re-running the pipeline
+    * reproduces the identical corpus, and adding data never flips the
+    * decision for existing rows. Per-row filter, no shuffle.
+    */
+  def hashStratifiedSample(df: DataFrame, strata: Column, id: Column,
+                           ratesPerMille: Map[String, Int],
+                           defaultPerMille: Int, seed: Int): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, r)) => when(strata === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(hash60(id.cast("string"), seed) % 1000 < rate)
+  }
+
+  /** Pattern scrubbing (PII redaction shape): replace every match of
+    * `pattern` with `token`, and report how many matches were scrubbed
+    * per row so a downstream audit can spot anomalous densities. The
+    * regex subset used by callers sticks to character classes +
+    * quantifiers, which mean the same thing in Java regex and RE2, so
+    * the DuckDB oracle replays it verbatim.
+    */
+  def redact(c: Column, pattern: String, token: String): (Column, Column) =
+    (regexp_replace(c, pattern, token),
+      size(regexp_extract_all(c, lit(pattern), lit(0))))
+
+  /** Email/phone PII patterns — valid and identical in Java regex and
+    * RE2 (character classes and bounded quantifiers only).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+}

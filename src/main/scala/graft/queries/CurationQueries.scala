@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.util.Tables
+
+/** Corpus-curation pack: the operations that sit between raw ingested
+  * text and a training run — rule-based quality filtering, token-window
+  * chunking (sequence packing), deterministic stratified sampling for
+  * data mixing, pattern scrubbing, and an accuracy-audited approximate
+  * distinct. Every query is per-row expression work until its final
+  * deterministic sort, so each scales linearly with the corpus.
+  */
+object CurationQueries {
+
+  private val stopwords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  // the words() tokenization as DuckDB SQL (shared by q50/q51 oracles)
+  private val wsSql =
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+  val qs: Seq[Q] = Seq(
+
+    // q50 — Gopher-style rule filter. The signals are emitted alongside
+    // the keep flag so a corpus audit can see WHY a document dropped.
+    Q("q50_quality_filter",
+      (s, d) => Curation.qualitySignals(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), stopwords,
+          minWords = 30, maxWords = 5000,
+          minMeanLen = 3.0, maxMeanLen = 10.0,
+          minAlphaFrac = 0.8, minStopHits = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS INTEGER) AS n_words,
+        |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |        / len(ws), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |        AS DOUBLE) / len(ws), 4) AS alpha_frac,
+        |  CAST(len(list_filter(ws, w -> w IN ($stopList))) AS INTEGER)
+        |    AS stop_hits
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+        |  (n_words BETWEEN 30 AND 5000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+      "Gopher-style quality filter chain with audit signals"),
+
+    // q51 — token-window chunking (32-token windows, 8-token overlap).
+    Q("q51_token_chunks",
+      (s, d) => Curation.chunkTokens(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_start"),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, len(ws) AS n,
+        |  unnest(generate_series(1, greatest(len(ws), 1), 24)) AS cs
+        |  FROM w)
+        |SELECT doc_id, CAST(cs AS INTEGER) AS chunk_start,
+        |  CAST(len(list_slice(ws, cs, cs + 31)) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(list_slice(ws, cs, cs + 31), ' ')) AS fp
+        |FROM s WHERE cs = 1 OR cs + 8 <= n
+        |ORDER BY doc_id, chunk_start""".stripMargin),
+      "sequence-packing chunker: 32-token windows, stride 24"),
+
+    // q52 — deterministic hash-stratified sampling (data mixing):
+    // downsample en to 10%, upsample zh to 30%, 20% elsewhere.
+    Q("q52_stratified_sample",
+      (s, d) => Curation.hashStratifiedSample(Tables(s, d, "documents"),
+          col("lang"), col("doc_id"),
+          ratesPerMille = Map("en" -> 100, "zh" -> 300),
+          defaultPerMille = 200, seed = 7)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |  % 1000 < CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 300 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin),
+      "hash-gated per-language sampling, stable across runs and engines"),
+
+    // q53 — pattern scrubbing over the events payload (digit runs stand
+    // in for PII ids; the email/phone patterns are unit-tested).
+    Q("q53_pii_redaction",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val (red, cnt) = Curation.redact(ev.col("props"), "[0-9]+", "<NUM>")
+        ev.select(col("event_id"), red.as("props_redacted"),
+          cnt.as("n_redacted")).orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin),
+      "regex scrubbing with per-row match audit counts"),
+
+    // q54 — HLL approximate distinct, audited against the exact count:
+    // the query itself PROVES the sketch is within 10% (the flag is
+    // computed from both), so the oracle can assert TRUE.
+    Q("q54_approx_distinct",
+      (s, d) => Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx") - col("n_users")) <=
+            col("n_users") * 0.1).as("approx_ok"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "HLL distinct sketch with an in-query exactness audit")
+  )
+}

@@ -24,7 +24,8 @@ final case class Q(
 object QueryPack {
   lazy val all: Seq[Q] =
     Relational.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
-      TextQueries.qs ++ MultimodalQueries.qs ++ PipelineQueries.qs
+      TextQueries.qs ++ MultimodalQueries.qs ++ PipelineQueries.qs ++
+      CurationQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -66,8 +66,8 @@ object Curation {
     df.select(id.as("doc_id"), ws.as("ws"), explode(starts).as("chunk_start"))
       .select(
         col("doc_id"), col("chunk_start"),
-        size(slice(col("ws"), col("chunk_start"), chunkSize)).as("n_tokens"),
-        md5(array_join(slice(col("ws"), col("chunk_start"), chunkSize), " "))
+        size(slice(col("ws"), col("chunk_start"), lit(chunkSize))).as("n_tokens"),
+        md5(array_join(slice(col("ws"), col("chunk_start"), lit(chunkSize)), " "))
           .as("fp"))
   }
 

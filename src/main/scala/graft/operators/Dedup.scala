@@ -47,7 +47,11 @@ object Dedup {
     *    even a 100 TB corpus commonly yields a graph that fits in tens of
     *    MB — and one collect beats paying a full shuffle join per
     *    propagation hop. Same reasoning as a broadcast join: bounded
-    *    driver data in exchange for eliminating iteration shuffles.
+    *    driver data in exchange for eliminating iteration shuffles. The
+    *    collect is primitive tuples (1M edges = 16 MB of longs plus
+    *    tuple boxes), never generic Rows, and the default cap keeps the
+    *    driver-heap worst case well under the propagation loop's cost
+    *    crossover.
     *  - **large graph**: Pregel-style min-label propagation — each
     *    iteration joins labels to edges and takes the per-node min of
     *    own + neighbor labels; iterations = graph diameter (near-dup
@@ -56,7 +60,7 @@ object Dedup {
     *    — the driver only checks the convergence count.
     */
   def dupClusters(pairs: DataFrame, maxRounds: Int = 25,
-                  localEdgeLimit: Long = 4L << 20): DataFrame = {
+                  localEdgeLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // Undirected distinct edge list: shared by both strategies, cached
     // because the size probe (count) and the chosen strategy both scan
@@ -125,8 +129,9 @@ object Dedup {
       r
     }
     val nodes = scala.collection.mutable.LongMap.empty[Unit]
-    und.collect().foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
+    // primitive-tuple collect: ~32 bytes/edge vs hundreds for a generic
+    // InternalRow-backed Row — keeps the 1M-edge cap to tens of MB heap
+    und.as[(Long, Long)].collect().foreach { case (a, b) =>
       nodes(a) = (); nodes(b) = ()
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)

@@ -21,6 +21,13 @@ object CurationQueries {
   private val wsSql =
     "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
 
+  // q51 chunking parameters — single source of truth for BOTH the Spark
+  // call and the oracle SQL (interpolated below), so the two sides
+  // cannot drift.
+  private val chunkSize = 32
+  private val overlap = 8
+  private val stride = chunkSize - overlap
+
   val qs: Seq[Q] = Seq(
 
     // q50 — Gopher-style rule filter. The signals are emitted alongside
@@ -49,21 +56,22 @@ object CurationQueries {
         |FROM m ORDER BY doc_id""".stripMargin),
       "Gopher-style quality filter chain with audit signals"),
 
-    // q51 — token-window chunking (32-token windows, 8-token overlap).
+    // q51 — token-window chunking ($chunkSize-token windows, $overlap
+    // overlap); the oracle inlines the SAME Scala constants.
     Q("q51_token_chunks",
       (s, d) => Curation.chunkTokens(Tables(s, d, "documents"),
-          col("doc_id"), col("text"), chunkSize = 32, overlap = 8)
+          col("doc_id"), col("text"), chunkSize = chunkSize, overlap = overlap)
         .orderBy("doc_id", "chunk_start"),
       Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
         |s AS (SELECT doc_id, ws, len(ws) AS n,
-        |  unnest(generate_series(1, greatest(len(ws), 1), 24)) AS cs
+        |  unnest(generate_series(1, greatest(len(ws), 1), $stride)) AS cs
         |  FROM w)
         |SELECT doc_id, CAST(cs AS INTEGER) AS chunk_start,
-        |  CAST(len(list_slice(ws, cs, cs + 31)) AS INTEGER) AS n_tokens,
-        |  md5(array_to_string(list_slice(ws, cs, cs + 31), ' ')) AS fp
-        |FROM s WHERE cs = 1 OR cs + 8 <= n
+        |  CAST(len(list_slice(ws, cs, cs + ${chunkSize - 1})) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(list_slice(ws, cs, cs + ${chunkSize - 1}), ' ')) AS fp
+        |FROM s WHERE cs = 1 OR cs + $overlap <= n
         |ORDER BY doc_id, chunk_start""".stripMargin),
-      "sequence-packing chunker: 32-token windows, stride 24"),
+      s"sequence-packing chunker: $chunkSize-token windows, stride $stride"),
 
     // q52 — deterministic hash-stratified sampling (data mixing):
     // downsample en to 10%, upsample zh to 30%, 20% elsewhere.
@@ -110,6 +118,47 @@ object CurationQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "HLL distinct sketch with an in-query exactness audit")
+      "HLL distinct sketch with an in-query exactness audit"),
+
+    // q56 — email + phone redaction using the shared PII patterns
+    // (Curation.emailPattern / phonePattern — interpolated into the
+    // oracle from the same constants, one source of truth). The contact
+    // strings are derived deterministically from `customer` on BOTH
+    // sides so the oracle replays the exact input. Email is scrubbed
+    // first (its local-part digits must not be double-counted as phone
+    // digits); counts audit each stage like q53.
+    Q("q56_pii_email_phone",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val raw = concat(lit("reach "), col("c_name"), lit(" at user"),
+          col("c_custkey").cast("string"), lit("@mail."),
+          lower(col("c_mktsegment")), lit(".com or call +155500"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" today"))
+        val (noEmail, nEmails) =
+          Curation.redact(raw, Curation.emailPattern, "<EMAIL>")
+        val (redacted, nPhones) =
+          Curation.redact(noEmail, Curation.phonePattern, "<PHONE>")
+        c.select(col("c_custkey"), redacted.as("contact_redacted"),
+            nEmails.as("n_emails"), nPhones.as("n_phones"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH t AS (SELECT c_custkey,
+        |  'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+        |    || '@mail.' || lower(c_mktsegment) || '.com or call +155500'
+        |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' today' AS raw
+        |  FROM customer),
+        |e AS (SELECT c_custkey, raw,
+        |  regexp_replace(raw, '${Curation.emailPattern}', '<EMAIL>', 'g')
+        |    AS no_email FROM t)
+        |SELECT c_custkey,
+        |  regexp_replace(no_email, '${Curation.phonePattern}', '<PHONE>', 'g')
+        |    AS contact_redacted,
+        |  CAST(len(regexp_extract_all(raw, '${Curation.emailPattern}'))
+        |    AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(no_email, '${Curation.phonePattern}'))
+        |    AS INTEGER) AS n_phones
+        |FROM e ORDER BY c_custkey""".stripMargin),
+      "email+phone PII scrubbing with staged redaction and audit counts")
   )
 }

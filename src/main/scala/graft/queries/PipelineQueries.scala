@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.Flatten
 import graft.pipeline.{Pipeline, SyntheticChannels}
+import graft.util.Tables
 
 /** q35 — the reference's entire program, end to end: JSON extract →
   * flatten (P1/P2/P3/P6 keep-first semantics) → drops (P4) → batch
@@ -55,5 +58,32 @@ object PipelineQueries {
 
   val qs: Seq[Q] = Seq(
     Q("q35_pipeline_end_to_end", q35, Some(oracle),
-      "full extract→lake→warehouse→staging→mart pipeline replay (all of SURVEY §2.1-2.7)"))
+      "full extract→lake→warehouse→staging→mart pipeline replay (all of SURVEY §2.1-2.7)"),
+
+    // q57 — P6 flattenDictStyle (/root/reference/dags/optimized_extract
+    // .py:25-39): structs recurse to BARE leaf names, arrays explode
+    // positionally into `{name}_{i}` with NULL past the row's actual
+    // length (try_element_at). The nested fixture is built from
+    // `documents` on both sides: a two-level struct plus the first 5
+    // normalized words as an array pinned to width 3.
+    Q("q57_flatten_positional",
+      (s, d) => {
+        val nested = Tables(s, d, "documents").select(
+          col("doc_id"),
+          struct(col("lang"),
+            struct(col("source"), col("n_chars")).as("inner")).as("meta"),
+          slice(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+            " "), 1, 5).as("head_words"))
+        Flatten.flattenDictStyle(nested, Map("head_words" -> 3))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, source, n_chars,
+        |  list_slice(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    1, 5) AS hw
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars,
+        |  hw[1] AS head_words_0, hw[2] AS head_words_1, hw[3] AS head_words_2
+        |FROM w ORDER BY doc_id""".stripMargin),
+      "positional dict-style flatten: bare struct leaves + {name}_{i} array explode (P6)"))
 }

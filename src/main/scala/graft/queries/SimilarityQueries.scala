@@ -73,6 +73,40 @@ object SimilarityQueries {
         |SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
         |FROM a, q WHERE vec_id <> 0 AND c_lbl = qb
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
-      "IVF ANN: centroid quantizer + nearest-centroid assign + bucket probe")
+      "IVF ANN: centroid quantizer + nearest-centroid assign + bucket probe"),
+
+    // q55 — the ArrayCosine malformed-input contract, end to end: every
+    // 50th vector is truncated by one element, so its (v, v2) pair has
+    // mismatched lengths and MUST yield NULL (ArrayCosine.scala:35-48's
+    // mismatch branch; DuckDB's list_cosine_similarity would error
+    // there, so the oracle guards with a CASE on len equality — both
+    // engines surface the bad row instead of silently truncating).
+    // Well-formed rows pair v with reverse(v) so the similarity is a
+    // non-trivial value, not the constant 1.0.
+    Q("q55_cosine_null_contract",
+      (s, d) => {
+        graft.functions.ArrayCosine.register(s)
+        import graft.functions.ArrayCosine.cosine
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val v2 = when(col("vec_id") % 50 === 0,
+            slice(col("v"), lit(1), size(col("v")) - 1))
+          .otherwise(reverse(col("v")))
+        e.select(col("vec_id"),
+            round(cosine(col("v"), v2), 4).as("cos_sim"),
+            (col("vec_id") % 50 === 0).as("mismatched"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id, v,
+        |  CASE WHEN vec_id % 50 = 0 THEN v[1:len(v) - 1]
+        |       ELSE list_reverse(v) END AS v2
+        |  FROM e)
+        |SELECT vec_id,
+        |  CASE WHEN len(v) = len(v2)
+        |       THEN round(list_cosine_similarity(v, v2), 4) END AS cos_sim,
+        |  vec_id % 50 = 0 AS mismatched
+        |FROM p ORDER BY vec_id""".stripMargin),
+      "cosine NULL-on-length-mismatch contract (malformed rows surfaced, not masked)")
   )
 }

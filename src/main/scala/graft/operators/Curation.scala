@@ -6,12 +6,16 @@ import graft.functions.TextFunctions._
 
 /** Corpus-curation operators for a training-data pipeline: rule-based
   * quality filtering (Gopher-style), token-window chunking (sequence
-  * packing), deterministic hash-stratified sampling (data mixing), and
-  * pattern scrubbing (PII redaction).
+  * packing), deterministic hash-stratified sampling (data mixing),
+  * pattern scrubbing (PII redaction), benchmark decontamination,
+  * repetition-based quality signals, and deterministic train-shard
+  * assignment.
   *
-  * All per-row expression work over `org.apache.spark.sql.functions` —
-  * shuffle-free, linear, and replayable bit-for-bit by the DuckDB
-  * oracles. The only nonlinear step anywhere is the caller's final sort.
+  * The filter/chunk/sample/redact operators are per-row expression work
+  * over `org.apache.spark.sql.functions` — shuffle-free and linear; the
+  * decontaminate/repetition/shard operators each need exactly one
+  * key-shuffle (documented per method). Everything is replayable
+  * bit-for-bit by the DuckDB oracles.
   */
 object Curation {
 
@@ -103,4 +107,83 @@ object Curation {
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word n-gram with the benchmark/test set (the GPT-3-style
+    * overlap rule). Output: (doc_id, n_hits = distinct overlapping
+    * grams, min_gram = lexicographic min overlap, for audit).
+    *
+    * Scale shape: the benchmark side is test sets — thousands of
+    * documents against a 100 TB corpus — so its distinct gram set is
+    * BROADCAST; the corpus side streams through a map-side hash join
+    * and the only shuffle is the per-doc hit aggregation (map-side
+    * partial count/min). A hot gram cannot blow up: each corpus gram
+    * probes the broadcast set once, and output is one row per doc.
+    */
+  def decontaminate(corpus: DataFrame, id: Column, text: Column,
+                    bench: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val cg = Dedup.gramSets(corpus, id, text, n)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val bg = Dedup.gramSets(bench, lit(0L), benchText, n)
+      .select(explode(col("grams")).as("gram")).distinct()
+    cg.join(broadcast(bg), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("gram").as("min_gram"))
+  }
+
+  /** Gopher repetition signals: fraction of the document accounted for
+    * by its most frequent word and most frequent bigram (excessive
+    * repetition = low-quality/generated text), plus the keep decision.
+    * Documents with fewer than 2 words have NULL top_bigram_frac and
+    * are not rejected on the bigram rule.
+    *
+    * Scale shape: two aggregations keyed on (doc_id, token) — both get
+    * map-side partial counts, so the shuffles carry one row per
+    * distinct token per doc, then collapse to one row per doc; the
+    * final join is doc_id-keyed. Linear in corpus tokens.
+    */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column,
+                        maxTopWordFrac: Double,
+                        maxTopBigramFrac: Double): DataFrame = {
+    val ws = df.select(id.as("doc_id"), words(text).as("ws"))
+    def topFrac(tokens: DataFrame, outName: String): DataFrame =
+      tokens.groupBy("doc_id", "n", "t").agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n")).agg(max("c").as("top"))
+        .select(col("doc_id"),
+          round(col("top").cast("double") / col("n"), 4).as(outName))
+    val uni = topFrac(ws.select(col("doc_id"), size(col("ws")).as("n"),
+      explode(col("ws")).as("t")), "top_word_frac")
+    val bi = topFrac(ws.select(col("doc_id"), wordGrams(col("ws"), 2).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).as("n"),
+        explode(col("gs")).as("t")), "top_bigram_frac")
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_word_frac"), col("top_bigram_frac"),
+        (col("top_word_frac") <= maxTopWordFrac &&
+          coalesce(col("top_bigram_frac") <= maxTopBigramFrac,
+            lit(true))).as("keep"))
+  }
+
+  /** Deterministic global shuffle into training shards: shard =
+    * hash60(id) % numShards; pos = rank of the hash within its shard.
+    * Hash-derived, not rand() — re-runs, engines, and partitionings all
+    * produce the identical order, and appending new data never moves
+    * existing rows relative to each other within a shard.
+    *
+    * Scale shape: ONE shuffle (the per-shard window sort). Pick
+    * numShards ≈ the target output file count so each shard is one
+    * task's sort; a 100 TB corpus at 1 GB shards means ~100k shards,
+    * each sorting ~100k rows — embarrassingly parallel.
+    */
+  def trainShards(df: DataFrame, id: Column,
+                  numShards: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(id.as("doc_id"),
+        hash60(id.cast("string"), seed).as("h"))
+      .select(col("doc_id"), (col("h") % numShards).cast("int").as("shard"),
+        col("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))))
+      .drop("h")
+  }
 }

@@ -28,6 +28,12 @@ object CurationQueries {
   private val overlap = 8
   private val stride = chunkSize - overlap
 
+  // q59/q60 parameters — same single-source-of-truth rule as q51.
+  private val maxTopWordFrac = 0.1
+  private val maxTopBigramFrac = 0.05
+  private val numShards = 8
+  private val shardSeed = 11
+
   val qs: Seq[Q] = Seq(
 
     // q50 — Gopher-style rule filter. The signals are emitted alongside
@@ -159,6 +165,72 @@ object CurationQueries {
         |  CAST(len(regexp_extract_all(no_email, '${Curation.phonePattern}'))
         |    AS INTEGER) AS n_phones
         |FROM e ORDER BY c_custkey""".stripMargin),
-      "email+phone PII scrubbing with staged redaction and audit counts")
+      "email+phone PII scrubbing with staged redaction and audit counts"),
+
+    // q58 — benchmark decontamination: corpus docs sharing any word
+    // 3-gram with the benchmark slice (doc_id % 97 == 0 stands in for a
+    // held-out test set; the bench gram set is broadcast — the corpus
+    // side is the 100 TB side and only shuffles the per-doc hit agg).
+    Q("q58_decontamination",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Curation.decontaminate(
+            docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')))
+        |    AS grams FROM w WHERE len(ws) >= 3),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM d WHERE doc_id % 97 = 0),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM d WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(gram) AS min_gram
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "test-set overlap flagging via broadcast n-gram join (GPT-3-style decontamination)"),
+
+    // q59 — Gopher repetition signals: top-word / top-bigram mass
+    // fractions + keep decision (thresholds interpolated into the
+    // oracle from the same constants).
+    Q("q59_repetition_signals",
+      (s, d) => Curation.repetitionSignals(Tables(s, d, "documents"),
+          col("doc_id"), col("text"),
+          maxTopWordFrac = maxTopWordFrac,
+          maxTopBigramFrac = maxTopBigramFrac)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |u AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS t FROM w),
+        |uc AS (SELECT doc_id, n, t, count(*) AS c FROM u GROUP BY 1, 2, 3),
+        |ut AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n, 4)
+        |  AS top_word_frac FROM uc GROUP BY doc_id, n),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 1),
+        |    i -> array_to_string(ws[i:i+1], ' ')) AS gs
+        |  FROM w WHERE len(ws) >= 2),
+        |b AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS t FROM g),
+        |bc AS (SELECT doc_id, n, t, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |bt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / n, 4)
+        |  AS top_bigram_frac FROM bc GROUP BY doc_id, n)
+        |SELECT ut.doc_id, top_word_frac, top_bigram_frac,
+        |  (top_word_frac <= $maxTopWordFrac
+        |   AND coalesce(top_bigram_frac <= $maxTopBigramFrac, TRUE)) AS keep
+        |FROM ut LEFT JOIN bt ON ut.doc_id = bt.doc_id
+        |ORDER BY ut.doc_id""".stripMargin),
+      "repetition-based quality: top word/bigram mass fractions (Gopher rules)"),
+
+    // q60 — deterministic train shards: hash-derived shard + in-shard
+    // position (a reproducible global shuffle for training output).
+    Q("q60_train_shards",
+      (s, d) => Curation.trainShards(Tables(s, d, "documents"),
+          col("doc_id"), numShards = numShards, seed = shardSeed)
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id,
+        |  ('0x' || substring(md5('$shardSeed#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % $numShards AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % $numShards
+        |    ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin),
+      "deterministic hash-based global shuffle into training shards")
   )
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit-level curation semantics on hand-built corpora (the oracle gate
+  * covers the full operators at sf0.01; these pin the edge cases and the
+  * invariants the oracles cannot express).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val stop = Seq("the", "a", "of")
+
+  test("qualitySignals: word-count bounds gate keep") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over a lazy dog of note", // 11 words
+      2L -> "too short")
+    val got = Curation.qualitySignals(d, col("doc_id"), col("text"), stop,
+        minWords = 5, maxWords = 100, minMeanLen = 2.0, maxMeanLen = 8.0,
+        minAlphaFrac = 0.9, minStopHits = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
+  test("chunkTokens: windows cover every token exactly, stride apart") {
+    // 70 tokens, chunkSize 32, overlap 8 -> starts 1, 25, 49 (73 would
+    // add nothing: it lies inside the previous window's overlap)
+    val text = (1 to 70).map(i => s"w$i").mkString(" ")
+    val rows = Curation.chunkTokens(docs(1L -> text), col("doc_id"),
+        col("text"), chunkSize = 32, overlap = 8)
+      .orderBy("chunk_start").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(1, 25, 49))
+    assert(rows.map(_.getInt(2)).toSeq === Seq(32, 32, 22))
+    // coverage: last window reaches token 70; consecutive windows overlap
+    assert(49 + 22 - 1 === 70)
+  }
+
+  test("chunkTokens: doc shorter than one window emits a single chunk") {
+    val rows = Curation.chunkTokens(docs(1L -> "a b c"), col("doc_id"),
+        col("text"), chunkSize = 32, overlap = 8).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getInt(1) === 1 && rows.head.getInt(2) === 3)
+  }
+
+  test("hashStratifiedSample is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    def run() = Curation.hashStratifiedSample(d, col("lang"), col("doc_id"),
+      Map("en" -> 0, "zh" -> 1000), defaultPerMille = 500, seed = 7)
+    assert(run().collect().toSet === run().collect().toSet)
+    val langs = run().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!langs.contains("en"))    // rate 0 drops everything
+    assert(langs("zh") === 1000L)    // rate 1000 keeps everything
+  }
+
+  test("redact scrubs emails and phones and counts matches") {
+    import spark.implicits._
+    val d = Seq("mail bob@x.org or sue@y.io, call +1 555 0123 now")
+      .toDF("t")
+    val (noEmail, nEmails) =
+      Curation.redact(col("t"), Curation.emailPattern, "<EMAIL>")
+    val (clean, nPhones) =
+      Curation.redact(noEmail, Curation.phonePattern, "<PHONE>")
+    val r = d.select(clean, nEmails, nPhones).head()
+    assert(r.getString(0) === "mail <EMAIL> or <EMAIL>, call <PHONE> now")
+    assert(r.getInt(1) === 2 && r.getInt(2) === 1)
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the bench set") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta",  // shares "alpha beta gamma"
+      2L -> "one two three four")      // disjoint
+    val bench = docs(100L -> "zz alpha beta gamma yy")
+    val got = Curation.decontaminate(corpus, col("doc_id"), col("text"),
+      bench, col("text"), n = 3).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+    // shared distinct 3-grams of doc 1 with bench: "alpha beta gamma" only
+    assert(got.head.getLong(1) === 1L)
+    assert(got.head.getString(2) === "alpha beta gamma")
+  }
+
+  test("repetitionSignals: repetitive doc rejected, varied doc kept") {
+    val d = docs(
+      1L -> "spam spam spam spam spam ham",          // top word 5/6
+      2L -> "one two three four five six seven eight")
+    val got = Curation.repetitionSignals(d, col("doc_id"), col("text"),
+        maxTopWordFrac = 0.5, maxTopBigramFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got === Map(1L -> false, 2L -> true))
+  }
+
+  test("repetitionSignals: single-word doc has NULL bigram frac, word rule decides") {
+    val got = Curation.repetitionSignals(docs(1L -> "solo"), col("doc_id"),
+      col("text"), maxTopWordFrac = 0.5, maxTopBigramFrac = 0.5).head()
+    assert(got.isNullAt(2))
+    assert(!got.getBoolean(3)) // top_word_frac = 1.0 > 0.5
+  }
+
+  test("trainShards: every doc assigned once, positions dense per shard") {
+    import spark.implicits._
+    val d = (0L until 500L).toDF("doc_id")
+    val got = Curation.trainShards(d, col("doc_id"), numShards = 4, seed = 1)
+      .collect()
+    assert(got.length === 500)
+    assert(got.map(_.getLong(0)).toSet === (0L until 500L).toSet)
+    got.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val pos = rows.map(_.getInt(2)).sorted
+      assert(pos.toSeq === (1 to rows.length)) // dense 1..k per shard
+    }
+    // determinism: a second run yields the identical assignment
+    val again = Curation.trainShards(d, col("doc_id"), numShards = 4, seed = 1)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ===
+      again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+  }
+}

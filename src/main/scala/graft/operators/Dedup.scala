@@ -142,10 +142,18 @@ object Dedup {
     out.toDF("doc_id", "cluster_id")
   }
 
-  /** (doc_id, grams) pairs with non-empty distinct gram sets. */
+  /** (doc_id, grams) pairs with non-empty distinct gram sets.
+    *
+    * The non-empty filter is expressed as `size(words) >= n` (identical
+    * semantics: wordGrams is empty iff the doc has fewer than n words)
+    * so the Filter node evaluates one cheap split+size, not a duplicate
+    * of the whole zip_with gram chain — the gram expression is the
+    * dominant per-row cost of every dedup operator built on this.
+    */
   def gramSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    df.select(id.as("doc_id"), distinctGrams(text, n).as("grams"))
-      .filter(size(col("grams")) > 0)
+    df.select(id.as("doc_id"), words(text).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), array_distinct(wordGrams(col("ws"), n)).as("grams"))
 
   /** N-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= thr) over
     * DF-capped gram sets: grams appearing in more than `maxDf` documents

@@ -175,6 +175,52 @@ object TextQueries {
         |  FROM h WHERE len(hs) >= 4)
         |SELECT doc_id, unnest(fps) AS fingerprint
         |FROM mn ORDER BY doc_id, fingerprint""".stripMargin),
-      "winnowing rolling-hash fingerprints (MOSS; partial-overlap detection)")
+      "winnowing rolling-hash fingerprints (MOSS; partial-overlap detection)"),
+
+    // q61 — TF-IDF top term per document: the corpus-level statistic
+    // pass (document frequency) joined back to per-doc term counts.
+    // Scale shape: the (doc, term) aggregation gets map-side combine;
+    // the df table collapses to one row per VOCAB term — tiny, so it
+    // (and the 1-row corpus count) broadcast back; the only other
+    // shuffle is the per-doc top-1 window. Ranking uses a 6dp-rounded
+    // score with a term tiebreak so engine float drift cannot flip the
+    // winner; the reported score is rounded to 4dp like every derived
+    // float.
+    Q("q61_tfidf_top_term",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val raw = col("tf") *
+          log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)))
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(round(raw, 6).desc, col("term"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("term").as("top_term"),
+            round(raw, 4).as("tfidf"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS raw
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term AS top_term, round(raw, 4) AS tfidf
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY round(raw, 6) DESC, term) = 1
+        |ORDER BY doc_id""".stripMargin),
+      "TF-IDF top term per doc (corpus df broadcast back to per-doc counts)")
   )
 }

@@ -48,4 +48,22 @@ object Warehouse {
     }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Bucketed write: pay the shuffle ONCE at write time — `numBuckets`
+    * files per partition, hash-clustered and sorted on `key` — so every
+    * later equi-join or aggregation on `key` between co-bucketed tables
+    * runs exchange-free (Catalyst recognizes HashClusteredDistribution
+    * from the bucket spec). This is the 100 TB pattern for fact-fact
+    * joins too big to broadcast and repeated often enough to amortize
+    * the write: at 1000 executors a re-shuffle of both sides dominates
+    * the join; co-bucketing removes it entirely (BucketJoinSpec proves
+    * the plan property).
+    */
+  def loadBucketed(df: DataFrame, table: String, key: String,
+                   numBuckets: Int): Unit = {
+    clearStaleLocation(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
 }

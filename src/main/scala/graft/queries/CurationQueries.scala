@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 import graft.util.Tables
 
 /** Corpus-curation pack: the operations that sit between raw ingested
@@ -231,6 +231,77 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY h % $numShards
         |    ORDER BY h, doc_id) AS INTEGER) AS pos
         |FROM h ORDER BY doc_id""".stripMargin),
-      "deterministic hash-based global shuffle into training shards")
+      "deterministic hash-based global shuffle into training shards"),
+
+    // q62 — the composed corpus-curation pipeline, end to end: quality
+    // filter → exact dedup (keep min id per text) → benchmark
+    // decontamination → hash-stratified sampling → train shards. Each
+    // stage is the already-verified operator; this query proves they
+    // COMPOSE — the shape an actual 100 TB pretraining data build runs
+    // as one lineage. Scale: quality/sample are per-row; dedup is one
+    // key shuffle; decontamination joins a broadcast gram set; shards
+    // is one shuffle on the (tiny) survivor set.
+    Q("q62_curation_pipeline",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val qual = Curation.qualitySignals(docs, col("doc_id"), col("text"),
+            stopwords, minWords = 30, maxWords = 5000,
+            minMeanLen = 3.0, maxMeanLen = 10.0,
+            minAlphaFrac = 0.8, minStopHits = 2)
+          .filter(col("keep")).select("doc_id")
+        val kept = docs.join(qual, "doc_id")
+          .filter(col("doc_id") % 97 =!= 0)
+        val reps = Dedup.exact(kept, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        val deduped = kept.join(reps, "doc_id")
+        val flagged = Curation.decontaminate(deduped, col("doc_id"),
+            col("text"), docs.filter(col("doc_id") % 97 === 0),
+            col("text"), n = 3)
+          .select("doc_id")
+        val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+        val sampled = Curation.hashStratifiedSample(clean, col("lang"),
+          col("doc_id"), ratesPerMille = Map("en" -> 600),
+          defaultPerMille = 800, seed = 7)
+        Curation.trainShards(sampled, col("doc_id"), numShards, shardSeed)
+          .join(sampled.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS INTEGER) AS n_words,
+        |  round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+        |        / len(ws), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        |        AS DOUBLE) / len(ws), 4) AS alpha_frac,
+        |  CAST(len(list_filter(ws, x -> x IN ($stopList))) AS INTEGER) AS stop_hits
+        |  FROM w),
+        |q AS (SELECT doc_id FROM m
+        |  WHERE n_words BETWEEN 30 AND 5000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND alpha_frac >= 0.8 AND stop_hits >= 2),
+        |kept AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  JOIN q USING (doc_id) WHERE d.doc_id % 97 <> 0),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+        |deduped AS (SELECT kept.* FROM kept JOIN reps USING (doc_id)),
+        |dg AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')))
+        |    AS grams FROM w WHERE len(ws) >= 3),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM dg WHERE doc_id % 97 = 0),
+        |cg AS (SELECT g.doc_id, unnest(g.grams) AS gram FROM dg g
+        |  JOIN deduped USING (doc_id)),
+        |flagged AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+        |clean AS (SELECT * FROM deduped ANTI JOIN flagged USING (doc_id)),
+        |sampled AS (SELECT doc_id, lang FROM clean
+        |  WHERE ('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000 < CASE lang WHEN 'en' THEN 600 ELSE 800 END),
+        |h AS (SELECT doc_id, lang,
+        |  ('0x' || substring(md5('$shardSeed#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM sampled)
+        |SELECT doc_id, lang, CAST(h % $numShards AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % $numShards
+        |    ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin),
+      "composed curation pipeline: quality→dedup→decontaminate→sample→shards")
   )
 }

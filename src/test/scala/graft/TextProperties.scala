@@ -44,4 +44,32 @@ object TextProperties extends Properties("graft.text") {
         total == texts.size.toLong
       }
     }
+
+  /** dupClusters' two physical strategies reach the same fixpoint as an
+    * in-test reference union-find, on arbitrary random graphs.
+    */
+  property("dupClusters: local and distributed agree with reference union-find") =
+    forAll(Gen.resize(25,
+      Gen.listOf(Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L))))) { edges0 =>
+      import spark.implicits._
+      val edges = edges0.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        // reference: naive union-find with min-label relabel
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(n => n -> find(n)).toMap
+        val df = edges.toDF("doc_a", "doc_b")
+        def run(localLimit: Long) =
+          graft.operators.Dedup.dupClusters(df, localEdgeLimit = localLimit)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        run(Long.MaxValue) == expected && run(0L) == expected
+      }
+    }
 }

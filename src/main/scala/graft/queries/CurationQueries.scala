@@ -253,7 +253,10 @@ object CurationQueries {
           .filter(col("doc_id") % 97 =!= 0)
         val reps = Dedup.exact(kept, col("text"), col("doc_id"))
           .select(col("keep_id").as("doc_id"))
-        val deduped = kept.join(reps, "doc_id")
+        // cached: consumed by the decontamination gram pass AND the
+        // anti-join survivor side — uncached, the whole quality+dedup
+        // prefix would run twice. Released by the runner's clearCache().
+        val deduped = kept.join(reps, "doc_id").cache()
         val flagged = Curation.decontaminate(deduped, col("doc_id"),
             col("text"), docs.filter(col("doc_id") % 97 === 0),
             col("text"), n = 3)
@@ -302,6 +305,31 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY h % $numShards
         |    ORDER BY h, doc_id) AS INTEGER) AS pos
         |FROM h ORDER BY doc_id""".stripMargin),
-      "composed curation pipeline: quality→dedup→decontaminate→sample→shards")
+      "composed curation pipeline: quality→dedup→decontaminate→sample→shards"),
+
+    // q63 — approx percentile audited against the exact answer, the
+    // q54 pattern for quantile sketches: the query PROVES the sketch
+    // lands within 2% relative error of the exact per-group p50/p90
+    // (so the oracle asserts TRUE). At 100 TB the sketch (constant
+    // memory, map-side mergeable) is the only viable path; the audit
+    // is how you justify switching to it.
+    Q("q63_approx_percentile_audit",
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+        .select(col("o_orderpriority"), col("p50"), col("p90"),
+          (abs(col("ap50") - col("p50")) <= col("p50") * 0.02 &&
+            abs(col("ap90") - col("p90")) <= col("p90") * 0.02).as("approx_ok"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "quantile sketch with an in-query exactness audit (q54 pattern)")
   )
 }

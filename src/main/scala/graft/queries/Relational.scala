@@ -73,27 +73,34 @@ object Relational {
       Some("SELECT * FROM region ORDER BY r_regionkey"),
       "dbt staging passthrough view"),
 
-    // q03 — cast semantics matrix (P8, SURVEY §7.4 cast-drift): Spark cast
-    // yields NULL on malformed input; oracle uses TRY_CAST to match.
+    // q03 — cast semantics matrix (P8, SURVEY §7.4 cast-drift):
+    // malformed input must become NULL, never an error. status_as_int
+    // is malformed on EVERY row, so it uses SafeCast.tryInt (regex
+    // guard, no exception path) instead of try_cast — try_cast throws
+    // and catches per malformed row, ~7x slower when malformed is the
+    // common case (ProfileQ03; the mostly-valid mart columns in YtFacts
+    // rightly keep try_cast). The oracle replays the identical guard,
+    // which also removes the genuine engine disagreement on decimal
+    // strings (Spark try_cast('3.7')=NULL, DuckDB TRY_CAST('3.7')=4).
     Q("q03_cast_matrix",
       (s, d) => t(s, d, "orders").select(
         col("o_orderkey"),
         col("o_orderkey").cast("string").as("key_str"),
         col("o_orderkey").cast("string").cast("long").as("key_roundtrip"),
-        expr("try_cast(o_orderstatus as int)").as("status_as_int"), // always NULL
+        graft.functions.SafeCast.tryInt(col("o_orderstatus")).as("status_as_int"), // always NULL
         col("o_custkey").cast("int").as("cust_int"),
         (col("o_totalprice") > 1000).cast("int").as("big_flag"),
         col("o_orderdate").cast("string").as("date_str")
       ).orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey,
+      Some(s"""SELECT o_orderkey,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
         |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-        |  TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+        |  ${graft.functions.SafeCast.tryIntSql("o_orderstatus")} AS status_as_int,
         |  CAST(o_custkey AS INTEGER) AS cust_int,
         |  CAST(o_totalprice > 1000 AS INTEGER) AS big_flag,
         |  CAST(o_orderdate AS VARCHAR) AS date_str
         |FROM orders ORDER BY o_orderkey""".stripMargin),
-      "cast matrix incl. malformed->NULL (Spark cast == DuckDB TRY_CAST)"),
+      "cast matrix incl. malformed->NULL (exception-free guarded cast both sides)"),
 
     // q04 — filter + projection pushdown. Scale: predicate and 3-column
     // ReadSchema reach the parquet scan; no shuffle until the sort.

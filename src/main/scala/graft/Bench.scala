@@ -68,8 +68,17 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, err)
       }
     val (pass1, pass2) = (timedPass(), timedPass())
-    val results = pass1.zip(pass2).map { case ((n, t1, e1), (_, t2, e2)) =>
-      (n, math.min(t1, t2), e1.orElse(e2))
+    // A third pass only when the two totals disagree badly: host-load
+    // spikes (observed: the same suite measuring 49s and 63s an hour
+    // apart on a shared box) inflate BOTH passes, so best-of-two alone
+    // cannot recover; the common quiet case stays at two passes.
+    val t1 = pass1.map(_._2).sum; val t2 = pass2.map(_._2).sum
+    val passes =
+      if (math.abs(t1 - t2) > 0.15 * math.min(t1, t2)) Seq(pass1, pass2, timedPass())
+      else Seq(pass1, pass2)
+    val results = passes.transpose.map { ms =>
+      (ms.head._1, ms.map(_._2).min,
+        ms.foldLeft(Option.empty[String])((acc, m) => acc.orElse(m._3)))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -45,6 +45,29 @@ object TextProperties extends Properties("graft.text") {
       }
     }
 
+  /** chunkTokens covers every token: the windows, replayed over the
+    * doc's word array, reconstruct exactly the token positions 1..n
+    * (no gap, no phantom), and consecutive starts differ by the stride.
+    */
+  property("chunkTokens: windows tile the document exactly") =
+    forAll(Gen.choose(1, 90), Gen.choose(2, 12), Gen.choose(0, 10)) {
+      (nWords, chunkSize, overlapRaw) =>
+      val overlap = math.min(overlapRaw, chunkSize - 1)
+      import spark.implicits._
+      val text = (1 to nWords).map(i => s"w$i").mkString(" ")
+      val rows = graft.operators.Curation.chunkTokens(
+          Seq((1L, text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), chunkSize, overlap)
+        .orderBy("chunk_start").collect()
+      val starts = rows.map(_.getInt(1)).toList
+      val lens = rows.map(_.getInt(2)).toList
+      val covered = starts.zip(lens)
+        .flatMap { case (s, l) => s until (s + l) }.toSet
+      covered == (1 to nWords).toSet &&
+        starts.zip(starts.drop(1)).forall { case (a, b) =>
+          b - a == chunkSize - overlap }
+    }
+
   /** dupClusters' two physical strategies reach the same fixpoint as an
     * in-test reference union-find, on arbitrary random graphs.
     */

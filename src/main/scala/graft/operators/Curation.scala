@@ -65,8 +65,12 @@ object Curation {
     val stride = chunkSize - overlap
     val ws = words(text)
     val n = size(ws)
-    val starts = filter(sequence(lit(1), greatest(n, lit(1)), lit(stride)),
-      s => s === lit(1) || s + lit(overlap) <= n)
+    // null text → NULL starts → explode emits nothing. Without the
+    // guard, greatest(NULL, 1) = 1 would fabricate a phantom all-NULL
+    // window per null doc (caught by NullInputSpec).
+    val starts = when(n.isNotNull,
+      filter(sequence(lit(1), greatest(n, lit(1)), lit(stride)),
+        s => s === lit(1) || s + lit(overlap) <= n))
     df.select(id.as("doc_id"), ws.as("ws"), explode(starts).as("chunk_start"))
       .select(
         col("doc_id"), col("chunk_start"),

@@ -71,7 +71,7 @@ object CurationQueries {
       Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
         |s AS (SELECT doc_id, ws, len(ws) AS n,
         |  unnest(generate_series(1, greatest(len(ws), 1), $stride)) AS cs
-        |  FROM w)
+        |  FROM w WHERE ws IS NOT NULL)
         |SELECT doc_id, CAST(cs AS INTEGER) AS chunk_start,
         |  CAST(len(list_slice(ws, cs, cs + ${chunkSize - 1})) AS INTEGER) AS n_tokens,
         |  md5(array_to_string(list_slice(ws, cs, cs + ${chunkSize - 1}), ' ')) AS fp

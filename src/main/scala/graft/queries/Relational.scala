@@ -386,6 +386,28 @@ object Relational {
         |FROM events ORDER BY event_id""".stripMargin),
       "semi-structured JSON column access"),
 
+    // q64 — the same extraction through Spark 4's VARIANT type: parse
+    // the JSON ONCE per row into the binary variant encoding, then
+    // typed path access. At 100 TB this is the semi-structured scale
+    // path — q19's get_json_object re-parses the string per path, and
+    // N extracted paths mean N parses; variant parses once and its
+    // binary form is shreddable into columnar storage. Same answer as
+    // q19 by construction (the oracle is shared).
+    Q("q64_variant_extract",
+      (s, d) => {
+        val v = parse_json(col("props"))
+        t(s, d, "events").select(
+          col("event_id"),
+          try_variant_get(v, "$.k", "long").as("k"),
+          (try_variant_get(v, "$.k", "long") % 10).as("k_bucket")
+        ).orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin),
+      "VARIANT parse-once typed extraction (binary semi-structured path)"),
+
     // q20 — sessionization: 30-min-gap sessions per user via windows.
     // Scale: one shuffle on user_id; state never held on the driver.
     Q("q20_sessionize",

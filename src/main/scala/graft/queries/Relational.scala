@@ -408,6 +408,30 @@ object Relational {
         |FROM events ORDER BY event_id""".stripMargin),
       "VARIANT parse-once typed extraction (binary semi-structured path)"),
 
+    // q65 — unpivot (melt), the inverse of q45's pivot: wide per-region
+    // aggregates back to long (metric, value) rows. Per-row expression
+    // work after one aggregation; output rows = rows x metrics.
+    Q("q65_unpivot",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(round(sum("c_acctbal"), 2).as("total_bal"),
+          round(avg("c_acctbal"), 2).as("avg_bal"),
+          count(lit(1)).cast("double").as("n"))
+        .unpivot(Array(col("c_mktsegment")),
+          Array(col("total_bal"), col("avg_bal"), col("n")),
+          "metric", "value")
+        .orderBy("c_mktsegment", "metric"),
+      Some("""WITH wide AS (
+        |  SELECT c_mktsegment,
+        |    round(sum(c_acctbal), 2) AS total_bal,
+        |    round(avg(c_acctbal), 2) AS avg_bal,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN (total_bal, avg_bal, n))
+        |ORDER BY c_mktsegment, metric""".stripMargin),
+      "unpivot/melt wide metrics to long (inverse of q45 pivot)"),
+
     // q20 — sessionization: 30-min-gap sessions per user via windows.
     // Scale: one shuffle on user_id; state never held on the driver.
     Q("q20_sessionize",

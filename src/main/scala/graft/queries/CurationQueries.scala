@@ -47,20 +47,24 @@ object CurationQueries {
         .orderBy("doc_id"),
       Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
         |m AS (SELECT doc_id,
-        |  CAST(len(ws) AS INTEGER) AS n_words,
-        |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-        |        / len(ws), 4) AS mean_word_len,
-        |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
-        |        AS DOUBLE) / len(ws), 4) AS alpha_frac,
-        |  CAST(len(list_filter(ws, w -> w IN ($stopList))) AS INTEGER)
-        |    AS stop_hits
-        |  FROM w)
-        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS char_sum,
+        |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+        |  CAST(len(list_filter(ws, w -> w IN ($stopList))) AS BIGINT) AS stop_hits
+        |  FROM w),
+        |b AS (SELECT doc_id, n_words, stop_hits,
+        |  (char_sum * 20000 + n_words) // (n_words * 2) AS mean_bp,
+        |  (alpha_cnt * 20000 + n_words) // (n_words * 2) AS alpha_bp
+        |  FROM m)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |  mean_bp / 10000.0 AS mean_word_len,
+        |  alpha_bp / 10000.0 AS alpha_frac,
+        |  CAST(stop_hits AS INTEGER) AS stop_hits,
         |  (n_words BETWEEN 30 AND 5000
-        |   AND mean_word_len BETWEEN 3.0 AND 10.0
-        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin),
-      "Gopher-style quality filter chain with audit signals"),
+        |   AND mean_bp BETWEEN 30000 AND 100000
+        |   AND alpha_bp >= 8000 AND stop_hits >= 2) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin),
+      "Gopher-style quality filter chain with audit signals (exact basis-point ratios)"),
 
     // q51 — token-window chunking ($chunkSize-token windows, $overlap
     // overlap); the oracle inlines the SAME Scala constants.
@@ -272,17 +276,16 @@ object CurationQueries {
       },
       Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
         |m AS (SELECT doc_id,
-        |  CAST(len(ws) AS INTEGER) AS n_words,
-        |  round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-        |        / len(ws), 4) AS mean_word_len,
-        |  round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
-        |        AS DOUBLE) / len(ws), 4) AS alpha_frac,
-        |  CAST(len(list_filter(ws, x -> x IN ($stopList))) AS INTEGER) AS stop_hits
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS char_sum,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+        |  CAST(len(list_filter(ws, x -> x IN ($stopList))) AS BIGINT) AS stop_hits
         |  FROM w),
         |q AS (SELECT doc_id FROM m
         |  WHERE n_words BETWEEN 30 AND 5000
-        |    AND mean_word_len BETWEEN 3.0 AND 10.0
-        |    AND alpha_frac >= 0.8 AND stop_hits >= 2),
+        |    AND (char_sum * 20000 + n_words) // (n_words * 2) BETWEEN 30000 AND 100000
+        |    AND (alpha_cnt * 20000 + n_words) // (n_words * 2) >= 8000
+        |    AND stop_hits >= 2),
         |kept AS (SELECT d.doc_id, d.lang, d.text FROM documents d
         |  JOIN q USING (doc_id) WHERE d.doc_id % 97 <> 0),
         |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.util.Tables
@@ -43,47 +44,63 @@ object TextQueries {
 
     // Quality scoring: length/punctuation/stopword signals combined into
     // a deterministic score (same raw-expression order as the oracle).
+    // Every emitted ratio is EXACT integer basis-point arithmetic:
+    // halfUp(a·10^4 / b) = floor((2·a·10^4 + b) / (2b)) over positive
+    // longs is the mathematically-correct round-half-up of the true
+    // rational a/b — no double ever enters the rounding path. Rounding
+    // a double-computed ratio instead diverges across engines whenever
+    // the value lands within 1 ulp of a .00005 boundary (observed at
+    // sf0.1: 3 of 50k docs differed in the 4th decimal while sf0.01
+    // never hits a boundary — the bug class that only appears at scale).
+    // The final /10000.0 maps the same integer to the same double on
+    // every engine.
     Q("q31_text_quality",
       (s, d) => {
+        def bp(num: Column, den: Column): Column =
+          floor((num * 20000L + den) / (den * 2L))
         val w = words(col("text"))
-        val nWords = size(w).cast("double")
-        val meanLen = aggregate(transform(w, x => length(x)), lit(0),
-          (acc, x) => acc + x).cast("double") / nWords
+        val nWords = size(w).cast("long")
+        val charSum = aggregate(transform(w, x => length(x)), lit(0),
+          (acc, x) => acc + x).cast("long")
         val punct = size(regexp_extract_all(lower(col("text")),
-          lit("[^a-z0-9\\s]"), lit(0))).cast("double")
-        val punctRatio = punct / length(col("text")).cast("double")
-        val stopCnt = size(filter(w, x => x.isin(stopwords: _*))).cast("double")
-        val stopRatio = stopCnt / nWords
-        val score = least(lit(1.0), nWords / 200.0) - punctRatio * 0.5 + stopRatio * 0.2
+          lit("[^a-z0-9\\s]"), lit(0))).cast("long")
+        val nChars = length(col("text")).cast("long")
+        val stopCnt = size(filter(w, x => x.isin(stopwords: _*))).cast("long")
+        // score bp: min(1, n/200)·10^4 − punct_ratio·(0.5·10^4)
+        // + stop_ratio·(0.2·10^4), each term exactly half-up rounded
+        val scoreBp = least(lit(10000L), nWords * 50L) -
+          floor((punct * 10000L + nChars) / (nChars * 2L)) +
+          floor((stopCnt * 4000L + nWords) / (nWords * 2L))
         Tables(s, d, "documents").select(
           col("doc_id"),
-          size(w).as("n_words"),
-          round(meanLen, 4).as("mean_word_len"),
-          round(punctRatio, 4).as("punct_ratio"),
-          round(stopRatio, 4).as("stopword_ratio"),
-          round(score, 4).as("quality_score")
+          nWords.cast("int").as("n_words"),
+          (bp(charSum, nWords) / 10000.0).as("mean_word_len"),
+          (bp(punct, nChars) / 10000.0).as("punct_ratio"),
+          (bp(stopCnt, nWords) / 10000.0).as("stopword_ratio"),
+          (scoreBp / 10000.0).as("quality_score")
         ).orderBy("doc_id")
       },
       Some(s"""WITH r AS (
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws,
-        |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE) AS punct,
-        |    CAST(length(text) AS DOUBLE) AS n_chars_d
+        |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS punct,
+        |    CAST(length(text) AS BIGINT) AS n_chars
         |  FROM documents),
         |x AS (
-        |  SELECT doc_id,
-        |    CAST(len(ws) AS INTEGER) AS n_words,
-        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
-        |    punct / n_chars_d AS punct_ratio,
-        |    CAST(len(list_filter(ws, x -> x IN (${inList(stopwords)}))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio
+        |  SELECT doc_id, punct, n_chars,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS char_sum,
+        |    CAST(len(list_filter(ws, x -> x IN (${inList(stopwords)}))) AS BIGINT) AS stop_cnt
         |  FROM r)
-        |SELECT doc_id, n_words,
-        |  round(mean_word_len, 4) AS mean_word_len,
-        |  round(punct_ratio, 4) AS punct_ratio,
-        |  round(stop_ratio, 4) AS stopword_ratio,
-        |  round(least(1.0, CAST(n_words AS DOUBLE) / 200.0) - punct_ratio * 0.5 + stop_ratio * 0.2, 4) AS quality_score
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |  ((char_sum * 20000 + n_words) // (n_words * 2)) / 10000.0 AS mean_word_len,
+        |  ((punct * 20000 + n_chars) // (n_chars * 2)) / 10000.0 AS punct_ratio,
+        |  ((stop_cnt * 20000 + n_words) // (n_words * 2)) / 10000.0 AS stopword_ratio,
+        |  (least(10000, n_words * 50)
+        |   - (punct * 10000 + n_chars) // (n_chars * 2)
+        |   + (stop_cnt * 4000 + n_words) // (n_words * 2)) / 10000.0 AS quality_score
         |FROM x ORDER BY doc_id""".stripMargin),
-      "doc quality scoring (length/punct/stopword signals)"),
+      "doc quality scoring (length/punct/stopword signals; exact basis-point rounding)"),
 
     // Language-ID heuristic: marker-word counts per language, argmax with
     // a fixed priority order (en > de > fr > es > und).

@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_array_cosine",
         "graft_array_cosine(a, b) - fused cosine similarity of two array<double>"),
       (exprs: Seq[Expression]) => ArrayCosine(exprs.head, exprs(1))))
+    // whole-operator extension: per-key top-k as partial/final bounded
+    // heaps (plans/TopKPerKey.scala); the imperative
+    // spark.experimental.extraStrategies path remains for sessions
+    // built without extensions (TopK.perKey registers it on first use).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -688,6 +688,26 @@ object Relational {
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |QUALIFY rk <= 3
         |ORDER BY o_orderpriority, rk""".stripMargin),
-      "top-k per group via rank window + filter")
+      "top-k per group via rank window + filter"),
+
+    // q66 — the same top-3-per-priority through the CUSTOM plan node
+    // (plans/TopKPerKey.scala: logical node + planner strategy +
+    // two-phase partial/final heap SparkPlan). q49 shuffles and sorts
+    // EVERY row; this shuffles at most k rows per (key, input
+    // partition). Identical semantics — the oracle is q49's minus the
+    // rank column.
+    Q("q66_topk_native",
+      (s, d) => graft.plans.TopK.perKey(t(s, d, "orders"),
+          keyCols = Seq("o_orderpriority"), orderCol = "o_totalprice",
+          desc = true, tiebreak = Seq("o_orderkey"), k = 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey"),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+      "top-k per group via the custom TopKPerKey plan node (partial/final heaps)")
   )
 }

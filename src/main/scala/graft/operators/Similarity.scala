@@ -99,4 +99,28 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Batch kNN join: top-k corpus neighbors for EVERY query vector —
+    * the workload shape of retrieval eval sets and near-dup candidate
+    * mining, where single-query probes (bruteForceTopK) would mean M
+    * separate jobs.
+    *
+    * Scale shape: the query side (eval sets — thousands of vectors) is
+    * BROADCAST against the streaming corpus scan; scoring is one fused
+    * codegen cosine per (corpus row, query); the per-query top-k runs
+    * on the custom TopKPerKey node, so the only shuffle carries ≤ k
+    * rows per (query, input partition) — never the M×N scored space.
+    */
+  def knnJoin(corpus: DataFrame, id: Column, vec: Column,
+              queries: DataFrame, qid: Column, qvec: Column,
+              k: Int): DataFrame = {
+    ArrayCosine.register(corpus.sparkSession)
+    val c = corpus.select(id.as("vec_id"), toDouble(vec).as("v"))
+    val q = queries.select(qid.as("query_id"), toDouble(qvec).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"), "cos_sim",
+      desc = true, tiebreak = Seq("vec_id"), k = k)
+  }
 }

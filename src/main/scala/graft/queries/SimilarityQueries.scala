@@ -107,6 +107,31 @@ object SimilarityQueries {
         |       THEN round(list_cosine_similarity(v, v2), 4) END AS cos_sim,
         |  vec_id % 50 = 0 AS mismatched
         |FROM p ORDER BY vec_id""".stripMargin),
-      "cosine NULL-on-length-mismatch contract (malformed rows surfaced, not masked)")
+      "cosine NULL-on-length-mismatch contract (malformed rows surfaced, not masked)"),
+
+    // q67 — batch kNN join: top-5 neighbors for every 100th vector (the
+    // retrieval-eval shape: M queries against the corpus in ONE job).
+    // Queries broadcast; per-query top-k on the custom TopKPerKey node
+    // (≤ k rows per (query, partition) reach the shuffle). Self-matches
+    // rank first at cos_sim 1.0 — kept deliberately (they prove the
+    // scoring path end to end and the oracle replays them).
+    Q("q67_ann_knn_join",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.knnJoin(e, col("vec_id"), col("embedding"),
+            e.filter(col("vec_id") % 100 === 0), col("vec_id"),
+            col("embedding"), k = 5)
+          .orderBy("query_id", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |s AS (SELECT query_id, vec_id,
+        |    round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM e, q)
+        |SELECT query_id, vec_id, cos_sim FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos_sim DESC, vec_id) <= 5
+        |ORDER BY query_id, vec_id""".stripMargin),
+      "batch kNN join: per-query top-k via broadcast queries + TopKPerKey node")
   )
 }

@@ -233,6 +233,42 @@ object DedupQueries {
         |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src)
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin),
-      "near-dup clusters: connected components of the LSH pair graph")
+      "near-dup clusters: connected components of the LSH pair graph"),
+
+    // q68 — the dedup last mile: PRUNE the corpus to one representative
+    // per near-dup cluster (min doc_id) plus all unclustered docs —
+    // what a pretraining build actually keeps. Same candidate chain as
+    // q37; the prune itself is one anti-join against the non-
+    // representative members.
+    Q("q68_neardup_prune",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+            n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 100))
+        val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some(s"""${gramCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$minhashCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM j
+        |  WHERE round(shared / (na + nb - shared), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+        |drop AS (SELECT id AS doc_id FROM cc GROUP BY id
+        |  HAVING min(label) <> id)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |ANTI JOIN drop USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+      "near-dup pruning: keep one representative per cluster + unclustered docs")
   )
 }

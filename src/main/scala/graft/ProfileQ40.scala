@@ -27,9 +27,14 @@ object ProfileQ40 {
     time("warm")(noop(docs))
     val fp = docs.select(col("doc_id"),
       winnowFingerprints(col("text"), n = 3, w = 4).as("fps"))
-    time("winnow projection")(noop(fp))
-    time("winnow projection x2")(noop(fp))
-    val ex = fp.select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+    time("composed projection")(noop(fp))
+    time("composed projection x2")(noop(fp))
+    val fpN = docs.select(col("doc_id"),
+      graft.functions.Winnow.fingerprintsCol(col("text"), 3, 4).as("fps"))
+    time("native projection")(noop(fpN))
+    time("native projection x2")(noop(fpN))
+    val fp2 = fpN
+    val ex = fp2.select(col("doc_id"), explode(col("fps")).as("fingerprint"))
     time("+ explode")(noop(ex))
     time("+ sort (q40 full)")(noop(ex.orderBy("doc_id", "fingerprint")))
     spark.stop()

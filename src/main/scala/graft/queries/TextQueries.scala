@@ -167,9 +167,13 @@ object TextQueries {
     // n+w-1 = 6 words between two docs shares >=1 fingerprint — the
     // partial-overlap detector that whole-doc md5 (q33) cannot provide.
     Q("q40_text_winnowing",
+      // native one-pass kernel (functions/Winnow.scala); bit-identical
+      // to the composed TextFunctions.winnowFingerprints (property-
+      // tested) and to this DuckDB oracle.
       (s, d) => Tables(s, d, "documents")
         .select(col("doc_id"),
-          explode(winnowFingerprints(col("text"), n = 3, w = 4)).as("fingerprint"))
+          explode(graft.functions.Winnow.fingerprintsCol(
+            col("text"), n = 3, w = 4)).as("fingerprint"))
         .orderBy("doc_id", "fingerprint"),
       Some("""WITH w AS (
         |  SELECT doc_id,

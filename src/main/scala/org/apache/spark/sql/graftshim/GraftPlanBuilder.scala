@@ -18,4 +18,14 @@ object GraftPlanBuilder {
   /** The analyzed logical plan of a DataFrame (private[sql] accessor). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Column ↔ Expression bridge (private[sql] in Spark 4's classic
+    * module) — lets library code build Columns over custom Catalyst
+    * expressions without a per-session function-registry round-trip.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

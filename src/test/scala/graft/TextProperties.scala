@@ -32,6 +32,23 @@ object TextProperties extends Properties("graft.text") {
       fps(0).intersect(fps(1)).nonEmpty
     }
 
+  /** The native winnow kernel is bit-identical to the composed
+    * expression form on arbitrary documents (including docs shorter
+    * than one gram or one window).
+    */
+  property("winnowing: native kernel == composed expression chain") =
+    forAll(wordSeq) { doc =>
+      import spark.implicits._
+      val df = Seq(doc.mkString(" ")).toDF("text")
+      val composed = df.select(graft.functions.TextFunctions
+          .winnowFingerprints(col("text"), n = 3, w = 4))
+        .head().getSeq[Long](0)
+      val native = df.select(graft.functions.Winnow
+          .fingerprintsCol(col("text"), n = 3, w = 4))
+        .head().getSeq[Long](0)
+      native == composed
+    }
+
   /** Exact dedup conserves rows: the copy counts sum to the input size. */
   property("exact dedup: sum(n_copies) == row count") =
     forAll(Gen.resize(30, Gen.listOf(Gen.oneOf("a b c", "d e f", "g h i")))) { texts =>

@@ -44,8 +44,12 @@ object TextFunctions {
     when(size(ws) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
+  /** Gram arrays route through the native one-pass kernel
+    * (WordGramsNative — bit-identical to `wordGrams`, property-tested);
+    * the composed `wordGrams` remains as the cross-check reference.
+    */
   def distinctGrams(text: Column, n: Int): Column =
-    array_distinct(wordGrams(words(text), n))
+    array_distinct(WordGramsNative.gramsCol(words(text), n))
 
   /** 60-bit uniform hash: first 15 hex chars of md5("<seed>#<v>"), as a
     * non-negative LongType. DuckDB equivalent:

@@ -169,7 +169,8 @@ object Curation {
           round(col("top").cast("double") / col("n"), 4).as(outName))
     val uni = topFrac(ws.select(col("doc_id"), size(col("ws")).as("n"),
       explode(col("ws")).as("t")), "top_word_frac")
-    val bi = topFrac(ws.select(col("doc_id"), wordGrams(col("ws"), 2).as("gs"))
+    val bi = topFrac(ws.select(col("doc_id"),
+      graft.functions.WordGramsNative.gramsCol(col("ws"), 2).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"), size(col("gs")).as("n"),
         explode(col("gs")).as("t")), "top_bigram_frac")

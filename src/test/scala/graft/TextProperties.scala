@@ -32,6 +32,21 @@ object TextProperties extends Properties("graft.text") {
       fps(0).intersect(fps(1)).nonEmpty
     }
 
+  /** The native gram kernel is bit-identical to the composed zip_with
+    * form on arbitrary word lists (including lists shorter than n).
+    */
+  property("wordGrams: native kernel == composed expression chain") =
+    forAll(wordSeq, Gen.choose(1, 5)) { (doc, n) =>
+      import spark.implicits._
+      val df = Seq(doc.mkString(" ")).toDF("text")
+        .select(graft.functions.TextFunctions.words(col("text")).as("ws"))
+      val composed = df.select(graft.functions.TextFunctions
+        .wordGrams(col("ws"), n)).head().getSeq[String](0)
+      val native = df.select(graft.functions.WordGramsNative
+        .gramsCol(col("ws"), n)).head().getSeq[String](0)
+      native == composed
+    }
+
   /** The native winnow kernel is bit-identical to the composed
     * expression form on arbitrary documents (including docs shorter
     * than one gram or one window).

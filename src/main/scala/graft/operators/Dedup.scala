@@ -193,6 +193,37 @@ object Dedup {
       .filter(col("jaccard") >= thr)
   }
 
+  /** Asymmetric gram containment: |grams(a) ∩ grams(b)| / |grams(a)| —
+    * detects documents CONTAINED in others (quotes, boilerplate
+    * wrappers, subset pages), which symmetric Jaccard misses when the
+    * containing doc is much larger. Emits BOTH directions of every
+    * overlapping pair that clears `thr`. Same DF-capped pair machinery
+    * as `ngramJaccard` (one gram shuffle, hot grams dropped), so the
+    * same linearity bound applies.
+    */
+  def containment(df: DataFrame, id: Column, text: Column,
+                  n: Int, thr: Double, maxDf: Int): DataFrame = {
+    val d = gramSets(df, id, text, n).cache()
+    val g = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gram")
+    val kept = g.join(hot, Seq("gram"), "left_anti").cache()
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val both = shared.union(
+      shared.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        col("shared")))
+    both
+      .join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / col("n_grams"), 4)
+          .as("containment"))
+      .filter(col("containment") >= thr)
+  }
+
   /** MinHash + LSH near-dup pairs, verified by exact Jaccard over the
     * full gram sets. numPerm permutations split into `bands` bands;
     * band-buckets larger than `maxBucket` docs are discarded before

@@ -269,6 +269,35 @@ object DedupQueries {
         |SELECT d.doc_id, d.lang FROM documents d
         |ANTI JOIN drop USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
-      "near-dup pruning: keep one representative per cluster + unclustered docs")
+      "near-dup pruning: keep one representative per cluster + unclustered docs"),
+
+    // q69 — asymmetric containment: doc_a's gram set covered >= 60% by
+    // doc_b's (catches quotes/boilerplate subsets that symmetric
+    // Jaccard misses when the containing doc is much larger). Both
+    // directions emitted; same DF cap as q23.
+    Q("q69_containment",
+      (s, d) => Dedup.containment(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, thr = 0.6, maxDf = 20)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$gramCtes,
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 20),
+        |k AS (SELECT g.doc_id, g.gram FROM g ANTI JOIN hot USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) AS shared
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs2 AS (
+        |  SELECT doc_a, doc_b, shared FROM p
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, shared FROM p),
+        |c AS (
+        |  SELECT doc_a, doc_b, round(shared / sz.n, 4) AS containment
+        |  FROM pairs2 JOIN sz ON doc_a = sz.doc_id)
+        |SELECT * FROM c WHERE containment >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "asymmetric gram containment (quote/boilerplate subset detection)")
   )
 }

@@ -28,6 +28,11 @@ object Winnow {
 
   private val seedPrefix = "0#".getBytes("UTF-8")
 
+  // one digest per task thread, not one lookup+alloc per row
+  private val localMd5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** Static kernel: words array → distinct window-min gram hashes.
     * Input elements must be non-null (the `words()` tokenizer output).
     */
@@ -41,7 +46,7 @@ object Winnow {
       wordBytes(i) = ws.getUTF8String(i).getBytes
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd5.get()
     val hs = new Array[Long](numGrams)
     i = 0
     while (i < numGrams) {

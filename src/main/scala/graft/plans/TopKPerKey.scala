@@ -28,6 +28,12 @@ import org.apache.spark.sql.graftshim.GraftPlanBuilder
   * Determinism: callers include a tiebreak column in `order` (as q49
   * does), making the kept set unique, so the DuckDB oracle replays it
   * exactly.
+  *
+  * Memory: per-task state is one k-bounded heap per distinct key in
+  * the partition (≤ k·keys rows) and does NOT spill — the same
+  * contract as a pre-spill hash aggregate. With the partial phase
+  * upstream the final phase sees ≤ k·inputPartitions rows per key, so
+  * sizing follows directly from k and the key cardinality per task.
   */
 case class TopKPerKey(k: Int, keys: Seq[Attribute], order: Seq[SortOrder],
                       child: LogicalPlan) extends UnaryNode {

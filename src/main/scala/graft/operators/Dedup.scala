@@ -153,7 +153,8 @@ object Dedup {
   def gramSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc_id"), words(text).as("ws"))
       .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), array_distinct(wordGrams(col("ws"), n)).as("grams"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.WordGramsNative.gramsCol(col("ws"), n)).as("grams"))
 
   /** N-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= thr) over
     * DF-capped gram sets: grams appearing in more than `maxDf` documents

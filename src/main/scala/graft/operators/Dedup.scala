@@ -274,13 +274,22 @@ object Dedup {
       .filter(col("jaccard") >= thr)
   }
 
-  /** 60-bit SimHash fingerprint per document (word-level features): one
-    * codegen'd md5 per token, then ONE wide hash aggregate (60 ±1-bit
-    * sums with map-side partial combine — the shuffle carries 60 longs
-    * per doc, not 60 rows per token like the explode-per-(token,bit)
-    * formulation this replaces).
+  /** 60-bit SimHash fingerprint per document (word-level features),
+    * computed per-row by the native SimHashExpr kernel — NO shuffle at
+    * all (the aggregate formulation this replaces exploded one row per
+    * token and shuffled 60 partial sums per doc). Token-less docs are
+    * dropped, matching the aggregate form which never emitted them;
+    * bit-equality with that form is property-tested.
     */
-  def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhashFingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.SimHashNative.fingerprintCol(text).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The replaced aggregate formulation, kept as the cross-check
+    * reference for the equality property (TextProperties).
+    */
+  def simhashFingerprintsAgg(df: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(words(text)).as("word"))
       .filter(length(col("word")) > 0)
       .select(col("doc_id"), hash60(col("word"), 0).as("h"))

@@ -47,6 +47,24 @@ object TextProperties extends Properties("graft.text") {
       native == composed
     }
 
+  /** The native per-row SimHash kernel equals the explode+aggregate
+    * formulation on arbitrary documents (including docs with empty or
+    * no tokens, which both must drop).
+    */
+  property("simhash: native kernel == aggregate formulation") =
+    forAll(Gen.resize(5, Gen.nonEmptyListOf(wordSeq))) { docsWords =>
+      import spark.implicits._
+      val df = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def asMap(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      asMap(graft.operators.Dedup.simhashFingerprints(
+        df, col("doc_id"), col("text"))) ==
+        asMap(graft.operators.Dedup.simhashFingerprintsAgg(
+          df, col("doc_id"), col("text")))
+    }
+
   /** The native winnow kernel is bit-identical to the composed
     * expression form on arbitrary documents (including docs shorter
     * than one gram or one window).

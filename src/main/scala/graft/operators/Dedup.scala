@@ -242,17 +242,14 @@ object Dedup {
     // Cached (gram arrays): consumed by the signature build and both
     // verify-stage joins; released by the runner's clearCache().
     val d = gramSets(df, id, text, n).cache()
-    // Signature = one codegen'd md5 per gram instance + numPerm cheap
-    // permutations, min-combined in ONE hash aggregate (map-side partial
-    // min, one small shuffle of numPerm longs per doc). This beats both
-    // md5-per-(gram,seed) (16x the hashing) and per-row higher-order
-    // functions (interpreted, no codegen).
-    val h = d.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), hash60(col("gram"), 0).as("h"))
-    val mins = (0 until numPerm).map(s => min(permHash(col("h"), s)).as(s"m$s"))
-    val sig = h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerm).map(s => col(s"m$s")): _*).as("sig"))
+    // Signature = native per-row kernel (MinHashSigExpr): one md5 per
+    // gram + numPerm cheap permutations min-combined in ONE array pass
+    // — NO shuffle (the aggregate formulation this replaces is kept as
+    // minhashSignaturesAgg for the equality property).
+    val sig = d.select(col("doc_id"),
+        graft.functions.MinHashNative.signatureCol(col("grams"), numPerm)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
     val bandCols = (0 until bands).map(b => bandSignature(col("sig"), b, bandSize))
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_sig")))
@@ -285,6 +282,20 @@ object Dedup {
     df.select(id.as("doc_id"),
         graft.functions.SimHashNative.fingerprintCol(text).as("simhash"))
       .filter(col("simhash").isNotNull)
+
+  /** The replaced aggregate MinHash-signature formulation, kept as the
+    * cross-check reference for the equality property (TextProperties).
+    */
+  def minhashSignaturesAgg(df: DataFrame, id: Column, text: Column,
+                           n: Int, numPerm: Int): DataFrame = {
+    val d = gramSets(df, id, text, n)
+    val h = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), hash60(col("gram"), 0).as("h"))
+    val mins = (0 until numPerm).map(s => min(permHash(col("h"), s)).as(s"m$s"))
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(s => col(s"m$s")): _*).as("sig"))
+  }
 
   /** The replaced aggregate formulation, kept as the cross-check
     * reference for the equality property (TextProperties).

@@ -47,6 +47,27 @@ object TextProperties extends Properties("graft.text") {
       native == composed
     }
 
+  /** The native per-row MinHash signature kernel equals the
+    * explode+aggregate formulation on arbitrary documents.
+    */
+  property("minhash signature: native kernel == aggregate formulation") =
+    forAll(Gen.resize(5, Gen.nonEmptyListOf(wordSeq))) { docsWords =>
+      import spark.implicits._
+      val df = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val native = graft.operators.Dedup
+        .gramSets(df, col("doc_id"), col("text"), 3)
+        .select(col("doc_id"), graft.functions.MinHashNative
+          .signatureCol(col("grams"), 16).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val agg = graft.operators.Dedup
+        .minhashSignaturesAgg(df, col("doc_id"), col("text"), 3, 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      native == agg
+    }
+
   /** The native per-row SimHash kernel equals the explode+aggregate
     * formulation on arbitrary documents (including docs with empty or
     * no tokens, which both must drop).

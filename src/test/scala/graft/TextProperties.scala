@@ -47,6 +47,25 @@ object TextProperties extends Properties("graft.text") {
       native == composed
     }
 
+  /** The containment guarantee: a document whose words appear as a
+    * consecutive run inside another document has containment 1.0 in
+    * the contained→containing direction (every gram of the small doc
+    * exists in the large one), regardless of the padding.
+    */
+  property("containment: embedded doc is fully contained") =
+    forAll(Gen.resize(10, Gen.listOfN(5, word)), wordSeq, wordSeq) {
+      (run, padA, padB) =>
+      import spark.implicits._
+      val df = Seq(
+        (1L, run.mkString(" ")),
+        (2L, (padA ++ run ++ padB).mkString(" "))).toDF("doc_id", "text")
+      val got = graft.operators.Dedup.containment(df, col("doc_id"),
+          col("text"), n = 3, thr = 0.99, maxDf = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      got.get((1L, 2L)).contains(1.0)
+    }
+
   /** The native per-row MinHash signature kernel equals the
     * explode+aggregate formulation on arbitrary documents.
     */

@@ -298,6 +298,51 @@ object DedupQueries {
         |  FROM pairs2 JOIN sz ON doc_a = sz.doc_id)
         |SELECT * FROM c WHERE containment >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
-      "asymmetric gram containment (quote/boilerplate subset detection)")
+      "asymmetric gram containment (quote/boilerplate subset detection)"),
+
+    // q70 — the MinHash accuracy audit (q54/q63 pattern for the
+    // signature sketch): for every verified near-dup pair, the
+    // signature-agreement estimate (matching components / 16) is
+    // emitted alongside the exact Jaccard. `close` is computed from
+    // BOTH values identically on both engines, so the audit itself is
+    // oracle-checked; 0.35 ≈ 3σ for 16 permutations at j≈0.5.
+    Q("q70_minhash_estimate",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+          n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 100)
+        val sigs = Dedup.gramSets(docs, col("doc_id"), col("text"), 3)
+          .select(col("doc_id"),
+            graft.functions.MinHashNative.signatureCol(col("grams"), 16)
+              .as("sig"))
+        pairs
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            round(aggregate(zip_with(col("sa"), col("sb"),
+                (x, y) => (x === y).cast("int")), lit(0),
+              (acc, x) => acc + x).cast("double") / 16.0, 4).as("est_jaccard"))
+          .withColumn("close",
+            abs(col("est_jaccard") - col("jaccard")) <= 0.35)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$gramCtes,
+        |$minhashCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b, round(shared / (na + nb - shared), 4) AS jaccard
+        |  FROM j WHERE round(shared / (na + nb - shared), 4) >= 0.5),
+        |est AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / 16, 4) AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sigs sa ON p.doc_a = sa.doc_id
+        |  JOIN sigs sb ON p.doc_b = sb.doc_id AND sa.s = sb.s
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.jaccard, e.est_jaccard,
+        |  abs(e.est_jaccard - p.jaccard) <= 0.35 AS close
+        |FROM pairs p JOIN est e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin),
+      "MinHash signature-estimate vs exact Jaccard accuracy audit")
   )
 }

@@ -156,6 +156,34 @@ object Dedup {
       .select(col("doc_id"), array_distinct(
         graft.functions.WordGramsNative.gramsCol(col("ws"), n)).as("grams"))
 
+  /** Posting buckets: one row per surviving gram holding the SORTED
+    * array of doc_ids that contain it, built in a single bounded
+    * aggregation (`BoundedLongListAgg`). Grams with document frequency
+    * > maxDf eval to NULL inside the aggregate — the DF skew cap — so
+    * a corpus-wide stopword shingle never materializes its posting
+    * list anywhere: not in the agg buffer (hard-capped at maxDf+1
+    * longs), not in the shuffle, not downstream. This ONE shuffle
+    * replaces the previous count→anti-join→self-join shape (three
+    * shuffles of the exploded gram table plus two caches).
+    */
+  private def gramBuckets(d: DataFrame, maxDf: Int): DataFrame =
+    d.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("gram")
+      .agg(graft.functions.BoundedLongList(col("doc_id"), maxDf).as("docs"))
+      .filter(col("docs").isNotNull)
+      .select(sort_array(col("docs")).as("docs"))
+
+  /** All ordered (doc_a < doc_b) pairs from each posting bucket,
+    * emitted per-row with higher-order functions — no join. A bucket
+    * of size m (m <= the cap) emits m(m-1)/2 pairs, so the total pair
+    * count stays linear in corpus size for a fixed cap.
+    */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets.select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+
   /** N-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= thr) over
     * DF-capped gram sets: grams appearing in more than `maxDf` documents
     * are removed from every set before pairing AND before the set sizes —
@@ -169,22 +197,15 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
                    n: Int, thr: Double, maxDf: Int): DataFrame = {
-    // Cached: the gram computation is the dominant per-row cost and is
-    // otherwise recomputed by the DF pass AND the kept build.
-    val d = gramSets(df, id, text, n).cache()
-    val g = d.select(col("doc_id"), explode(col("grams")).as("gram"))
-    // grams are pre-distinct per doc, so count == document frequency
-    val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("gram")
-    // Cached: consumed by the self-join (both sides) and the size agg.
-    // Released by the query runner's clearCache() — operators cannot
-    // unpersist a plan their caller has not consumed yet.
-    val kept = g.join(hot, Seq("gram"), "left_anti").cache()
-    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val pairs = kept.as("a").join(kept.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    // Cached: consumed by both the size agg and the pair agg; bounded
+    // (<= maxDf longs per surviving gram). Released by the query
+    // runner's clearCache() — operators cannot unpersist a plan their
+    // caller has not consumed yet.
+    val buckets = gramBuckets(gramSets(df, id, text, n), maxDf).cache()
+    val sz = buckets.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val pairs = bucketPairs(buckets)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     pairs
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -204,16 +225,11 @@ object Dedup {
     */
   def containment(df: DataFrame, id: Column, text: Column,
                   n: Int, thr: Double, maxDf: Int): DataFrame = {
-    val d = gramSets(df, id, text, n).cache()
-    val g = d.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("gram")
-    val kept = g.join(hot, Seq("gram"), "left_anti").cache()
-    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shared = kept.as("a").join(kept.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val buckets = gramBuckets(gramSets(df, id, text, n), maxDf).cache()
+    val sz = buckets.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = bucketPairs(buckets)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val both = shared.union(
       shared.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
         col("shared")))
@@ -237,7 +253,6 @@ object Dedup {
   def minhashLsh(df: DataFrame, id: Column, text: Column, n: Int,
                  numPerm: Int, bands: Int, thr: Double,
                  maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bandSize = numPerm / bands
     // Cached (gram arrays): consumed by the signature build and both
     // verify-stage joins; released by the runner's clearCache().
@@ -253,15 +268,17 @@ object Dedup {
     val bandCols = (0 until bands).map(b => bandSignature(col("sig"), b, bandSize))
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band_sig")))
-    val guarded = banded
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("band_id", "band_sig")))
-      .filter(col("bn") <= maxBucket).drop("bn")
-    val cand = guarded.as("a").join(guarded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Band buckets via the bounded aggregate: buckets larger than
+    // maxBucket eval to NULL and are dropped (degenerate-signature
+    // guard), the rest emit their candidate pairs per-row — replacing
+    // the previous window-count guard (a full sort of the banded
+    // table) plus band-key self-join with ONE aggregation.
+    val cand = bucketPairs(
+        banded.groupBy("band_id", "band_sig")
+          .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
+            .as("docs"))
+          .filter(col("docs").isNotNull)
+          .select(sort_array(col("docs")).as("docs")))
       .distinct()
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")

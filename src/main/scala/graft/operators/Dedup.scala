@@ -168,7 +168,12 @@ object Dedup {
     */
   private def gramBuckets(d: DataFrame, maxDf: Int): DataFrame =
     d.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .groupBy("gram")
+      // Shingle hashing: group/shuffle 8-byte xxhash64 keys instead of
+      // ~25-byte gram strings (3x less shuffle, cheaper compares). A
+      // 64-bit collision merges two grams' postings — P ≈ G²/2⁶⁵,
+      // ~1e-11 even at 10M distinct grams per partition-group — the
+      // same accepted tradeoff MinHash makes hashing shingles.
+      .groupBy(xxhash64(col("gram")).as("gram"))
       .agg(graft.functions.BoundedLongList(col("doc_id"), maxDf).as("docs"))
       .filter(col("docs").isNotNull)
       .select(sort_array(col("docs")).as("docs"))
@@ -181,6 +186,18 @@ object Dedup {
   private def bucketPairs(buckets: DataFrame): DataFrame =
     buckets.select(explode(flatten(transform(col("docs"), (x, i) =>
         transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+
+  /** Both directions of every in-bucket pair in ONE pass — for
+    * asymmetric metrics (containment). Emitting (a,b) AND (b,a) at the
+    * explode doubles the pair-agg input but avoids the alternative: a
+    * union of two aggregations over the same subtree, which runs the
+    * explode+count twice.
+    */
+  private def bucketPairsBoth(buckets: DataFrame): DataFrame =
+    buckets.select(explode(flatten(transform(col("docs"), x =>
+        transform(filter(col("docs"), y => y =!= x),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
 
@@ -228,11 +245,8 @@ object Dedup {
     val buckets = gramBuckets(gramSets(df, id, text, n), maxDf).cache()
     val sz = buckets.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val shared = bucketPairs(buckets)
+    val both = bucketPairsBoth(buckets)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    val both = shared.union(
-      shared.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-        col("shared")))
     both
       .join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .select(col("doc_a"), col("doc_b"),

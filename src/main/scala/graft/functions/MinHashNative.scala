@@ -29,10 +29,30 @@ object MinHashNative {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
+  /** Permutation constants flattened to (a,b,c) triples in one long
+    * array, computed once per numPerm — the per-row loop must only
+    * READ three longs per permutation, not re-derive (and re-box) the
+    * splitmix-mixed tuples on every row of a per-row-throughput kernel.
+    */
+  private val constsCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  private def consts(numPerm: Int): Array[Long] =
+    constsCache.computeIfAbsent(numPerm, np => {
+      val arr = new Array[Long](3 * np)
+      var s = 0
+      while (s < np) {
+        val (a, b, c) = TextFunctions.permConst(s)
+        arr(3 * s) = a; arr(3 * s + 1) = b; arr(3 * s + 2) = c
+        s += 1
+      }
+      arr
+    })
+
   def signature(grams: ArrayData, numPerm: Int): ArrayData = {
     val n = grams.numElements()
     if (n == 0) return null
-    val consts = Array.tabulate(numPerm)(TextFunctions.permConst)
+    val cs = consts(numPerm)
     val mins = Array.fill(numPerm)(Long.MaxValue)
     val md = localMd5.get()
     var i = 0
@@ -49,8 +69,7 @@ object MinHashNative {
       val h2 = v >> 30
       var s = 0
       while (s < numPerm) {
-        val (a, bb, c) = consts(s)
-        val p = (a * h1 + bb * h2 + c) % 2147483647L
+        val p = (cs(3 * s) * h1 + cs(3 * s + 1) * h2 + cs(3 * s + 2)) % 2147483647L
         if (p < mins(s)) mins(s) = p
         s += 1
       }

@@ -27,12 +27,14 @@ object Curation {
     * makes corpus debugging impossible at 100 TB.
     *
     * The ratios (and the threshold comparisons on them) use EXACT
-    * integer basis-point arithmetic — floor((2·num·10^4 + den)/(2·den))
-    * is the true round-half-up of num/den — because rounding a
-    * double-computed ratio flips across engines when a value lands
-    * within 1 ulp of a rounding boundary, and a flipped 4th decimal
-    * here flips `keep` whenever it touches a threshold. At 100 TB that
-    * is not hypothetical: one-in-~15k docs hit a boundary in testing.
+    * integer basis-point arithmetic — (2·num·10^4 + den) div (2·den)
+    * is the true round-half-up of num/den, evaluated with Catalyst's
+    * IntegralDivide (IntMath.bp) so no float enters the path — because
+    * rounding a double-computed ratio flips across engines when a value
+    * lands within 1 ulp of a rounding boundary, and a flipped 4th
+    * decimal here flips `keep` whenever it touches a threshold. At
+    * 100 TB that is not hypothetical: one-in-~15k docs hit a boundary
+    * in testing.
     */
   def qualitySignals(df: DataFrame, id: Column, text: Column,
                      stopwords: Seq[String],
@@ -45,10 +47,8 @@ object Curation {
       (acc, x) => acc + x).cast("long")
     val alphaCnt = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
     val stopHits = size(filter(ws, w => w.isin(stopwords: _*)))
-    def bp(num: Column, den: Column): Column =
-      floor((num * 20000L + den) / (den * 2L))
-    val meanBp = bp(charSum, nWords)
-    val alphaBp = bp(alphaCnt, nWords)
+    val meanBp = graft.functions.IntMath.bp(charSum, nWords)
+    val alphaBp = graft.functions.IntMath.bp(alphaCnt, nWords)
     df.select(
       id.as("doc_id"),
       nWords.cast("int").as("n_words"),

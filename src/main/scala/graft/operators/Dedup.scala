@@ -345,13 +345,51 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (pigeonhole:
     * 4 chunks of 15 bits; hamming<=3 implies at least one chunk equal).
+    *
+    * Candidates come from BOUNDED chunk buckets (the same
+    * `BoundedLongList` machinery as `minhashLsh`/`embeddingNearDupLsh`):
+    * a (c, chunk) key holding more than `maxBucket` docs evals to NULL
+    * inside the aggregate and is dropped before pairing, so a
+    * degenerate 15-bit chunk value — e.g. a corpus of short near-empty
+    * docs whose fingerprints share a chunk — can never go quadratic
+    * inside one join key. The cap is part of the recall contract (like
+    * the LSH caps) and must be replayed by any oracle. Pair volume is
+    * linear in corpus size for a fixed cap; the previous chunk
+    * self-join was the last uncapped candidate join in the dedup
+    * family.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, maxBucket: Int): DataFrame = {
     require(maxDist <= 3, "chunking is sized for hamming <= 3")
-    // Cached: the chunk projection self-joins (both sides re-derive fp);
-    // released by the runner's clearCache().
+    // Cached: consumed by the chunk bucketing and both verify-stage
+    // joins; released by the runner's clearCache().
     val fp = simhashFingerprints(df, id, text).cache()
+    val chunks = fp.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("c"), col("simhash"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))
+    val cand = bucketPairs(
+        chunks.groupBy("c", "chunk")
+          .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
+            .as("docs"))
+          .filter(col("docs").isNotNull)
+          .select(sort_array(col("docs")).as("docs")))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The replaced chunk self-join formulation (uncapped), kept as the
+    * cross-check reference for the capped-vs-uncapped equality property
+    * (TextProperties): on any corpus whose chunk buckets stay within
+    * the cap, `simhashPairs` must emit exactly these pairs.
+    */
+  def simhashPairsJoinRef(df: DataFrame, id: Column, text: Column,
+                          maxDist: Int): DataFrame = {
+    val fp = simhashFingerprints(df, id, text)
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))
@@ -393,10 +431,15 @@ object Dedup {
     * small; recall for a pair with per-bit agreement p is 1-(1-p^r)^B
     * (documented <1: this operator trades recall for a 10-100x pair-space
     * cut; raise `bands` for higher recall).
+    *
+    * `maxBucket` is part of the RECALL CONTRACT, not a tuning detail:
+    * candidates from degenerate-signature buckets larger than the cap
+    * are dropped entirely, so callers must choose it explicitly (like
+    * `minhashLsh`) and replay it in any oracle.
     */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
                           thr: Double, bands: Int, bitsPerBand: Int,
-                          maxBucket: Int = 10000): DataFrame = {
+                          maxBucket: Int): DataFrame = {
     graft.functions.ArrayCosine.register(df.sparkSession)
     import graft.functions.ArrayCosine.cosine
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))

@@ -67,17 +67,21 @@ object Similarity {
     * fully deterministic); the probe scans ONLY the query's centroid
     * bucket.
     *
-    * Scale shape: the centroid table is tiny (labels x dims) and
-    * broadcast; assignment is a per-row argmax over C fused cosines
-    * (linear scan, one window shuffle on vec_id — swap for groupBy
-    * max(struct) if C grows); the probe reads 1/C of the data in
-    * expectation. This is the standard IVF architecture: at 100 TB the
-    * assignment is written once at ingest (partitioned by bucket) and
-    * probes touch one partition.
+    * Scale shape: the quantizer collapses to ONE broadcast row holding
+    * all C centroids (label-ascending), and assignment is a per-row
+    * argmax FOLD over that array — the corpus never shuffles for
+    * assignment (the previous form cross-joined C rows per vector and
+    * sorted them through a `Window.partitionBy(vec_id)` exchange, which
+    * at 100× would have been the plan's dominant cost). The fold's `>`
+    * uses Spark's total double ordering (NaN largest), identical to the
+    * window's `orderBy(sim.desc, c_lbl)` it replaces; first-wins on
+    * ties = min label, matching the oracle's row_number tiebreak. The
+    * probe reads 1/C of the data in expectation. This is the standard
+    * IVF architecture: at 100 TB the assignment is written once at
+    * ingest (partitioned by bucket) and probes touch one partition.
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, label: Column,
               queryId: Long, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
     val cents = e.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -86,11 +90,21 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("lbl").as("c_lbl"),
         transform(col("pc"), p => p.getField("c")).as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_lbl"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("sim", round(cos(col("v"), col("cv")), 4))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("c_lbl").as("bucket"))
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("c_lbl"), col("cv")))).as("cents"))
+    // zero: sim = -2 (< any cosine) so element 1 always replaces it; its
+    // label rides along only to give the fold a correctly-typed slot.
+    val zero = struct(lit(-2.0).as("sim"),
+      element_at(col("cents"), 1).getField("c_lbl").as("lbl"))
+    val best = aggregate(col("cents"), zero, (acc, cent) => {
+      val sim = round(cos(col("v"), cent.getField("cv")), 4)
+      when(sim > acc.getField("sim"),
+        struct(sim.as("sim"), cent.getField("c_lbl").as("lbl")))
+        .otherwise(acc)
+    })
+    val assigned = e.crossJoin(broadcast(centArr))
+      .withColumn("bucket", best.getField("lbl"))
+      .select(col("vec_id"), col("v"), col("bucket"))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
     assigned.filter(col("vec_id") =!= queryId)

@@ -123,10 +123,12 @@ object DedupQueries {
       "MinHash+LSH near-dup (1-md5 permutation scheme, capped band buckets, exact-Jaccard verify)"),
 
     // SimHash 60-bit fingerprints; hamming<=3 pairs via 4x15-bit chunk
-    // pigeonhole buckets.
+    // pigeonhole buckets, each bucket capped at 100 docs (the same
+    // degenerate-key guard as q24/q26 — the oracle replays the cap via
+    // the QUALIFY window below).
     Q("q25_dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables(s, d, "documents"),
-          col("doc_id"), col("text"), maxDist = 3)
+          col("doc_id"), col("text"), maxDist = 3, maxBucket = 100)
         .orderBy("doc_a", "doc_b"),
       Some("""WITH w AS (
         |  SELECT doc_id,
@@ -146,10 +148,12 @@ object DedupQueries {
         |ch AS (
         |  SELECT doc_id, simhash, t.c, (simhash >> (t.c * 15)) & 32767 AS chunk
         |  FROM fp, generate_series(0, 3) AS t(c)),
+        |guard AS (SELECT * FROM ch
+        |  QUALIFY count(*) OVER (PARTITION BY c, chunk) <= 100),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.simhash AS sim_a, b.simhash AS sim_b
-        |  FROM ch a JOIN ch b
+        |  FROM guard a JOIN guard b
         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3

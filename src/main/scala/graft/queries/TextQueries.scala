@@ -45,19 +45,19 @@ object TextQueries {
     // Quality scoring: length/punctuation/stopword signals combined into
     // a deterministic score (same raw-expression order as the oracle).
     // Every emitted ratio is EXACT integer basis-point arithmetic:
-    // halfUp(a·10^4 / b) = floor((2·a·10^4 + b) / (2b)) over positive
-    // longs is the mathematically-correct round-half-up of the true
-    // rational a/b — no double ever enters the rounding path. Rounding
-    // a double-computed ratio instead diverges across engines whenever
-    // the value lands within 1 ulp of a .00005 boundary (observed at
-    // sf0.1: 3 of 50k docs differed in the 4th decimal while sf0.01
-    // never hits a boundary — the bug class that only appears at scale).
-    // The final /10000.0 maps the same integer to the same double on
-    // every engine.
+    // halfUp(a·10^4 / b) = (2·a·10^4 + b) div (2b) over positive longs
+    // is the mathematically-correct round-half-up of the true rational
+    // a/b — IntMath routes it through Catalyst's IntegralDivide (the
+    // same operation as DuckDB's `//`), so no double ever enters the
+    // rounding path. Rounding a double-computed ratio instead diverges
+    // across engines whenever the value lands within 1 ulp of a .00005
+    // boundary (observed at sf0.1: 3 of 50k docs differed in the 4th
+    // decimal while sf0.01 never hits a boundary — the bug class that
+    // only appears at scale). The final /10000.0 maps the same integer
+    // to the same double on every engine.
     Q("q31_text_quality",
       (s, d) => {
-        def bp(num: Column, den: Column): Column =
-          floor((num * 20000L + den) / (den * 2L))
+        import graft.functions.IntMath.{bp, halfUp}
         val w = words(col("text"))
         val nWords = size(w).cast("long")
         val charSum = aggregate(transform(w, x => length(x)), lit(0),
@@ -69,8 +69,8 @@ object TextQueries {
         // score bp: min(1, n/200)·10^4 − punct_ratio·(0.5·10^4)
         // + stop_ratio·(0.2·10^4), each term exactly half-up rounded
         val scoreBp = least(lit(10000L), nWords * 50L) -
-          floor((punct * 10000L + nChars) / (nChars * 2L)) +
-          floor((stopCnt * 4000L + nWords) / (nWords * 2L))
+          halfUp(punct, nChars, 5000L) +
+          halfUp(stopCnt, nWords, 2000L)
         Tables(s, d, "documents").select(
           col("doc_id"),
           nWords.cast("int").as("n_words"),
@@ -206,7 +206,13 @@ object TextQueries {
     // shuffle is the per-doc top-1 window. Ranking uses a 6dp-rounded
     // score with a term tiebreak so engine float drift cannot flip the
     // winner; the reported score is rounded to 4dp like every derived
-    // float.
+    // float. Documented residual risk: raw = tf·ln(...) is
+    // transcendental — JVM and DuckDB libm may differ by 1 ulp, so a
+    // raw value landing exactly on a .0000005/.00005 rounding boundary
+    // could still flip the rounded score (no integer form exists for
+    // ln; the term tiebreak protects the RANKING but not the emitted
+    // tfidf). Never observed through sf0.1; if it ever fires, the fix
+    // is an epsilon comparison before the term tiebreak.
     Q("q61_tfidf_top_term",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

@@ -186,6 +186,30 @@ object TextProperties extends Properties("graft.text") {
       }
     }
 
+  /** The capped chunk-bucket simhash candidate machinery equals the
+    * replaced (uncapped) chunk self-join whenever no bucket exceeds the
+    * cap — and the cap branch itself is exercised: with maxBucket = 1
+    * every multi-doc bucket is dropped, so no pair can survive.
+    */
+  property("simhashPairs: capped buckets == uncapped self-join reference") =
+    forAll(Gen.resize(6, Gen.nonEmptyListOf(
+      Gen.resize(8, Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee")))))) {
+      docsWords =>
+      import spark.implicits._
+      val df = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def asSet(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val capped = asSet(graft.operators.Dedup.simhashPairs(
+        df, col("doc_id"), col("text"), maxDist = 3, maxBucket = 1000))
+      val ref = asSet(graft.operators.Dedup.simhashPairsJoinRef(
+        df, col("doc_id"), col("text"), maxDist = 3))
+      val choked = asSet(graft.operators.Dedup.simhashPairs(
+        df, col("doc_id"), col("text"), maxDist = 3, maxBucket = 1))
+      capped == ref && choked.isEmpty
+    }
+
   /** The bounded posting-bucket pair machinery (gramBuckets +
     * bucketPairs, via BoundedLongListAgg) computes exactly the DF-capped
     * pairwise Jaccard a direct reference computation produces — on

@@ -106,7 +106,8 @@ class DedupSpec extends SparkSpec {
     val fps = Dedup.simhashFingerprints(d, col("doc_id"), col("text"))
       .collect().map(_.getLong(1))
     assert(fps(0) === fps(1))
-    val pairs = Dedup.simhashPairs(d, col("doc_id"), col("text"), maxDist = 3)
+    val pairs = Dedup.simhashPairs(d, col("doc_id"), col("text"),
+        maxDist = 3, maxBucket = 100)
       .collect()
     assert(pairs.length === 1 && pairs.head.getInt(2) === 0)
   }
@@ -119,7 +120,7 @@ class DedupSpec extends SparkSpec {
       (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
       .toDF("vec_id", "embedding")
     val lsh = Dedup.embeddingNearDupLsh(vecs, col("vec_id"), col("embedding"),
-      thr = 0.9, bands = 10, bitsPerBand = 6).collect()
+      thr = 0.9, bands = 10, bitsPerBand = 6, maxBucket = 10000).collect()
     assert(lsh.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
       Seq((1L, 2L, 1.0)))
   }

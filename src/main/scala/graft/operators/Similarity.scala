@@ -37,16 +37,33 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign-LSH (axis-aligned hyperplane) bucketed ANN: scan only the
-    * query's bucket.
+  /** Sign-LSH (axis-aligned hyperplane) bucketed ANN with a MULTI-PROBE
+    * recall knob: `probes` = how many buckets to scan — the query's own
+    * bucket plus its Hamming-distance-1 neighbors in a fixed order
+    * (flip bit 0, bit 1, …). probes=1 is the classic single-bucket
+    * probe (~1/2^bits of the data); probes=P scans P/2^bits and
+    * recovers the near-dups that straddle exactly one hyperplane — the
+    * standard multi-probe LSH recall/scan trade
+    * (recall grows with P, scan cost linearly; brute force = the P=2^bits
+    * limit). The probe set stays a handful of broadcast rows, so the
+    * plan shape (scan + broadcast hash join + TakeOrdered) is unchanged
+    * at any P.
     */
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
-                  queryId: Long, k: Int, bits: Int): DataFrame = {
+                  queryId: Long, k: Int, bits: Int,
+                  probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1]: only Hamming<=1 neighbors are enumerated")
     ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"),
       signBucket(vec.cast("array<double>"), bits).as("bucket"))
+    // masks: 0 (own bucket), then single-bit flips in bit order. XOR of
+    // distinct masks gives distinct buckets, so no candidate appears twice.
+    val masks = (0L +: (0 until bits).map(b => 1L << b)).take(probes)
     val q = e.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .select(col("v").as("qv"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("qbucket"))
     e.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
@@ -79,12 +96,38 @@ object Similarity {
     * probe reads 1/C of the data in expectation. This is the standard
     * IVF architecture: at 100 TB the assignment is written once at
     * ingest (partitioned by bucket) and probes touch one partition.
+    *
+    * Two knobs close the remaining 100 TB gaps:
+    *  - `buildSamplePerMille` (+ seed): the quantizer is trained on a
+    *    deterministic md5-hash sample of the corpus instead of
+    *    posexploding every vector — at 100 TB a coarse quantizer is
+    *    always trained on a sample; hash-gating (not rand()) keeps the
+    *    trained centroids — and therefore every downstream assignment —
+    *    reproducible across runs, engines, and partitionings, so the
+    *    oracle replays the identical sample. Assignment + probe still
+    *    cover the FULL corpus.
+    *  - `nprobe`: scan the `nprobe` nearest centroid buckets instead of
+    *    one — the standard IVF recall knob (scan nprobe/C of the data;
+    *    recall grows toward brute force as nprobe→C). The probe set is
+    *    ranked on the same rounded cosine + label tiebreak as
+    *    assignment, so nprobe=1 is exactly the original single-bucket
+    *    probe.
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, label: Column,
-              queryId: Long, k: Int): DataFrame = {
+              queryId: Long, k: Int, nprobe: Int = 1,
+              buildSamplePerMille: Int = 1000,
+              buildSampleSeed: Int = 0): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(buildSamplePerMille >= 1 && buildSamplePerMille <= 1000,
+      "buildSamplePerMille must be in [1, 1000]")
     ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
-    val cents = e.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
+    val trainSet =
+      if (buildSamplePerMille == 1000) e
+      else e.filter(graft.functions.TextFunctions
+        .hash60(col("vec_id").cast("string"), buildSampleSeed)
+        % 1000 < buildSamplePerMille)
+    val cents = trainSet.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("lbl", "pos").agg(round(avg("x"), 6).as("c"))
       .groupBy("lbl")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
@@ -105,10 +148,20 @@ object Similarity {
     val assigned = e.crossJoin(broadcast(centArr))
       .withColumn("bucket", best.getField("lbl"))
       .select(col("vec_id"), col("v"), col("bucket"))
-    val q = assigned.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    // The query's nprobe nearest centroids, ranked exactly like
+    // assignment (rounded cosine desc, label asc) — so nprobe=1 IS the
+    // query's assigned bucket. C rows ranked, nprobe kept: driver-free,
+    // broadcast-sized both sides.
+    val qbuckets = cents.crossJoin(broadcast(qv))
+      .select(col("c_lbl").as("qbucket"),
+        round(cos(col("cv"), col("qv")), 4).as("csim"))
+      .orderBy(col("csim").desc, col("qbucket"))
+      .limit(nprobe)
+      .select("qbucket")
     assigned.filter(col("vec_id") =!= queryId)
-      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .join(broadcast(qbuckets), col("bucket") === col("qbucket"))
+      .crossJoin(broadcast(qv))
       .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -138,6 +191,25 @@ object Similarity {
       desc = true, tiebreak = Seq("vec_id"), k = k)
   }
 
+  /** The int8 scan-side projection: (vec_id, v exact, q8 BINARY). The
+    * quantized vector is PHYSICALLY one byte per component —
+    * `VectorFunctions.quantizeInt8` (the tested single source of the
+    * quantization arithmetic) packed through the PackInt8 kernel — so
+    * the 8x-vs-double / 4x-vs-float memory-and-bandwidth cut of the
+    * int8 ANN path is real storage, not a claim (Int8VecSpec asserts
+    * this column is BinaryType). Zero vectors quantize to NULL (no
+    * scale exists; cosine is undefined for them anyway) and are dropped.
+    */
+  def quantizedVectors(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(id.as("vec_id"), toDouble(vec).as("v"))
+      // zero-vector guard as a standalone max|x| pass (one cheap array
+      // scan), NOT `q8.isNotNull`: predicate pushdown would inline the
+      // whole quantize+pack chain into the filter and evaluate it twice
+      // per row (observed: 1.6x on the q71 scan).
+      .filter(array_max(transform(col("v"), x => abs(x))) > 0)
+      .select(col("vec_id"), col("v"),
+        graft.functions.Int8Vec.pack(quantizeInt8(col("v"))).as("q8"))
+
   /** Int8-quantized brute-force top-k with a built-in accuracy audit:
     * every vector is symmetrically quantized to int8 (per-vector
     * scale 127/max|x|; the scale cancels in cosine), candidates are
@@ -146,31 +218,25 @@ object Similarity {
     * scores agree within `tol`) — the q54/q63/q70 audit pattern
     * applied to vector quantization.
     *
-    * Scale shape: the scan side carries 64 ints (256 B after parquet
-    * byte-packing vs 512 B of doubles; a production variant would
-    * store array<byte>) — the standard 4x memory/bandwidth cut for
-    * the ANN scan path. One pass, single-row broadcast query,
-    * TakeOrdered top-k; the exact-cosine audit rides in the same
-    * projection, no second scan. Zero vectors have no quantization
-    * scale and are excluded (cosine is undefined for them anyway).
+    * Scale shape: the scan side carries packed int8 BINARY vectors
+    * (64 B vs 512 B of doubles at d=64 — see quantizedVectors), scored
+    * by the fused long-arithmetic ByteCosine kernel; integer sums are
+    * exact below 2^53, so byte-domain scores are bit-identical to the
+    * oracle's double-domain scoring of the same integers. One pass,
+    * single-row broadcast query, TakeOrdered top-k; the exact-cosine
+    * audit rides in the same projection, no second scan.
     */
   def quantizedTopK(df: DataFrame, id: Column, vec: Column,
                     queryId: Long, k: Int, tol: Double): DataFrame = {
     ArrayCosine.register(df.sparkSession)
-    val quantized = df
-      .select(id.as("vec_id"), toDouble(vec).as("v"))
-      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
-      .filter(col("amax") > 0)
-      .select(col("vec_id"), col("v"),
-        transform(col("v"),
-          x => round(x * (lit(127.0) / col("amax"))).cast("int"))
-          .cast("array<double>").as("q8"))
+    val quantized = quantizedVectors(df, id, vec)
     val q = quantized.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("q8").as("qq"))
     quantized.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cos(col("q8"), col("qq")), 4).as("qcos_sim"),
+        round(graft.functions.Int8Vec.byteCosine(col("q8"), col("qq")), 4)
+          .as("qcos_sim"),
         round(cos(col("v"), col("qv")), 4).as("cos_sim"))
       .withColumn("close", abs(col("qcos_sim") - col("cos_sim")) <= tol)
       .orderBy(col("qcos_sim").desc, col("vec_id"))

@@ -54,15 +54,22 @@ object SimilarityQueries {
 
     // Full IVF ANN: quantizer build (q29's centroids, widened) + nearest-
     // centroid assignment + single-bucket probe. ~1/|labels| of the data
-    // scanned per probe; recall < 1 documented.
+    // scanned per probe; recall < 1 documented. The quantizer is trained
+    // on a DETERMINISTIC 50% md5-hash sample (the 100 TB shape — a
+    // coarse quantizer never sees the full corpus; hash-gating keeps the
+    // trained centroids reproducible and the oracle replays the sample);
+    // assignment + probe still cover every vector.
     Q("q38_ann_ivf",
       (s, d) => Similarity.ivfTopK(Tables(s, d, "embeddings"),
-        col("vec_id"), col("embedding"), col("label"), queryId = 0L, k = 10),
+        col("vec_id"), col("embedding"), col("label"), queryId = 0L, k = 10,
+        nprobe = 1, buildSamplePerMille = 500, buildSampleSeed = 0),
       Some("""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
         |c AS (
         |  SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
-        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |  FROM e, generate_series(1, 64) AS t(dim)
+        |  WHERE ('0x' || substring(md5('0#' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500
+        |  GROUP BY lbl, t.dim),
         |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
         |a AS (
         |  SELECT vec_id, v, c_lbl,
@@ -160,6 +167,84 @@ object SimilarityQueries {
         |SELECT vec_id, qcos_sim, cos_sim,
         |  abs(qcos_sim - cos_sim) <= 0.02 AS close
         |FROM s ORDER BY qcos_sim DESC, vec_id LIMIT 10""".stripMargin),
-      "int8-quantized ANN scan with exact-cosine accuracy audit")
+      "int8-quantized ANN scan with exact-cosine accuracy audit"),
+
+    // q72 — MULTI-PROBE sign-LSH with a recall audit: probe the query's
+    // bucket plus its first two Hamming-1 neighbors (3/16 of the data
+    // instead of 1/16 — the recall/scan knob q28 lacks), and flag each
+    // returned neighbor by whether it is in the brute-force top-10
+    // (q27's projection), so the result itself MEASURES the recall the
+    // knob buys — the q54/q63/q70 audit pattern applied to ANN recall.
+    Q("q72_ann_multiprobe",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val approx = Similarity.signLshTopK(e, col("vec_id"),
+          col("embedding"), queryId = 0L, k = 10, bits = lshBits, probes = 3)
+        val exact = Similarity.bruteForceTopK(e, col("vec_id"),
+            col("embedding"), queryId = 0L, k = 10)
+          .select(col("vec_id"), lit(true).as("hit"))
+        approx.join(exact, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cos_sim"),
+            coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+        |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+        |probes AS (SELECT qv, xor(qb, m) AS qbucket
+        |  FROM q, (VALUES (0), (1), (2)) AS masks(m)),
+        |cand AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM b JOIN probes ON b.bucket = probes.qbucket WHERE vec_id <> 0),
+        |topk AS (SELECT vec_id, cos_sim FROM cand
+        |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+        |exact AS (SELECT vec_id FROM (
+        |  SELECT b.vec_id, round(list_cosine_similarity(v, qv), 4) AS s
+        |  FROM b, q WHERE vec_id <> 0 ORDER BY s DESC, vec_id LIMIT 10))
+        |SELECT t.vec_id, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
+        |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
+        |ORDER BY t.cos_sim DESC, t.vec_id""".stripMargin),
+      "multi-probe sign-LSH ANN (Hamming-1 buckets) with brute-force recall audit"),
+
+    // q75 — IVF with nprobe=2: scan the TWO nearest centroid buckets
+    // (2/|labels| of the data), same recall-audit columns as q72. The
+    // quantizer build here is the full corpus (q38 exercises the
+    // sampled build; this query isolates the nprobe knob).
+    Q("q75_ann_ivf_nprobe",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val approx = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+          col("label"), queryId = 0L, k = 10, nprobe = 2)
+        val exact = Similarity.bruteForceTopK(e, col("vec_id"),
+            col("embedding"), queryId = 0L, k = 10)
+          .select(col("vec_id"), lit(true).as("hit"))
+        approx.join(exact, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cos_sim"),
+            coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
+        |c AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |a AS (SELECT vec_id, v, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |qb AS (SELECT c_lbl AS qbucket FROM cw, qv
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, c_lbl) <= 2),
+        |cand AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM a JOIN qb ON a.c_lbl = qb.qbucket, qv WHERE vec_id <> 0),
+        |topk AS (SELECT vec_id, cos_sim FROM cand
+        |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+        |exact AS (SELECT vec_id FROM (
+        |  SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS s
+        |  FROM e, qv WHERE vec_id <> 0 ORDER BY s DESC, vec_id LIMIT 10))
+        |SELECT t.vec_id, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
+        |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
+        |ORDER BY t.cos_sim DESC, t.vec_id""".stripMargin),
+      "IVF nprobe=2 probe (two nearest centroid buckets) with brute-force recall audit")
   )
 }

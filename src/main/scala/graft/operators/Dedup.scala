@@ -404,6 +404,65 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Exact SUBSTRING-level dedup: maximal runs of duplicated token
+    * windows INSIDE documents — the contamination shape document-level
+    * dedup (exact/MinHash/SimHash/embedding) cannot touch: a repeated
+    * 300-token boilerplate span embedded in otherwise-distinct pages.
+    *
+    * Mechanism (the sorted-run variant of suffix-array dedup, sized for
+    * a distributed engine): every POSITIONAL window of `w` tokens is
+    * hashed (60-bit md5-derived, so the oracle replays it); a window
+    * hash is "duplicated" iff it occurs in >= 2 DISTINCT documents;
+    * consecutive duplicated positions within a document are merged into
+    * maximal runs (gaps-and-islands). A shared span of L >= w tokens
+    * between two documents yields L-w+1 consecutive duplicated windows
+    * — reported as one run of span_tokens = L.
+    *
+    * Output: (doc_id, run_start [1-based token pos], n_windows,
+    * span_tokens) per maximal duplicated run.
+    *
+    * Scale shape: the window table never stores window TEXT — one
+    * 8-byte hash per (doc, pos) — and the duplicate test is ONE
+    * hash-keyed aggregation through the same `BoundedLongListAgg` skew
+    * guard as every other dedup family member: a window occurring more
+    * than `maxDf` times corpus-wide (site chrome, licence headers at
+    * 100 TB) evals to NULL inside the aggregate and never materializes
+    * a posting list ANYWHERE; the cap is a recall contract replayed by
+    * the oracle (`HAVING count(*) <= maxDf`). The run merge is one
+    * doc_id-keyed window sort over only the DUPLICATED positions (a
+    * small fraction of corpus tokens). Everything else is per-row.
+    * 60-bit hash collisions merge two windows' identities — P ≈
+    * W²/2⁶¹, the same accepted tradeoff as gram-bucket hashing.
+    */
+  def substringRuns(df: DataFrame, id: Column, text: Column,
+                    w: Int, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Cached: consumed by the bucket aggregation AND the join back;
+    // released by the runner's clearCache().
+    val windows = df.select(id.as("doc_id"), words(text).as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordGramsNative.gramsCol(col("ws"), w))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        hash60(col("gram"), 0).as("h"))
+      .cache()
+    val shared = windows.groupBy("h")
+      .agg(graft.functions.BoundedLongList(col("doc_id"), maxDf).as("docs"))
+      .filter(col("docs").isNotNull &&
+        size(array_distinct(col("docs"))) >= 2)
+      .select("h")
+    val dup = windows.join(shared, "h").select("doc_id", "pos")
+    dup
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("int").as("run_start"),
+        count(lit(1)).cast("int").as("n_windows"),
+        (max("pos") - min("pos") + w).cast("int").as("span_tokens"))
+      .select("doc_id", "run_start", "n_windows", "span_tokens")
+  }
+
   /** Exact embedding cosine near-dup pairs (id_a < id_b, rounded sim >=
     * thr). Quadratic: the smaller side must be broadcastable. This is the
     * correctness anchor; the scale default is `embeddingNearDupLsh`.

@@ -350,6 +350,38 @@ object DedupQueries {
         |  abs(e.est_jaccard - p.jaccard) <= 0.35 AS close
         |FROM pairs p JOIN est e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
         |ORDER BY p.doc_a, p.doc_b""".stripMargin),
-      "MinHash signature-estimate vs exact Jaccard accuracy audit")
+      "MinHash signature-estimate vs exact Jaccard accuracy audit"),
+
+    // q73 — exact SUBSTRING-level dedup: maximal runs of token windows
+    // (w=15) duplicated across >= 2 distinct documents — the repeated-
+    // span contamination that document-granularity dedup (q22-q26)
+    // cannot see. Window hashes shared by > 200 occurrences are dropped
+    // by the BoundedLongList cap (the boilerplate skew guard, replayed
+    // in the oracle's HAVING).
+    Q("q73_substring_runs",
+      (s, d) => Dedup.substringRuns(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), w = 15, maxDf = 200)
+        .orderBy("doc_id", "run_start"),
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 14)) AS pos
+        |  FROM w WHERE len(ws) >= 15),
+        |p AS (SELECT doc_id, pos,
+        |    ('0x' || substring(md5('0#' ||
+        |      array_to_string(ws[pos:pos+14], ' ')), 1, 15))::BIGINT AS h
+        |  FROM p0),
+        |shared AS (SELECT h FROM p GROUP BY h
+        |  HAVING count(*) <= 200 AND count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, pos FROM p JOIN shared USING (h)),
+        |r AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d)
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS run_start,
+        |  CAST(count(*) AS INTEGER) AS n_windows,
+        |  CAST(max(pos) - min(pos) + 15 AS INTEGER) AS span_tokens
+        |FROM r GROUP BY doc_id, grp ORDER BY doc_id, run_start""".stripMargin),
+      "substring-level dedup: maximal cross-document duplicated token-window runs")
   )
 }

@@ -85,5 +85,47 @@ object PipelineQueries {
         |SELECT doc_id, lang, source, n_chars,
         |  hw[1] AS head_words_0, hw[2] AS head_words_1, hw[3] AS head_words_2
         |FROM w ORDER BY doc_id""".stripMargin),
-      "positional dict-style flatten: bare struct leaves + {name}_{i} array explode (P6)"))
+      "positional dict-style flatten: bare struct leaves + {name}_{i} array explode (P6)"),
+
+    // q74 — STRUCTURED STREAMING under the same CORRECTNESS regime as
+    // every batch query (SURVEY §2.9, previously only spec-verified):
+    // the events table is ingested through a real incremental file
+    // stream (Trigger.AvailableNow = process the whole backlog as
+    // micro-batches, then stop), aggregated by the SAME logical plan as
+    // batch q21 (MicroBatch.hourlyAgg), and the materialized sink table
+    // is what the DuckDB oracle compares against. The stream executes
+    // in Spark's incremental engine — partial aggregation state per
+    // (window, event_type), exactly-once file tracking — so a hash
+    // match here certifies the streaming path end-to-end, not a batch
+    // twin. Complete-mode memory sink keeps the comparison exact at
+    // test SF; the production shape is MicroBatch.runToParquet
+    // (append mode + watermark + checkpoint).
+    Q("q74_streaming_window_agg",
+      (s, d) => {
+        val qname = s"graft_q74_sink_${PipelineQueries.q74Runs.incrementAndGet()}"
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        // the file-stream source wants a DIRECTORY to incrementally list;
+        // the glob filter scopes it to the events table inside the sf dir
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val query = graft.streaming.MicroBatch.hourlyAgg(stream)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname).orderBy("hour_start", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
+      "AvailableNow file-stream ingest + incremental window agg, oracle-compared to batch"))
+
+  /** q74 memory-sink name counter: Bench re-runs every query in one
+    * session, and a finished streaming query's name can be reused only
+    * after its temp view is dropped — a fresh name per run is simpler
+    * and leak-free at test row counts.
+    */
+  private val q74Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -124,4 +124,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
       Seq((1L, 2L, 1.0)))
   }
+
+  test("substringRuns finds a shared span inside distinct documents") {
+    // a 7-token span shared by docs 1 and 2, embedded in distinct text;
+    // doc 3 shares nothing. w=4 → the span yields 4 consecutive dup
+    // windows (positions differ per doc), merged into one run of 7.
+    val span = "the quick brown fox jumps over fences"
+    val d = docs(
+      1L -> s"alpha beta $span gamma delta epsilon",
+      2L -> s"one two three four $span five",
+      3L -> "totally different words with no overlap at all here")
+    val runs = Dedup.substringRuns(d, col("doc_id"), col("text"),
+        w = 4, maxDf = 100)
+      .orderBy("doc_id", "run_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(runs.toSeq === Seq((1L, 3, 4, 7), (2L, 5, 4, 7)))
+  }
+
+  test("substringRuns: a window hash over maxDf occurrences is dropped") {
+    // the same 4-token text in 3 docs = 3 occurrences of one window
+    // hash; cap 2 drops it entirely (the boilerplate guard)
+    val d = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "a b c d")
+    assert(Dedup.substringRuns(d, col("doc_id"), col("text"),
+      w = 4, maxDf = 2).count() === 0)
+    assert(Dedup.substringRuns(d, col("doc_id"), col("text"),
+      w = 4, maxDf = 3).count() === 3)
+  }
 }

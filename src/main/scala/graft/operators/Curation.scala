@@ -181,6 +181,28 @@ object Curation {
             lit(true))).as("keep"))
   }
 
+  /** Per-source quota cap (domain caps / source balancing): keep at
+    * most `maxPerSource` documents per source, chosen by deterministic
+    * md5-hash order — the curation step that stops a single crawled
+    * domain from dominating the mix. Hash-gated like
+    * `hashStratifiedSample`: re-runs, engines, and partitionings keep
+    * the identical survivor set, and appending new data can only
+    * displace rows with larger hashes, never reshuffle the order.
+    *
+    * Scale shape: runs on the custom TopKPerKey node, so at most
+    * `maxPerSource` rows per (source, input partition) reach the
+    * exchange — a 100x-hot domain ships its cap per partition, never
+    * its full volume, and there is no per-source global sort.
+    */
+  def sourceQuota(df: DataFrame, id: Column, source: Column,
+                  maxPerSource: Int, seed: Int): DataFrame = {
+    val scored = df.select(id.as("doc_id"), source.as("source"),
+      hash60(id.cast("string"), seed).as("h"))
+    graft.plans.TopK.perKey(scored, Seq("source"), "h",
+        desc = false, tiebreak = Seq("doc_id"), k = maxPerSource)
+      .select("doc_id", "source")
+  }
+
   /** Deterministic global shuffle into training shards: shard =
     * hash60(id) % numShards; pos = rank of the hash within its shard.
     * Hash-derived, not rand() — re-runs, engines, and partitionings all

@@ -421,38 +421,49 @@ object Dedup {
     * Output: (doc_id, run_start [1-based token pos], n_windows,
     * span_tokens) per maximal duplicated run.
     *
-    * Scale shape: the window table never stores window TEXT — one
-    * 8-byte hash per (doc, pos) — and the duplicate test is ONE
-    * hash-keyed aggregation through the same `BoundedLongListAgg` skew
+    * Scale shape: ONE pass, ONE shuffle. The window table never stores
+    * window TEXT — each occurrence ships as a single packed long
+    * (doc_id·2²⁶ + pos) keyed by its 8-byte hash — and the duplicate
+    * test is one aggregation through the same `BoundedLongListAgg` skew
     * guard as every other dedup family member: a window occurring more
     * than `maxDf` times corpus-wide (site chrome, licence headers at
     * 100 TB) evals to NULL inside the aggregate and never materializes
     * a posting list ANYWHERE; the cap is a recall contract replayed by
-    * the oracle (`HAVING count(*) <= maxDf`). The run merge is one
-    * doc_id-keyed window sort over only the DUPLICATED positions (a
-    * small fraction of corpus tokens). Everything else is per-row.
-    * 60-bit hash collisions merge two windows' identities — P ≈
-    * W²/2⁶¹, the same accepted tradeoff as gram-bucket hashing.
+    * the oracle (`HAVING count(*) <= maxDf`). Because the occurrences
+    * ride INSIDE the bounded buckets, the duplicated positions explode
+    * straight back out of them — no full-corpus cache, no join back to
+    * a second window scan (the shape that would have to re-tokenize
+    * 100 TB or pin it in memory). The run merge is one doc_id-keyed
+    * window sort over only the DUPLICATED positions (a small fraction
+    * of corpus tokens). The packing bounds are loud, not silent:
+    * pos < 2²⁶ (a 67M-token document) and doc_id < 2³⁷ throw via
+    * raise_error. 60-bit hash collisions merge two windows' identities
+    * — P ≈ W²/2⁶¹, the same accepted tradeoff as gram-bucket hashing.
     */
   def substringRuns(df: DataFrame, id: Column, text: Column,
                     w: Int, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Cached: consumed by the bucket aggregation AND the join back;
-    // released by the runner's clearCache().
-    val windows = df.select(id.as("doc_id"), words(text).as("ws"))
+    val Pack = 1L << 26
+    val packed = df.select(id.as("doc_id"), words(text).as("ws"))
       .filter(size(col("ws")) >= w)
       .select(col("doc_id"),
         posexplode(graft.functions.WordGramsNative.gramsCol(col("ws"), w))
           .as(Seq("pos0", "gram")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        hash60(col("gram"), 0).as("h"))
-      .cache()
-    val shared = windows.groupBy("h")
-      .agg(graft.functions.BoundedLongList(col("doc_id"), maxDf).as("docs"))
-      .filter(col("docs").isNotNull &&
-        size(array_distinct(col("docs"))) >= 2)
-      .select("h")
-    val dup = windows.join(shared, "h").select("doc_id", "pos")
+      .select(hash60(col("gram"), 0).as("h"),
+        when(col("pos0") + 1 < Pack && col("doc_id") >= 0 &&
+            col("doc_id") < (1L << 37),
+          col("doc_id") * Pack + col("pos0") + 1)
+          .otherwise(raise_error(concat(
+            lit("substringRuns pack overflow: doc_id="), col("doc_id"),
+            lit(" pos="), col("pos0") + 1))).as("dp"))
+    val dup = packed.groupBy("h")
+      .agg(graft.functions.BoundedLongList(col("dp"), maxDf).as("dps"))
+      .filter(col("dps").isNotNull &&
+        size(array_distinct(transform(col("dps"),
+          x => shiftright(x, 26)))) >= 2)
+      .select(explode(col("dps")).as("dp"))
+      .select(shiftright(col("dp"), 26).as("doc_id"),
+        col("dp").bitwiseAND(lit(Pack - 1)).cast("int").as("pos"))
     dup
       .withColumn("grp", col("pos") -
         row_number().over(Window.partitionBy("doc_id").orderBy("pos")))

@@ -333,6 +333,22 @@ object CurationQueries {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  TRUE AS approx_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-      "quantile sketch with an in-query exactness audit (q54 pattern)")
+      "quantile sketch with an in-query exactness audit (q54 pattern)"),
+
+    // q76 — per-source quota caps (domain balancing): at most 15 docs
+    // per source, selected by deterministic hash order on the
+    // TopKPerKey node (≤ cap rows per (source, partition) reach the
+    // exchange — a hot domain never ships its full volume).
+    Q("q76_source_quota",
+      (s, d) => Curation.sourceQuota(Tables(s, d, "documents"),
+          col("doc_id"), col("source"), maxPerSource = 15, seed = 13)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substring(md5('13#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 15
+        |ORDER BY doc_id""".stripMargin),
+      "deterministic per-source quota cap (domain balancing) on the TopKPerKey node")
   )
 }

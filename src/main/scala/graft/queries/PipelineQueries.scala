@@ -102,7 +102,7 @@ object PipelineQueries {
     // (append mode + watermark + checkpoint).
     Q("q74_streaming_window_agg",
       (s, d) => {
-        val qname = s"graft_q74_sink_${PipelineQueries.q74Runs.incrementAndGet()}"
+        val qname = s"graft_q74_sink_${streamSinkRuns.incrementAndGet()}"
         val schema = s.read.parquet(s"$d/events.parquet").schema
         // the file-stream source wants a DIRECTORY to incrementally list;
         // the glob filter scopes it to the events table inside the sf dir
@@ -120,12 +120,39 @@ object PipelineQueries {
       Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin),
-      "AvailableNow file-stream ingest + incremental window agg, oracle-compared to batch"))
+      "AvailableNow file-stream ingest + incremental window agg, oracle-compared to batch"),
 
-  /** q74 memory-sink name counter: Bench re-runs every query in one
+    // q77 — streaming STATEFUL DEDUP under the oracle (§2.9's second
+    // mechanism, previously spec-only): distinct (user_id, event_type)
+    // pairs maintained in streaming dedup state across micro-batches,
+    // emitted append-mode. The projection is keys-only so the surviving
+    // row is identical whichever arrival wins — what makes streaming
+    // dedup oracle-comparable despite nondeterministic file-split
+    // arrival order. Production adds dropDuplicatesWithinWatermark to
+    // bound state (graft.streaming.StreamingDedup).
+    Q("q77_streaming_dedup",
+      (s, d) => {
+        val qname = s"graft_q77_sink_${streamSinkRuns.incrementAndGet()}"
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val query = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname).orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin),
+      "streaming stateful dedup (distinct keys across micro-batches), oracle-compared"))
+
+  /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only
     * after its temp view is dropped — a fresh name per run is simpler
     * and leak-free at test row counts.
     */
-  private val q74Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val streamSinkRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -120,4 +120,24 @@ class CurationSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ===
       again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
   }
+
+  test("sourceQuota caps each source deterministically") {
+    import spark.implicits._
+    // 3 sources x 10 docs; cap 4 → 12 survivors, stable across runs
+    val d = (0L until 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "src")
+    val got = Curation.sourceQuota(d, col("doc_id"), col("src"),
+      maxPerSource = 4, seed = 5).collect()
+    assert(got.length === 12)
+    got.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.length === 4)
+    }
+    val again = Curation.sourceQuota(d, col("doc_id"), col("src"),
+      maxPerSource = 4, seed = 5).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSet ===
+      again.map(r => (r.getLong(0), r.getString(1))).toSet)
+    // a source under its cap survives whole
+    val small = Curation.sourceQuota(d.filter(col("doc_id") < 3),
+      col("doc_id"), col("src"), maxPerSource = 4, seed = 5).collect()
+    assert(small.length === 3)
+  }
 }

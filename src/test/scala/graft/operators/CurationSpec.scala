@@ -140,4 +140,13 @@ class CurationSpec extends SparkSpec {
       col("doc_id"), col("src"), maxPerSource = 4, seed = 5).collect()
     assert(small.length === 3)
   }
+
+  test("sourceQuota plans on TopKPerKey, not a row_number window") {
+    import spark.implicits._
+    val d = (0L until 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "src")
+    val plan = Curation.sourceQuota(d, col("doc_id"), col("src"),
+      maxPerSource = 4, seed = 5).queryExecution.executedPlan.toString
+    assert("TopKPerKey ".r.findAllIn(plan).size === 2, plan) // partial+final
+    assert(!plan.contains("Window ["), plan)
+  }
 }

@@ -141,6 +141,17 @@ class DedupSpec extends SparkSpec {
     assert(runs.toSeq === Seq((1L, 3, 4, 7), (2L, 5, 4, 7)))
   }
 
+  test("substringRuns plan: one bounded-agg shuffle + one run-merge window") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d f")
+    val plan = Dedup.substringRuns(d, col("doc_id"), col("text"),
+      w = 3, maxDf = 10).queryExecution.executedPlan.toString
+    // exactly: hash exchange into the bounded bucket agg, hash exchange
+    // for the per-doc run window, and the final agg's exchange — NO
+    // join anywhere (positions ride inside the buckets)
+    assert(!plan.contains("Join"), plan)
+    assert("bounded_long_list".r.findAllIn(plan).nonEmpty, plan)
+  }
+
   test("substringRuns: a window hash over maxDf occurrences is dropped") {
     // the same 4-token text in 3 docs = 3 occurrences of one window
     // hash; cap 2 drops it entirely (the boilerplate guard)

@@ -44,6 +44,45 @@ class SimilaritySpec extends SparkSpec {
     assert(qsims === qsims.sorted.reverse)
   }
 
+  test("multi-probe signLsh: more probes can only improve the top-k") {
+    def topk(probes: Int): Seq[Double] =
+      Similarity.signLshTopK(emb, col("vec_id"), col("embedding"),
+        queryId = 0L, k = 10, bits = 4, probes = probes)
+        .collect().map(_.getDouble(1)).toSeq
+    val (p1, p3, p5) = (topk(1), topk(3), topk(5))
+    // the candidate set grows monotonically with probes, so the sorted
+    // top-k scores must dominate pointwise
+    p3.zipAll(p1, 2.0, -2.0).foreach { case (m, s) => assert(m >= s) }
+    p5.zipAll(p3, 2.0, -2.0).foreach { case (m, s) => assert(m >= s) }
+  }
+
+  test("ivf nprobe=2 dominates nprobe=1 pointwise; both score exactly") {
+    def topk(nprobe: Int): Seq[(Long, Double)] =
+      Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), col("label"),
+        queryId = 0L, k = 10, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (n1, n2) = (topk(1), topk(2))
+    n2.map(_._2).zipAll(n1.map(_._2), 2.0, -2.0).foreach {
+      case (m, s) => assert(m >= s)
+    }
+    // nprobe=2 candidates still carry the exact cosine of the brute force
+    val bf = Similarity.bruteForceTopK(emb,
+        col("vec_id"), col("embedding"), queryId = 0L, k = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    n2.foreach { case (id, sim) => assert(bf(id) === sim) }
+  }
+
+  test("sampled quantizer build changes centroids, not scoring exactness") {
+    val sampled = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+        col("label"), queryId = 0L, k = 10,
+        buildSamplePerMille = 500, buildSampleSeed = 0).collect()
+    assert(sampled.length === 10)
+    val bf = Similarity.bruteForceTopK(emb,
+        col("vec_id"), col("embedding"), queryId = 0L, k = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sampled.foreach(r => assert(bf(r.getLong(0)) === r.getDouble(1)))
+  }
+
   test("quantizeInt8: values in [-127,127], zero vector yields NULL") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0f, 0f, 0f)))

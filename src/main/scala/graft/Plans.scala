@@ -33,7 +33,11 @@ object Plans {
     "q61_tfidf_top_term" -> "df table and corpus count behind BroadcastExchange; per-doc term counts show partial_ combine; top-1 via a doc_id-keyed window.",
     "q62_curation_pipeline" -> "InMemoryTableScan reuses the quality+dedup prefix on both the decontamination and anti-join branches; bench grams broadcast.",
     "q66_topk_native" -> "two TopKPerKey phases (partial heaps, final heaps) around ONE hash exchange; no Window, no Sort of the full table.",
-    "q71_ann_quantized" -> "single scan + 1-row broadcast; quantized AND exact cosine in the same projection (one pass, no second scan) + TakeOrderedAndProject.")
+    "q71_ann_quantized" -> "single scan + 1-row broadcast; BINARY q8 column (graft_pack_int8) scored by graft_byte_cosine, exact cosine in the same projection (one pass, no second scan) + TakeOrderedAndProject.",
+    "q72_ann_multiprobe" -> "probe set = 3 broadcast rows (own + two Hamming-1 buckets); corpus side scanned once, BroadcastHashJoin on bucket, TakeOrderedAndProject — same shape as single-probe at any P.",
+    "q73_substring_runs" -> "join-free: packed (doc_id,pos) longs ride INSIDE the bounded_long_list buckets; one hash exchange for the bucket agg, one for the per-doc run window — no full-corpus cache, no second tokenize scan.",
+    "q75_ann_ivf_nprobe" -> "nprobe=2 probe buckets arrive as a 2-row broadcast ranked from the same centroid array; corpus assignment unchanged (argmax fold over one broadcast row).",
+    "q76_source_quota" -> "two TopKPerKey phases around ONE hash exchange on source — a hot domain ships maxPerSource rows per input partition, never its volume; no row_number window.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

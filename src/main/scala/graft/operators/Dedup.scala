@@ -443,27 +443,10 @@ object Dedup {
   def substringRuns(df: DataFrame, id: Column, text: Column,
                     w: Int, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val Pack = 1L << 26
-    val packed = df.select(id.as("doc_id"), words(text).as("ws"))
-      .filter(size(col("ws")) >= w)
-      .select(col("doc_id"),
-        posexplode(graft.functions.WordGramsNative.gramsCol(col("ws"), w))
-          .as(Seq("pos0", "gram")))
-      .select(hash60(col("gram"), 0).as("h"),
-        when(col("pos0") + 1 < Pack && col("doc_id") >= 0 &&
-            col("doc_id") < (1L << 37),
-          col("doc_id") * Pack + col("pos0") + 1)
-          .otherwise(raise_error(concat(
-            lit("substringRuns pack overflow: doc_id="), col("doc_id"),
-            lit(" pos="), col("pos0") + 1))).as("dp"))
-    val dup = packed.groupBy("h")
-      .agg(graft.functions.BoundedLongList(col("dp"), maxDf).as("dps"))
-      .filter(col("dps").isNotNull &&
-        size(array_distinct(transform(col("dps"),
-          x => shiftright(x, 26)))) >= 2)
+    val dup = dupWindowBuckets(packedWindows(df, id, text, w), maxDf)
       .select(explode(col("dps")).as("dp"))
       .select(shiftright(col("dp"), 26).as("doc_id"),
-        col("dp").bitwiseAND(lit(Pack - 1)).cast("int").as("pos"))
+        col("dp").bitwiseAND(lit(SubstrPack - 1)).cast("int").as("pos"))
     dup
       .withColumn("grp", col("pos") -
         row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
@@ -472,6 +455,112 @@ object Dedup {
         count(lit(1)).cast("int").as("n_windows"),
         (max("pos") - min("pos") + w).cast("int").as("span_tokens"))
       .select("doc_id", "run_start", "n_windows", "span_tokens")
+  }
+
+  /** doc_id·2²⁶ + pos packing bound shared by the substring-dedup family
+    * (see substringRuns' scale notes for why occurrences ride as packed
+    * longs inside the bounded buckets).
+    */
+  private val SubstrPack = 1L << 26
+
+  /** (h, dp) per positional w-token window: 60-bit md5-derived window
+    * hash + the packed (doc_id, pos) occurrence. Pack bounds throw
+    * loudly (pos < 2²⁶, doc_id < 2³⁷), never truncate.
+    */
+  private def packedWindows(df: DataFrame, id: Column, text: Column,
+                            w: Int): DataFrame =
+    df.select(id.as("doc_id"), words(text).as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordGramsNative.gramsCol(col("ws"), w))
+          .as(Seq("pos0", "gram")))
+      .select(hash60(col("gram"), 0).as("h"),
+        when(col("pos0") + 1 < SubstrPack && col("doc_id") >= 0 &&
+            col("doc_id") < (1L << 37),
+          col("doc_id") * SubstrPack + col("pos0") + 1)
+          .otherwise(raise_error(concat(
+            lit("substringRuns pack overflow: doc_id="), col("doc_id"),
+            lit(" pos="), col("pos0") + 1))).as("dp"))
+
+  /** Duplicated-window posting buckets: ONE `BoundedLongListAgg`
+    * shuffle keyed on the window hash; a bucket survives iff it is
+    * within the `maxDf` boilerplate cap (recall contract, replayed by
+    * the oracles' HAVING) AND spans >= 2 distinct documents. Output:
+    * one row per duplicated hash holding its packed occurrences.
+    */
+  private def dupWindowBuckets(packed: DataFrame, maxDf: Int): DataFrame =
+    packed.groupBy("h")
+      .agg(graft.functions.BoundedLongList(col("dp"), maxDf).as("dps"))
+      .filter(col("dps").isNotNull &&
+        size(array_distinct(transform(col("dps"),
+          x => shiftright(x, 26)))) >= 2)
+      .select(col("dps"))
+
+  /** The substring-dedup LAST MILE: emit the CLEANED corpus. Where
+    * `substringRuns` only detects duplicated spans, this removes them —
+    * every token covered by a duplicated window occurrence that is NOT
+    * the canonical occurrence of its window hash is spliced out, so
+    * exactly one copy of each duplicated span survives corpus-wide.
+    * Canonical = the lexicographically least (doc_id, pos) occurrence —
+    * `min(packed dp)` in one expression — the same deterministic
+    * min-representative rule as q68's cluster pruning.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY
+    * document (untouched docs pass through with n_removed = 0);
+    * clean_text is the surviving normalized tokens space-joined (the
+    * tokenization is `words()` — lower/trim/collapse — so the output is
+    * the normalized token stream, the form a training pipeline feeds a
+    * tokenizer).
+    *
+    * Scale shape, on top of substringRuns' one-shuffle design: the
+    * non-canonical occurrences explode straight out of the bounded
+    * buckets (canonical = array_min, no extra shuffle); merging their
+    * fixed-width windows [pos, pos+w-1] into maximal remove-ranges is
+    * one doc_id-keyed window sort over only the MARKED positions (a
+    * small fraction of corpus tokens); the ranges collapse to one array
+    * row per affected doc and join back doc_id-keyed (broadcastable in
+    * practice — only docs WITH duplication carry ranges); the splice
+    * itself is a per-row higher-order filter, no shuffle. A hot
+    * boilerplate window past `maxDf` is NOT removed anywhere (the cap
+    * is the same recall contract as q73's, replayed by the oracle).
+    */
+  def substringClean(df: DataFrame, id: Column, text: Column,
+                     w: Int, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val marked = dupWindowBuckets(packedWindows(df, id, text, w), maxDf)
+      .select(array_min(col("dps")).as("canon"), explode(col("dps")).as("dp"))
+      .filter(col("dp") =!= col("canon"))
+      .select(shiftright(col("dp"), 26).as("doc_id"),
+        col("dp").bitwiseAND(lit(SubstrPack - 1)).cast("int").as("pos"))
+    // Fixed-width windows sorted by start merge iff the next start is
+    // within w of the previous (overlap or adjacency) — a running-sum
+    // break flag, the gaps-and-islands shape generalized to width w.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val ranges = marked
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(byDoc) + w, 1)
+          .when(lag("pos", 1).over(byDoc).isNull, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("int").as("lo"),
+        (max("pos") + w - 1).cast("int").as("hi"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("rs"))
+    val noRanges = array().cast("array<struct<lo:int,hi:int>>")
+    df.select(id.as("doc_id"), words(text).as("ws"))
+      .join(ranges, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"), coalesce(col("rs"), noRanges).as("rs"))
+      .select(col("doc_id"), col("ws"),
+        filter(
+          transform(col("ws"), (t, i) => struct(t.as("t"), (i + 1).as("p"))),
+          s => !exists(col("rs"), r =>
+            s.getField("p").between(r.getField("lo"), r.getField("hi"))))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("int").as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("int").as("n_removed"),
+        array_join(transform(col("kept"), s => s.getField("t")), " ")
+          .as("clean_text"))
   }
 
   /** Exact embedding cosine near-dup pairs (id_a < id_b, rounded sim >=

@@ -382,6 +382,58 @@ object DedupQueries {
         |  CAST(count(*) AS INTEGER) AS n_windows,
         |  CAST(max(pos) - min(pos) + 15 AS INTEGER) AS span_tokens
         |FROM r GROUP BY doc_id, grp ORDER BY doc_id, run_start""".stripMargin),
-      "substring-level dedup: maximal cross-document duplicated token-window runs")
+      "substring-level dedup: maximal cross-document duplicated token-window runs"),
+
+    // q78 — the substring-dedup LAST MILE: the CLEANED corpus. q73
+    // detects duplicated spans; this removes them — every token covered
+    // by a non-canonical duplicated window (canonical = min (doc_id,
+    // pos) per window hash, the q68 min-representative rule) is spliced
+    // out, so exactly one copy of each duplicated span survives. Same
+    // w=15 / maxDf=200 contract as q73, replayed in the oracle
+    // (canonical selection included — via the identical doc_id·2²⁶+pos
+    // packing arithmetic).
+    Q("q78_substring_clean",
+      (s, d) => Dedup.substringClean(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), w = 15, maxDf = 200)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 14)) AS pos
+        |  FROM w WHERE len(ws) >= 15),
+        |p AS (SELECT doc_id, pos,
+        |    ('0x' || substring(md5('0#' ||
+        |      array_to_string(ws[pos:pos+14], ' ')), 1, 15))::BIGINT AS h
+        |  FROM p0),
+        |dup AS (SELECT h FROM p GROUP BY h
+        |  HAVING count(*) <= 200 AND count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT p.doc_id, p.pos, p.h FROM p JOIN dup USING (h)),
+        |canon AS (SELECT h, min(doc_id * 67108864 + pos) AS cdp
+        |  FROM occ GROUP BY h),
+        |marked AS (SELECT o.doc_id, o.pos FROM occ o JOIN canon c ON o.h = c.h
+        |  WHERE o.doc_id * 67108864 + o.pos <> c.cdp),
+        |b AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           THEN 1
+        |         WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+        |           THEN 1 ELSE 0 END AS brk
+        |  FROM marked),
+        |g AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+        |ranges AS (SELECT doc_id, min(pos) AS lo, max(pos) + 14 AS hi
+        |  FROM g GROUP BY doc_id, grp),
+        |tok AS (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws))) AS tp FROM w),
+        |keep AS (SELECT t.doc_id, t.tp, t.ws[t.tp] AS tokn FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM ranges r
+        |    WHERE r.doc_id = t.doc_id AND t.tp BETWEEN r.lo AND r.hi))
+        |SELECT w.doc_id, CAST(len(w.ws) AS INTEGER) AS n_tokens,
+        |  CAST(len(w.ws) - count(k.tp) AS INTEGER) AS n_removed,
+        |  coalesce(string_agg(k.tokn, ' ' ORDER BY k.tp), '') AS clean_text
+        |FROM w LEFT JOIN keep k USING (doc_id)
+        |GROUP BY w.doc_id, len(w.ws)
+        |ORDER BY w.doc_id""".stripMargin),
+      "substring-dedup removal: cleaned corpus with one canonical copy of every duplicated span")
   )
 }

@@ -161,4 +161,40 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringRuns(d, col("doc_id"), col("text"),
       w = 4, maxDf = 3).count() === 3)
   }
+
+  private def cleanRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+
+  test("substringClean keeps the canonical span copy, splices the rest") {
+    val span = "the quick brown fox jumps over fences"
+    val d = docs(
+      1L -> s"alpha beta $span gamma delta epsilon",
+      2L -> s"one two three four $span five",
+      3L -> "totally different words with no overlap at all here")
+    val got = cleanRows(Dedup.substringClean(d, col("doc_id"), col("text"),
+      w = 4, maxDf = 100))
+    // doc 1 holds every canonical occurrence (min doc_id) → untouched;
+    // doc 2 loses exactly the 7 span tokens (positions 5-11)
+    assert(got.toSeq === Seq(
+      (1L, 12, 0, s"alpha beta $span gamma delta epsilon"),
+      (2L, 12, 7, "one two three four five"),
+      (3L, 9, 0, "totally different words with no overlap at all here")))
+  }
+
+  test("substringClean empties exact duplicates down to one copy") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "a b c d")
+    val got = cleanRows(Dedup.substringClean(d, col("doc_id"), col("text"),
+      w = 4, maxDf = 100))
+    assert(got.toSeq === Seq(
+      (1L, 4, 0, "a b c d"), (2L, 4, 4, ""), (3L, 4, 4, "")))
+  }
+
+  test("substringClean: a window past the maxDf cap is removed nowhere") {
+    // 3 occurrences, cap 2 → the boilerplate guard keeps all copies
+    val d = docs(1L -> "a b c d", 2L -> "a b c d", 3L -> "a b c d")
+    val got = cleanRows(Dedup.substringClean(d, col("doc_id"), col("text"),
+      w = 4, maxDf = 2))
+    assert(got.forall(_._3 === 0))
+  }
 }

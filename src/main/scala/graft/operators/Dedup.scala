@@ -359,14 +359,31 @@ object Dedup {
     * family.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxDist: Int, maxBucket: Int): DataFrame =
+    hammingPairs(simhashFingerprints(df, id, text),
+      col("doc_id"), col("simhash"), maxDist, maxBucket)
+
+  /** Hamming-distance pairs over ANY 60-bit fingerprint column — the
+    * chunk-pigeonhole candidate machinery behind `simhashPairs`,
+    * factored out so other fingerprint families (perceptual hashes over
+    * decoded media payloads, q81) reuse the identical bounded plan:
+    * 4 chunks of 15 bits (hamming<=3 implies at least one chunk equal),
+    * chunk buckets hard-capped at `maxBucket` docs through
+    * `BoundedLongList` (a degenerate chunk value evals to NULL inside
+    * the aggregate and never materializes a bucket anywhere — the cap
+    * is part of the recall contract, replayed by the oracles), pairs
+    * emitted per-row from the surviving buckets, verified by exact
+    * bit_count on the full fingerprints.
+    */
+  def hammingPairs(df: DataFrame, id: Column, fp60: Column,
                    maxDist: Int, maxBucket: Int): DataFrame = {
     require(maxDist <= 3, "chunking is sized for hamming <= 3")
     // Cached: consumed by the chunk bucketing and both verify-stage
     // joins; released by the runner's clearCache().
-    val fp = simhashFingerprints(df, id, text).cache()
+    val fp = df.select(id.as("doc_id"), fp60.as("fpr")).cache()
     val chunks = fp.select(col("doc_id"),
-        explode(sequence(lit(0), lit(3))).as("c"), col("simhash"))
-      .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))
+        explode(sequence(lit(0), lit(3))).as("c"), col("fpr"))
+      .withColumn("chunk", expr("shiftright(fpr, c * 15) & 32767"))
     val cand = bucketPairs(
         chunks.groupBy("c", "chunk")
           .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
@@ -375,10 +392,10 @@ object Dedup {
           .select(sort_array(col("docs")).as("docs")))
       .distinct()
     cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"), col("fpr").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fpr").as("fp_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
+        expr("bit_count(fp_a ^ fp_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

@@ -74,6 +74,33 @@ object Multimodal {
       least(height, lit(boxH)).as("out_h"),
       (least(width, lit(boxW)) * least(height, lit(boxH))).as("out_pixels"))
 
+  /** Difference-hash-style 60-bit perceptual fingerprint over the
+    * decoded payload seam: bit i is set iff "pixel" i is brighter than
+    * "pixel" i+1 — the dHash construction (compare adjacent downsampled
+    * pixels; robust to uniform brightness/contrast shifts because only
+    * the gradient SIGN survives). Here the "decoded scanline" is the
+    * stub decode of the payload — its utf-8 bytes read back as
+    * characters, pixel value = the character code — so the hash
+    * arithmetic (adjacent-compare, bit packing) is real and
+    * oracle-replayable while the codec is stubbed like the rest of the
+    * multimodal family; a production swap feeds real grayscale rows
+    * through the identical expression. 60 bits (not 64) so fingerprints
+    * flow straight into the 4x15-bit chunk machinery of
+    * `Dedup.hammingPairs`. Callers must guarantee the decoded column
+    * has at least `nBits + 1` pixels (filter on length) — comparing
+    * past the end would read ascii('') = 0 and fabricate dark pixels.
+    *
+    * Per-row expression only — no shuffle, no UDF; 2·nBits codegen'd
+    * substring/ascii calls per row.
+    */
+  def perceptualHash(decoded: org.apache.spark.sql.Column,
+                     nBits: Int = 60): org.apache.spark.sql.Column =
+    (0 until nBits).map { i =>
+      when(ascii(substring(decoded, i + 1, 1)) >
+          ascii(substring(decoded, i + 2, 1)), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Feature-extraction stub: a deterministic `dim`-dimensional float
     * vector derived from the payload's md5 — the embedding a real
     * vision/audio encoder would produce, with the exact Spark plumbing

@@ -39,27 +39,32 @@ object Similarity {
 
   /** Sign-LSH (axis-aligned hyperplane) bucketed ANN with a MULTI-PROBE
     * recall knob: `probes` = how many buckets to scan — the query's own
-    * bucket plus its Hamming-distance-1 neighbors in a fixed order
-    * (flip bit 0, bit 1, …). probes=1 is the classic single-bucket
-    * probe (~1/2^bits of the data); probes=P scans P/2^bits and
-    * recovers the near-dups that straddle exactly one hyperplane — the
-    * standard multi-probe LSH recall/scan trade
-    * (recall grows with P, scan cost linearly; brute force = the P=2^bits
-    * limit). The probe set stays a handful of broadcast rows, so the
-    * plan shape (scan + broadcast hash join + TakeOrdered) is unchanged
-    * at any P.
+    * bucket, then its Hamming-distance-1 neighbors in bit order (flip
+    * bit 0, bit 1, …), then its Hamming-distance-2 neighbors in
+    * lexicographic (i, j) pair order (flip bits 0+1, 0+2, …, 1+2, …).
+    * probes=1 is the classic single-bucket probe (~1/2^bits of the
+    * data); probes=P scans P/2^bits and recovers the near-dups that
+    * straddle one (then two) hyperplanes — the standard multi-probe LSH
+    * recall/scan trade (recall grows with P, scan cost linearly; brute
+    * force = the P=2^bits limit). The probe set stays a handful of
+    * broadcast rows, so the plan shape (scan + broadcast hash join +
+    * TakeOrdered) is unchanged at any P. Deterministic enumeration
+    * order means a given P always scans the same buckets — the oracle
+    * replays the identical mask list.
     */
   def signLshTopK(df: DataFrame, id: Column, vec: Column,
                   queryId: Long, k: Int, bits: Int,
                   probes: Int = 1): DataFrame = {
-    require(probes >= 1 && probes <= bits + 1,
-      s"probes must be in [1, bits+1]: only Hamming<=1 neighbors are enumerated")
+    val maxProbes = 1 + bits + bits * (bits - 1) / 2
+    require(probes >= 1 && probes <= maxProbes,
+      s"probes must be in [1, $maxProbes]: only Hamming<=2 neighbors are enumerated")
     ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"),
       signBucket(vec.cast("array<double>"), bits).as("bucket"))
-    // masks: 0 (own bucket), then single-bit flips in bit order. XOR of
-    // distinct masks gives distinct buckets, so no candidate appears twice.
-    val masks = (0L +: (0 until bits).map(b => 1L << b)).take(probes)
+    // masks: 0 (own bucket), single-bit flips in bit order, then two-bit
+    // flips in lexicographic pair order. XOR of distinct masks gives
+    // distinct buckets, so no candidate appears twice.
+    val masks = probeMasks(bits).take(probes)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
@@ -70,6 +75,16 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** The multi-probe mask enumeration (see signLshTopK): Hamming-0,
+    * then Hamming-1 in bit order, then Hamming-2 in lexicographic (i, j)
+    * order. Public so specs and oracle builders read the same list.
+    */
+  def probeMasks(bits: Int): Seq[Long] =
+    0L +:
+      ((0 until bits).map(b => 1L << b) ++
+        (for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)))
 
   /** Per-label centroid in long format: (label, dim [1-based], value). */
   def centroids(df: DataFrame, label: Column, vec: Column): DataFrame =
@@ -127,12 +142,37 @@ object Similarity {
       else e.filter(graft.functions.TextFunctions
         .hash60(col("vec_id").cast("string"), buildSampleSeed)
         % 1000 < buildSamplePerMille)
-    val cents = trainSet.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cents = centroidsWide(trainSet)
+    val assigned = assignToNearest(e.drop("lbl"), cents)
+    val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val qbuckets = nearestBuckets(cents, qv, nprobe)
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qbuckets), col("bucket") === col("qbucket"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Wide per-label centroids (c_lbl, cv) from a (v, lbl) training set —
+    * the IVF coarse-quantizer build, rounded 6dp so every engine agrees
+    * on the quantizer bit-for-bit.
+    */
+  private def centroidsWide(train: DataFrame): DataFrame =
+    train.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("lbl", "pos").agg(round(avg("x"), 6).as("c"))
       .groupBy("lbl")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("lbl").as("c_lbl"),
         transform(col("pc"), p => p.getField("c")).as("cv"))
+
+  /** Nearest-centroid assignment: adds `bucket` to every row of `e`
+    * (which must carry `v`), via a broadcast single-row centroid array
+    * and a per-row argmax FOLD — the corpus never shuffles for
+    * assignment. First-wins on rounded-cosine ties = min label,
+    * matching the oracle's row_number tiebreak.
+    */
+  private def assignToNearest(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents
       .agg(array_sort(collect_list(struct(col("c_lbl"), col("cv")))).as("cents"))
     // zero: sim = -2 (< any cosine) so element 1 always replaces it; its
@@ -145,25 +185,64 @@ object Similarity {
         struct(sim.as("sim"), cent.getField("c_lbl").as("lbl")))
         .otherwise(acc)
     })
-    val assigned = e.crossJoin(broadcast(centArr))
+    e.crossJoin(broadcast(centArr))
       .withColumn("bucket", best.getField("lbl"))
-      .select(col("vec_id"), col("v"), col("bucket"))
-    val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    // The query's nprobe nearest centroids, ranked exactly like
-    // assignment (rounded cosine desc, label asc) — so nprobe=1 IS the
-    // query's assigned bucket. C rows ranked, nprobe kept: driver-free,
-    // broadcast-sized both sides.
-    val qbuckets = cents.crossJoin(broadcast(qv))
+      .drop("cents")
+  }
+
+  /** The query's nprobe nearest centroids, ranked exactly like
+    * assignment (rounded cosine desc, label asc) — so nprobe=1 IS the
+    * query's assigned bucket. C rows ranked, nprobe kept: driver-free,
+    * broadcast-sized both sides.
+    */
+  private def nearestBuckets(cents: DataFrame, qv: DataFrame,
+                             nprobe: Int): DataFrame =
+    cents.crossJoin(broadcast(qv.select("qv")))
       .select(col("c_lbl").as("qbucket"),
         round(cos(col("cv"), col("qv")), 4).as("csim"))
       .orderBy(col("csim").desc, col("qbucket"))
       .limit(nprobe)
       .select("qbucket")
+
+  /** The int8 × IVF COMPOSITION — byte-domain bucketed ANN: buckets are
+    * assigned on EXACT vectors (the quantizer and assignment are cheap
+    * one-time build work), but the probe scan — the per-query cost that
+    * dominates at 100 TB — reads int8-packed BINARY vectors scored by
+    * the fused long-arithmetic ByteCosine kernel. This multiplies the
+    * two scale features: the IVF bucket cut (scan nprobe/C of the
+    * corpus) times the int8 density cut (8x vs doubles per vector
+    * touched), which is precisely how production IVF indexes store
+    * their posting lists. The exact cosine rides along as the q71-style
+    * audit column (`close` = quantized and exact scores agree within
+    * `tol`), so the result itself certifies the approximation.
+    *
+    * Zero vectors are dropped up front (no int8 scale exists; cosine is
+    * undefined for them) — the same standalone cheap-pass guard as
+    * `quantizedVectors`, applied before the build so quantizer,
+    * assignment, and probe all see the identical corpus.
+    */
+  def ivfQuantizedTopK(df: DataFrame, id: Column, vec: Column,
+                       label: Column, queryId: Long, k: Int,
+                       nprobe: Int = 1, tol: Double = 0.02): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    ArrayCosine.register(df.sparkSession)
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+      .filter(array_max(transform(col("v"), x => abs(x))) > 0)
+    val cents = centroidsWide(e)
+    val assigned = assignToNearest(e.drop("lbl"), cents)
+      .withColumn("q8", graft.functions.Int8Vec.pack(quantizeInt8(col("v"))))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("q8").as("qq"))
+    val qbuckets = nearestBuckets(cents, q.select(col("qv")), nprobe)
     assigned.filter(col("vec_id") =!= queryId)
       .join(broadcast(qbuckets), col("bucket") === col("qbucket"))
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.Int8Vec.byteCosine(col("q8"), col("qq")), 4)
+          .as("qcos_sim"),
+        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+      .withColumn("close", abs(col("qcos_sim") - col("cos_sim")) <= tol)
+      .orderBy(col("qcos_sim").desc, col("vec_id"))
       .limit(k)
   }
 

@@ -349,6 +349,85 @@ object CurationQueries {
         |  FROM documents)
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 15
         |ORDER BY doc_id""".stripMargin),
-      "deterministic per-source quota cap (domain balancing) on the TopKPerKey node")
+      "deterministic per-source quota cap (domain balancing) on the TopKPerKey node"),
+
+    // q82 — the composed pipeline WITH source balancing: q62's lineage
+    // plus the q76 quota stage, placed where a real data build debates
+    // it — after cleaning (quality/dedup/decontaminate decide what is
+    // usable), BEFORE sampling and sharding (the mix must be balanced
+    // before rates are applied, or a hot domain distorts every
+    // stratum). Quota survivors join back by doc_id (broadcastable —
+    // ≤ cap × |sources| rows); everything else is q62's plan shape.
+    Q("q82_curation_balanced",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val qual = Curation.qualitySignals(docs, col("doc_id"), col("text"),
+            stopwords, minWords = 30, maxWords = 5000,
+            minMeanLen = 3.0, maxMeanLen = 10.0,
+            minAlphaFrac = 0.8, minStopHits = 2)
+          .filter(col("keep")).select("doc_id")
+        val kept = docs.join(qual, "doc_id")
+          .filter(col("doc_id") % 97 =!= 0)
+        val reps = Dedup.exact(kept, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        // cached: consumed by the decontamination gram pass AND the
+        // anti-join survivor side (see q62).
+        val deduped = kept.join(reps, "doc_id").cache()
+        val flagged = Curation.decontaminate(deduped, col("doc_id"),
+            col("text"), docs.filter(col("doc_id") % 97 === 0),
+            col("text"), n = 3)
+          .select("doc_id")
+        val clean = deduped.join(flagged, Seq("doc_id"), "left_anti")
+        val balanced = clean.join(
+          Curation.sourceQuota(clean, col("doc_id"), col("source"),
+            maxPerSource = 10, seed = 13).select("doc_id"),
+          "doc_id")
+        val sampled = Curation.hashStratifiedSample(balanced, col("lang"),
+          col("doc_id"), ratesPerMille = Map("en" -> 600),
+          defaultPerMille = 800, seed = 7)
+        Curation.trainShards(sampled, col("doc_id"), numShards, shardSeed)
+          .join(sampled.select("doc_id", "lang", "source"), "doc_id")
+          .select("doc_id", "lang", "source", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS char_sum,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+        |  CAST(len(list_filter(ws, x -> x IN ($stopList))) AS BIGINT) AS stop_hits
+        |  FROM w),
+        |q AS (SELECT doc_id FROM m
+        |  WHERE n_words BETWEEN 30 AND 5000
+        |    AND (char_sum * 20000 + n_words) // (n_words * 2) BETWEEN 30000 AND 100000
+        |    AND (alpha_cnt * 20000 + n_words) // (n_words * 2) >= 8000
+        |    AND stop_hits >= 2),
+        |kept AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
+        |  JOIN q USING (doc_id) WHERE d.doc_id % 97 <> 0),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+        |deduped AS (SELECT kept.* FROM kept JOIN reps USING (doc_id)),
+        |dg AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')))
+        |    AS grams FROM w WHERE len(ws) >= 3),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM dg WHERE doc_id % 97 = 0),
+        |cg AS (SELECT g.doc_id, unnest(g.grams) AS gram FROM dg g
+        |  JOIN deduped USING (doc_id)),
+        |flagged AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+        |clean AS (SELECT * FROM deduped ANTI JOIN flagged USING (doc_id)),
+        |bal AS (SELECT doc_id, lang, source FROM (
+        |    SELECT c.*, ('0x' || substring(md5('13#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS qh
+        |    FROM clean c)
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY qh, doc_id) <= 10),
+        |sampled AS (SELECT doc_id, lang, source FROM bal
+        |  WHERE ('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000 < CASE lang WHEN 'en' THEN 600 ELSE 800 END),
+        |h AS (SELECT doc_id, lang, source,
+        |  ('0x' || substring(md5('$shardSeed#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM sampled)
+        |SELECT doc_id, lang, source, CAST(h % $numShards AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % $numShards
+        |    ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin),
+      "composed curation with source balancing: quality→dedup→decontaminate→quota→sample→shards")
   )
 }

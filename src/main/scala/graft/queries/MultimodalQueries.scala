@@ -68,6 +68,46 @@ object MultimodalQueries {
         |SELECT doc_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
         |FROM f, q WHERE doc_id <> 0
         |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin),
-      "payload -> md5-derived feature vector -> cosine top-k (encoder-stub ANN path)")
+      "payload -> md5-derived feature vector -> cosine top-k (encoder-stub ANN path)"),
+
+    // q81 — multimodal NEAR-DUP: dHash-style perceptual fingerprints
+    // over the decoded payload seam (payload bytes read back as the
+    // fake "scanline"; bit i = pixel i brighter than pixel i+1), fed
+    // through the SAME bounded Hamming chunk machinery as SimHash
+    // (Dedup.hammingPairs: 4x15-bit pigeonhole buckets, BoundedLongList
+    // cap, exact bit_count verify). The payload-level twin of q25's
+    // text dedup: near-identical media whose bytes differ slightly
+    // land within hamming<=3. Docs shorter than 61 chars are filtered
+    // (the fingerprint needs nBits+1 pixels) on both sides.
+    Q("q81_multimodal_phash_dedup",
+      (s, d) => {
+        val media = Multimodal.withPayload(
+            Tables(s, d, "documents").select("doc_id", "text"), "text")
+          .filter(length(col("text")) >= 61)
+        val fp = media.select(col("doc_id"),
+          Multimodal.perceptualHash(col("payload").cast("string")).as("phash"))
+        graft.operators.Dedup.hammingPairs(fp, col("doc_id"), col("phash"),
+            maxDist = 3, maxBucket = 100)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    (SELECT CAST(sum(CASE WHEN ascii(substring(text, i + 1, 1)) >
+        |                            ascii(substring(text, i + 2, 1))
+        |                     THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+        |     FROM generate_series(0, 59) AS t(i)) AS ph
+        |  FROM documents WHERE length(text) >= 61),
+        |ch AS (SELECT doc_id, ph, t.c, (ph >> (t.c * 15)) & 32767 AS chunk
+        |  FROM f, generate_series(0, 3) AS t(c)),
+        |guard AS (SELECT * FROM ch
+        |  QUALIFY count(*) OVER (PARTITION BY c, chunk) <= 100),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.ph AS pa, b.ph AS pb
+        |  FROM guard a JOIN guard b
+        |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "perceptual-hash (dHash) payload near-dup via the bounded Hamming chunk machinery")
   )
 }

@@ -147,7 +147,42 @@ object PipelineQueries {
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
-      "streaming stateful dedup (distinct keys across micro-batches), oracle-compared"))
+      "streaming stateful dedup (distinct keys across micro-batches), oracle-compared"),
+
+    // q80 — BOUNDED-STATE streaming dedup under the oracle: the
+    // production path q77 could not certify. q77 oracles plain
+    // dropDuplicates, whose per-key state grows forever; this runs
+    // StreamingDedup.dedup — dropDuplicatesWithinWatermark, the shape
+    // that survives an unbounded feed because state older than the
+    // event-time watermark is EVICTED. The delay is chosen to cover the
+    // whole test feed's event-time span, so every duplicate falls
+    // inside the watermark and the bounded-state answer provably equals
+    // DuckDB DISTINCT — which is exactly the operator's contract
+    // (re-deliveries arrive within the delay; only those must dedup).
+    // The keys-only projection AFTER the dedup makes the surviving row
+    // identical whichever arrival wins (q77's arrival-order-proofing);
+    // StreamingDedupSpec keeps covering the eviction behavior an
+    // all-inside-watermark oracle cannot express.
+    Q("q80_streaming_dedup_watermark",
+      (s, d) => {
+        val qname = s"graft_q80_sink_${streamSinkRuns.incrementAndGet()}"
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val query = graft.streaming.StreamingDedup
+          .dedup(stream, Seq("user_id", "event_type"), "ts", "3650 days")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname).orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin),
+      "bounded-state streaming dedup (dropDuplicatesWithinWatermark), oracle-compared"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

@@ -245,6 +245,83 @@ object SimilarityQueries {
         |SELECT t.vec_id, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
         |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
         |ORDER BY t.cos_sim DESC, t.vec_id""".stripMargin),
-      "IVF nprobe=2 probe (two nearest centroid buckets) with brute-force recall audit")
+      "IVF nprobe=2 probe (two nearest centroid buckets) with brute-force recall audit"),
+
+    // q79 — the int8 × IVF COMPOSITION: buckets assigned on exact
+    // vectors, the probe scan reading int8-packed BINARY vectors scored
+    // by the fused ByteCosine kernel (nprobe/C of the corpus touched ×
+    // 8x byte density — the two scale features multiplying), exact
+    // cosine riding along as the q71 audit. Every stage — the amax>0
+    // zero-vector drop, the 6dp centroid build, rounded-cosine + label
+    // assignment, the shared 127/max quantization, nprobe bucket
+    // ranking — is replayed verbatim in SQL, so both engines rank
+    // bit-identical integer vectors out of identical buckets.
+    Q("q79_ann_ivf_quantized",
+      (s, d) => Similarity.ivfQuantizedTopK(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), queryId = 0L,
+        k = 10, nprobe = 2, tol = 0.02),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings
+        |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |c AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |a AS (SELECT vec_id, v, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |z AS (SELECT vec_id, v, c_lbl,
+        |    list_transform(v, x -> CAST(round(x *
+        |      (127.0 / list_max(list_transform(v, y -> abs(y))))) AS INT))::DOUBLE[] AS q8
+        |  FROM a),
+        |qrow AS (SELECT v AS qv, q8 AS qq FROM z WHERE vec_id = 0),
+        |qb AS (SELECT c_lbl AS qbucket FROM cw, qrow
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, c_lbl) <= 2),
+        |s AS (SELECT vec_id,
+        |    round(list_cosine_similarity(q8, qq), 4) AS qcos_sim,
+        |    round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM z JOIN qb ON z.c_lbl = qb.qbucket, qrow WHERE vec_id <> 0)
+        |SELECT vec_id, qcos_sim, cos_sim,
+        |  abs(qcos_sim - cos_sim) <= 0.02 AS close
+        |FROM s ORDER BY qcos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      "int8 × IVF composition: byte-packed probe-bucket scan with exact-cosine audit"),
+
+    // q83 — multi-probe BEYOND Hamming-1: probes=7 > bits+1=5, so the
+    // probe set includes the first two Hamming-2 neighbor buckets
+    // (masks 3 and 5 in the deterministic enumeration — bit pairs in
+    // lexicographic order), scanning 7/16 of the data. Same brute-force
+    // recall-audit columns as q72; the oracle inlines the identical
+    // mask list from Similarity.probeMasks.
+    Q("q83_ann_multiprobe_h2",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val approx = Similarity.signLshTopK(e, col("vec_id"),
+          col("embedding"), queryId = 0L, k = 10, bits = lshBits, probes = 7)
+        val exact = Similarity.bruteForceTopK(e, col("vec_id"),
+            col("embedding"), queryId = 0L, k = 10)
+          .select(col("vec_id"), lit(true).as("hit"))
+        approx.join(exact, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cos_sim"),
+            coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+        |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+        |probes AS (SELECT qv, xor(qb, m) AS qbucket
+        |  FROM q, (VALUES ${Similarity.probeMasks(lshBits).take(7)
+             .map(m => s"($m)").mkString(", ")}) AS masks(m)),
+        |cand AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM b JOIN probes ON b.bucket = probes.qbucket WHERE vec_id <> 0),
+        |topk AS (SELECT vec_id, cos_sim FROM cand
+        |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+        |exact AS (SELECT vec_id FROM (
+        |  SELECT b.vec_id, round(list_cosine_similarity(v, qv), 4) AS s
+        |  FROM b, q WHERE vec_id <> 0 ORDER BY s DESC, vec_id LIMIT 10))
+        |SELECT t.vec_id, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
+        |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
+        |ORDER BY t.cos_sim DESC, t.vec_id""".stripMargin),
+      "multi-probe sign-LSH past Hamming-1 (lexicographic Hamming-2 masks) with recall audit")
   )
 }

@@ -20,14 +20,14 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingDedup {
 
-  /** Drop re-delivered events by `idCol`, holding per-key state only
-    * within `delay` of the event-time watermark.
+  /** Drop re-delivered events by the (composite) `idCols` key, holding
+    * per-key state only within `delay` of the event-time watermark.
     */
-  def dedup(events: DataFrame, idCol: String, tsCol: String,
+  def dedup(events: DataFrame, idCols: Seq[String], tsCol: String,
             delay: String): DataFrame =
     events
       .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark(idCol)
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** File-source → dedup → append parquet sink with checkpointing:
     * exactly-once output rows from at-least-once input files.
@@ -36,7 +36,8 @@ object StreamingDedup {
           idCol: String, tsCol: String, delay: String,
           outDir: String, checkpointDir: String,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    dedup(spark.readStream.schema(schema).parquet(srcDir), idCol, tsCol, delay)
+    dedup(spark.readStream.schema(schema).parquet(srcDir), Seq(idCol), tsCol,
+        delay)
       .writeStream
       .format("parquet")
       .option("path", outDir)

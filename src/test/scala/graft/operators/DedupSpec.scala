@@ -125,6 +125,35 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L, 1.0)))
   }
 
+  test("hammingPairs: generic fingerprints through the chunk machinery") {
+    import spark.implicits._
+    // fp 1 and 2 differ in 2 bits (hamming 2); fp 3 differs from 1 in 30
+    val f1 = 0x0F0F0F0F0F0FL
+    val f2 = f1 ^ 0x3L
+    val f3 = f1 ^ 0x3FFF3FFF3FFFL
+    val fp = Seq((1L, f1), (2L, f2), (3L, f3)).toDF("id", "fp60")
+    val got = Dedup.hammingPairs(fp, col("id"), col("fp60"),
+      maxDist = 3, maxBucket = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, 2L, 2)))
+  }
+
+  test("hammingPairs == simhashPairs when fed simhash fingerprints") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "an entirely different document about completely other things")
+    val direct = Dedup.simhashPairs(d, col("doc_id"), col("text"),
+      maxDist = 3, maxBucket = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaGeneric = Dedup.hammingPairs(
+      Dedup.simhashFingerprints(d, col("doc_id"), col("text")),
+      col("doc_id"), col("simhash"), maxDist = 3, maxBucket = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(direct === viaGeneric)
+    assert(direct.contains((1L, 2L, 0)))
+  }
+
   test("substringRuns finds a shared span inside distinct documents") {
     // a 7-token span shared by docs 1 and 2, embedded in distinct text;
     // doc 3 shares nothing. w=4 → the span yields 4 consecutive dup

@@ -61,6 +61,36 @@ class MultimodalSpec extends SparkSpec {
     assert(f.toSeq === again.toSeq)
   }
 
+  test("perceptualHash: dHash bit arithmetic against a Scala reference") {
+    import spark.implicits._
+    val rows = Seq("abcabcabc" * 8, "zyxzyxzyx" * 8, "aaaa" * 20)
+    val got = rows.toDF("s")
+      .select(Multimodal.perceptualHash(col("s")).as("ph"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { s =>
+      (0 until 60).map { i =>
+        if (s.charAt(i) > s.charAt(i + 1)) 1L << i else 0L
+      }.sum
+    }
+    assert(got === want)
+    // a monotone scanline has no descending neighbor: fingerprint 0
+    assert(got(2) === 0L)
+  }
+
+  test("perceptualHash survives the binary payload round-trip unchanged") {
+    val viaPayload = media.filter(length(col("text")) >= 61)
+      .select(col("doc_id"),
+        Multimodal.perceptualHash(col("payload").cast("string")).as("ph"))
+      .orderBy("doc_id").collect()
+    val viaText = media.filter(length(col("text")) >= 61)
+      .select(col("doc_id"), Multimodal.perceptualHash(col("text")).as("ph"))
+      .orderBy("doc_id").collect()
+    assert(viaPayload.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      viaText.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // 60-bit contract: fits the 4x15-bit chunk machinery
+    assert(viaPayload.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << 60)))
+  }
+
   test("sampledFrameCount: every stride-th frame, at least one") {
     import spark.implicits._
     val got = Seq(1L, 9L, 10L, 11L, 95L).toDF("f")

@@ -83,6 +83,64 @@ class SimilaritySpec extends SparkSpec {
     sampled.foreach(r => assert(bf(r.getLong(0)) === r.getDouble(1)))
   }
 
+  test("ivfQuantizedTopK: byte-domain probe tracks exact cosine within tol") {
+    val got = Similarity.ivfQuantizedTopK(emb, col("vec_id"),
+      col("embedding"), col("label"), queryId = 0L, k = 10,
+      nprobe = 2, tol = 0.02).collect()
+    assert(got.length === 10)
+    // the audit column certifies every returned row
+    assert(got.forall(_.getBoolean(3)))
+    got.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 0.02))
+    // ranked by the QUANTIZED score (the byte-domain scan is the ranking)
+    val qsims = got.map(_.getDouble(1)).toSeq
+    assert(qsims === qsims.sorted.reverse)
+    // exact-cosine audit values agree with the brute-force scoring path
+    val bf = Similarity.bruteForceTopK(emb,
+        col("vec_id"), col("embedding"), queryId = 0L, k = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(bf(r.getLong(0)) === r.getDouble(2)))
+  }
+
+  test("ivfQuantizedTopK candidates come from the same buckets as ivfTopK") {
+    // same nprobe probes the same centroid buckets, so the byte-domain
+    // candidate ids must be a superset-equal of the exact ivf top-k ids
+    // scored from the identical probe set (ranking may reorder within).
+    val exactIds = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      col("label"), queryId = 0L, k = 200, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val quantIds = Similarity.ivfQuantizedTopK(emb, col("vec_id"),
+      col("embedding"), col("label"), queryId = 0L, k = 200, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(quantIds === exactIds)
+  }
+
+  test("probeMasks: deterministic, distinct, Hamming<=2, H1 prefix stable") {
+    val m = Similarity.probeMasks(4)
+    assert(m.length === 1 + 4 + 6)
+    assert(m.distinct.length === m.length)
+    assert(m.head === 0L)
+    // first bits+1 masks are exactly the pre-Hamming-2 enumeration, so
+    // q72 (probes=3) scans the identical buckets it always did
+    assert(m.take(5) === Seq(0L, 1L, 2L, 4L, 8L))
+    assert(m.drop(5) === Seq(3L, 5L, 9L, 6L, 10L, 12L))
+    assert(m.forall(x => java.lang.Long.bitCount(x) <= 2))
+  }
+
+  test("signLshTopK at probes > bits+1: H2 buckets only grow the top-k") {
+    def topk(probes: Int): Seq[Double] =
+      Similarity.signLshTopK(emb, col("vec_id"), col("embedding"),
+        queryId = 0L, k = 10, bits = 4, probes = probes)
+        .collect().map(_.getDouble(1)).toSeq
+    val (p5, p7, p11) = (topk(5), topk(7), topk(11))
+    p7.zipAll(p5, 2.0, -2.0).foreach { case (m, s) => assert(m >= s) }
+    p11.zipAll(p7, 2.0, -2.0).foreach { case (m, s) => assert(m >= s) }
+    // brute force still dominates: probes=11 scans Hamming<=2 buckets
+    // (11 of 16), not the full space
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 10).collect().map(_.getDouble(1)).toSeq
+    p11.zip(bf).foreach { case (a, b) => assert(a <= b) }
+  }
+
   test("quantizeInt8: values in [-127,127], zero vector yields NULL") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0f, 0f, 0f)))

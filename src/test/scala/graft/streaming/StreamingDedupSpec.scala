@@ -30,6 +30,26 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === got.count())
   }
 
+  test("composite-key dedup equals batch distinct when dups are in-watermark") {
+    val src = scratch("sdedup_src3")
+    val ev = eventsBatch.limit(200)
+    ev.write.mode("append").parquet(src)
+    ev.write.mode("append").parquet(src) // full re-delivery
+    // Tables() already surfaces ts as TIMESTAMP, so the re-written feed
+    // needs no nanos conversion
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+    val got = StreamingDedup.dedup(stream,
+        Seq("user_id", "event_type"), "ts", "3650 days")
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName("sdedup_q3")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    got.awaitTermination()
+    val want = ev.select("user_id", "event_type").distinct().count()
+    assert(spark.table("sdedup_q3").count() === want)
+  }
+
   test("duplicates arriving in a later micro-batch are still dropped") {
     val src = scratch("sdedup_src2")
     val out = scratch("sdedup_out2")

@@ -203,6 +203,42 @@ object Curation {
       .select("doc_id", "source")
   }
 
+  /** Token-budget bin packing (sequence packing at the document grain):
+    * documents are dealt into `numShards` hash-assigned shards, laid out
+    * in deterministic hash order within each shard, and cut into bins of
+    * `budget` tokens by START OFFSET — doc d lands in bin
+    * floor(prefix_tokens_before_d / budget). This is the
+    * concat-and-chunk packing a pretraining loader runs (bins fill to
+    * the budget; the doc straddling a boundary belongs to the bin it
+    * starts in, so a bin can overrun by at most one document — the
+    * standard approximation; q51's window chunker handles the
+    * within-document split). Hash-derived order, not rand(): re-runs,
+    * engines, and partitionings produce identical bins, and appended
+    * data never moves existing docs relative to each other.
+    *
+    * Output: (doc_id, shard, bin, n_tokens), one row per doc.
+    *
+    * Scale shape: ONE shuffle — the per-shard window (running token
+    * sum over hash order). Like `trainShards`, numShards ≈ target
+    * output files keeps each shard a single task's sort; bins never
+    * shuffle separately (bin is arithmetic on the running sum).
+    */
+  def packTokenBudget(df: DataFrame, id: Column, text: Column,
+                      budget: Int, numShards: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && numShards > 0, "budget and numShards must be positive")
+    val n = size(words(text)).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    df.select(id.as("doc_id"), n.as("n_tokens"),
+        hash60(id.cast("string"), seed).as("h"))
+      .withColumn("shard", (col("h") % numShards).cast("int"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"),
+        graft.functions.IntMath.intDiv(col("cum") - col("n_tokens"),
+          lit(budget.toLong)).cast("int").as("bin"),
+        col("n_tokens").cast("int").as("n_tokens"))
+  }
+
   /** Deterministic global shuffle into training shards: shard =
     * hash60(id) % numShards; pos = rank of the hash within its shard.
     * Hash-derived, not rand() — re-runs, engines, and partitionings all

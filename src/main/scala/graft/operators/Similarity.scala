@@ -220,15 +220,30 @@ object Similarity {
     * undefined for them) — the same standalone cheap-pass guard as
     * `quantizedVectors`, applied before the build so quantizer,
     * assignment, and probe all see the identical corpus.
+    *
+    * `buildSamplePerMille`/`buildSampleSeed` carry over `ivfTopK`'s
+    * deterministic hash-sampled quantizer build, so the THREE scale
+    * features compose in one operator: sampled build (the quantizer
+    * never scans the full corpus) × bucket probing (nprobe/C of the
+    * data per query) × byte density (8x per vector touched).
     */
   def ivfQuantizedTopK(df: DataFrame, id: Column, vec: Column,
                        label: Column, queryId: Long, k: Int,
-                       nprobe: Int = 1, tol: Double = 0.02): DataFrame = {
+                       nprobe: Int = 1, tol: Double = 0.02,
+                       buildSamplePerMille: Int = 1000,
+                       buildSampleSeed: Int = 0): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
+    require(buildSamplePerMille >= 1 && buildSamplePerMille <= 1000,
+      "buildSamplePerMille must be in [1, 1000]")
     ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
       .filter(array_max(transform(col("v"), x => abs(x))) > 0)
-    val cents = centroidsWide(e)
+    val trainSet =
+      if (buildSamplePerMille == 1000) e
+      else e.filter(graft.functions.TextFunctions
+        .hash60(col("vec_id").cast("string"), buildSampleSeed)
+        % 1000 < buildSamplePerMille)
+    val cents = centroidsWide(trainSet)
     val assigned = assignToNearest(e.drop("lbl"), cents)
       .withColumn("q8", graft.functions.Int8Vec.pack(quantizeInt8(col("v"))))
     val q = assigned.filter(col("vec_id") === queryId)

@@ -428,6 +428,30 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY h % $numShards
         |    ORDER BY h, doc_id) AS INTEGER) AS pos
         |FROM h ORDER BY doc_id""".stripMargin),
-      "composed curation with source balancing: quality→dedup→decontaminate→quota→sample→shards")
+      "composed curation with source balancing: quality→dedup→decontaminate→quota→sample→shards"),
+
+    // q85 — token-budget bin packing (sequence packing at the document
+    // grain): docs dealt into 4 hash shards, laid out in hash order,
+    // cut into 2000-token bins by START OFFSET (the concat-and-chunk
+    // rule a pretraining loader runs; a straddling doc belongs to the
+    // bin it starts in). One shuffle — the per-shard running-sum
+    // window; bin is arithmetic on the running sum, via exact integer
+    // division on both engines.
+    Q("q85_token_budget_packing",
+      (s, d) => Curation.packTokenBudget(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), budget = 2000, numShards = 4, seed = 17)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id,
+        |    CAST(len($wsSql) AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5('17#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h, CAST(h % 4 AS INTEGER) AS shard FROM w),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) AS cum
+        |  FROM s)
+        |SELECT doc_id, shard, CAST((cum - n_tokens) // 2000 AS INTEGER) AS bin,
+        |  CAST(n_tokens AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin),
+      "token-budget bin packing: hash-ordered concat-and-chunk into 2000-token bins")
   )
 }

@@ -322,6 +322,46 @@ object SimilarityQueries {
         |SELECT t.vec_id, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
         |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
         |ORDER BY t.cos_sim DESC, t.vec_id""".stripMargin),
-      "multi-probe sign-LSH past Hamming-1 (lexicographic Hamming-2 masks) with recall audit")
+      "multi-probe sign-LSH past Hamming-1 (lexicographic Hamming-2 masks) with recall audit"),
+
+    // q84 — the FULL IVF composition: all three scale features in one
+    // operator — sampled quantizer build (q38's knob: the quantizer
+    // trains on a deterministic 50% md5-hash sample, never the full
+    // corpus), nprobe=2 bucket probing (q75's knob), and the int8
+    // byte-packed probe scan with exact-cosine audit (q71/q79). Each
+    // knob is isolated by its own query; this one proves they multiply.
+    Q("q84_ann_ivf_quantized_sampled",
+      (s, d) => Similarity.ivfQuantizedTopK(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), queryId = 0L,
+        k = 10, nprobe = 2, tol = 0.02,
+        buildSamplePerMille = 500, buildSampleSeed = 0),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings
+        |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |c AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim)
+        |  WHERE ('0x' || substring(md5('0#' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500
+        |  GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |a AS (SELECT vec_id, v, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |z AS (SELECT vec_id, v, c_lbl,
+        |    list_transform(v, x -> CAST(round(x *
+        |      (127.0 / list_max(list_transform(v, y -> abs(y))))) AS INT))::DOUBLE[] AS q8
+        |  FROM a),
+        |qrow AS (SELECT v AS qv, q8 AS qq FROM z WHERE vec_id = 0),
+        |qb AS (SELECT c_lbl AS qbucket FROM cw, qrow
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, c_lbl) <= 2),
+        |s AS (SELECT vec_id,
+        |    round(list_cosine_similarity(q8, qq), 4) AS qcos_sim,
+        |    round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM z JOIN qb ON z.c_lbl = qb.qbucket, qrow WHERE vec_id <> 0)
+        |SELECT vec_id, qcos_sim, cos_sim,
+        |  abs(qcos_sim - cos_sim) <= 0.02 AS close
+        |FROM s ORDER BY qcos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      "full IVF composition: sampled quantizer build × nprobe probing × int8 byte scan")
   )
 }

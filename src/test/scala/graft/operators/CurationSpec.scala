@@ -121,6 +121,49 @@ class CurationSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
   }
 
+  test("packTokenBudget: start-offset binning matches a Scala reference") {
+    val d = docs(
+      1L -> "a b c d e", 2L -> "f g h", 3L -> "i j k l",
+      4L -> "m n", 5L -> "o p q r s t")
+    val got = Curation.packTokenBudget(d, col("doc_id"), col("text"),
+        budget = 6, numShards = 1, seed = 17)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    // replay: hash order, running sum, bin = prefix // budget.
+    // hash60 reference = first 15 hex chars of md5("seed#id") as a long
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val hashes = got.map(_._1).map(id => id -> h60(s"17#$id")).toMap
+    val order = got.sortBy(r => (hashes(r._1), r._1))
+    var prefix = 0L
+    val wantBins = order.map { r =>
+      val bin = (prefix / 6).toInt; prefix += r._4; r._1 -> bin
+    }.toMap
+    got.foreach { r =>
+      assert(r._2 === 0) // single shard
+      assert(r._3 === wantBins(r._1))
+    }
+    assert(got.map(_._4).toSeq === Seq(5, 3, 4, 2, 6))
+  }
+
+  test("packTokenBudget: bins are contiguous from 0 within every shard") {
+    val d = graft.util.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = Curation.packTokenBudget(d, col("doc_id"), col("text"),
+      budget = 500, numShards = 4, seed = 17)
+    val perShard = got.groupBy("shard")
+      .agg(min("bin").as("lo"), max("bin").as("hi"),
+        countDistinct("bin").as("nbins"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getInt(1) === 0)                       // first bin is 0
+      assert(r.getLong(3) === r.getInt(2) + 1L)       // no gaps
+    }
+    // every doc lands exactly once
+    assert(got.count() === d.count())
+  }
+
   test("sourceQuota caps each source deterministically") {
     import spark.implicits._
     // 3 sources x 10 docs; cap 4 → 12 survivors, stable across runs

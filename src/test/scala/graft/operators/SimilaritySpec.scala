@@ -114,6 +114,16 @@ class SimilaritySpec extends SparkSpec {
     assert(quantIds === exactIds)
   }
 
+  test("ivfQuantizedTopK sampled build: audit still certifies every row") {
+    val got = Similarity.ivfQuantizedTopK(emb, col("vec_id"),
+      col("embedding"), col("label"), queryId = 0L, k = 10, nprobe = 2,
+      tol = 0.02, buildSamplePerMille = 500, buildSampleSeed = 0).collect()
+    assert(got.length === 10)
+    assert(got.forall(_.getBoolean(3)))
+    val qsims = got.map(_.getDouble(1)).toSeq
+    assert(qsims === qsims.sorted.reverse)
+  }
+
   test("probeMasks: deterministic, distinct, Hamming<=2, H1 prefix stable") {
     val m = Similarity.probeMasks(4)
     assert(m.length === 1 + 4 + 6)

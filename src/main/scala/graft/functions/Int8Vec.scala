@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.GraftPlanBuilder
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType}
 
 /** The PHYSICAL int8 ANN scan path: quantized vectors stored as
   * `BinaryType` (one byte per component — the real 8x cut vs
@@ -124,10 +125,43 @@ case class ByteCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** binary (int8-packed) → array<int>, sign-extending — the scan-side
+  * inverse of PackInt8, for readers that consume packed codes (e.g. the
+  * PQ ADC scorer, which unpacks an 8-byte code vector and folds it
+  * against a broadcast lookup table).
+  */
+case class UnpackInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_unpack_int8"
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Vec.unpackBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Int8Vec.unpackBytes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): UnpackInt8 =
+    copy(child = newChild)
+}
+
 object Int8Vec {
   /** array<int> (values in [-128, 127]) → packed binary. */
   def pack(c: Column): Column =
     GraftPlanBuilder.column(PackInt8(GraftPlanBuilder.expression(c)))
+
+  /** packed binary → array<int> (sign-extending; see UnpackInt8). */
+  def unpack(c: Column): Column =
+    GraftPlanBuilder.column(UnpackInt8(GraftPlanBuilder.expression(c)))
+
+  /** Shared by interpreted and generated UnpackInt8 paths. */
+  def unpackBytes(b: Array[Byte]): GenericArrayData = {
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
 
   /** Cosine over two packed int8 binary vectors. */
   def byteCosine(a: Column, b: Column): Column =

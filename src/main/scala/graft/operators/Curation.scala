@@ -203,6 +203,53 @@ object Curation {
       .select("doc_id", "source")
   }
 
+  /** Token-weighted source MIXTURE sampling — the data-mixing step that
+    * sits between curation and training: downsample each source so the
+    * surviving token counts sit in the ratio `parts` (integer mixture
+    * weights), at the largest total the corpus can supply WITHOUT
+    * upsampling any source. The feasible total is T = min_s(avail_s div
+    * parts_s) — the binding source is kept (nearly) whole — and source s
+    * keeps its hash-ordered document prefix whose running token sum fits
+    * parts_s * T. All arithmetic is integral (IntegralDivide / long
+    * sums), so both engines agree bit-for-bit. Hash-derived order, not
+    * rand(): re-runs, engines, and partitionings keep the same
+    * documents, and appended data only grows each prefix at its tail.
+    * Sources absent from `parts` have weight 0 and are dropped.
+    *
+    * Output: surviving (doc_id, source, n_tokens, cum_tokens).
+    *
+    * Scale shape: one map-side-combined agg for per-source totals
+    * (reduced to a single broadcast row), one window shuffle for the
+    * per-source running sum. The window partitions by source — with few
+    * giant sources that sort is the cost; at 100 TB swap the exact
+    * prefix for the q52-style per-mille hash threshold (rate ≈
+    * target/avail) and trade budget exactness for shuffle-freedom.
+    */
+  def mixtureSample(df: DataFrame, id: Column, text: Column,
+                    source: Column, parts: Map[String, Int], seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      "mixture parts must be positive")
+    val spark = df.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val partsDf = parts.toSeq.toDF("source", "parts")
+    val base = df.select(id.as("doc_id"), source.as("source"),
+        size(words(text)).cast("long").as("n_tokens"),
+        hash60(id.cast("string"), seed).as("h"))
+      .join(broadcast(partsDf), "source")
+    val t = base.groupBy("source")
+      .agg(sum("n_tokens").as("avail"), first("parts").as("p"))
+      .agg(min(graft.functions.IntMath.intDiv(col("avail"),
+        col("p").cast("long"))).as("t"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    base.crossJoin(broadcast(t))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= col("parts").cast("long") * col("t"))
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("cum").as("cum_tokens"))
+  }
+
   /** Token-budget bin packing (sequence packing at the document grain):
     * documents are dealt into `numShards` hash-assigned shards, laid out
     * in deterministic hash order within each shard, and cut into bins of

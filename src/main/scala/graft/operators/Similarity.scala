@@ -261,6 +261,111 @@ object Similarity {
       .limit(k)
   }
 
+  /** PRODUCT-QUANTIZATION ANN with true ADC scoring — the deepest
+    * compression step in the ANN family: each vector's `dim` doubles
+    * collapse to `numSub` one-byte codes (64x at d=64/m=8 vs doubles),
+    * and the per-query scan touches ONLY the packed codes plus a
+    * broadcast lookup table — never the original vectors.
+    *
+    *  - Codebooks: subspace m's codebook is the per-label centroid
+    *    (6dp-rounded, the shared `centroidsWide` build) restricted to
+    *    dims [m·s, (m+1)·s). Label-keyed like the IVF coarse quantizer,
+    *    so both engines derive identical codebooks.
+    *  - Encoding: code_m = label of the sub-codebook entry with minimal
+    *    6dp-rounded L2² distance (ties → min label; fold keeps first,
+    *    codebook array is label-sorted). Codes pack through PackInt8 to
+    *    a PHYSICAL 8-byte binary column — the scan-side storage.
+    *  - ADC scoring: pq_sim = Σ_m dot(q_m, c_m[code_m]) /
+    *    (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²)) — the numerator and the
+    *    reconstruction norm come from a per-query LUT of (dot, n2) per
+    *    (label, subspace), built once from C·numSub broadcast-side rows.
+    *    The scan unpacks 8 codes (UnpackInt8) and folds them against
+    *    the LUT in subspace order: 8 map lookups + 16 adds per vector,
+    *    independent of `dim`. Both engines sum in the identical order
+    *    (fold over m; each LUT cell a fixed-order 8-element sum), so
+    *    4dp-rounded scores agree.
+    *  - Audit: exact cosine rides along per candidate, and
+    *    `in_exact_topk` marks membership in the brute-force top-k (the
+    *    q72/q75 recall-audit pattern) — the result certifies its own
+    *    approximation quality.
+    *
+    * Scale shape: encoding is the one-time index build (O(C·d) per row,
+    * written at ingest in production); the per-query cost that scales
+    * with corpus size reads 8 bytes + does 8 LUT lookups per vector.
+    * The exact `v` column rides only to feed the audit; the production
+    * scan projection is (vec_id, pq_code).
+    */
+  def pqTopK(df: DataFrame, id: Column, vec: Column, label: Column,
+             queryId: Long, k: Int, dim: Int, numSub: Int): DataFrame = {
+    require(numSub >= 1 && dim % numSub == 0,
+      s"dim=$dim must divide into numSub=$numSub equal subspaces")
+    val subLen = dim / numSub
+    ArrayCosine.register(df.sparkSession)
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+      .filter(array_max(transform(col("v"), x => abs(x))) > 0)
+    val cents = centroidsWide(e)
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("c_lbl"), col("cv")))).as("cents"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def sq(a: Column): Column =
+      aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    // per-row codes: argmin over the sub-codebook of the 6dp-rounded L2²
+    val codesCol = array((0 until numSub).map { m =>
+      val sv = slice(col("v"), m * subLen + 1, subLen)
+      val zero = struct(lit(Double.MaxValue).as("d"),
+        element_at(col("cents"), 1).getField("c_lbl").as("l"))
+      aggregate(col("cents"), zero, (acc, c) => {
+        val dsub = slice(c.getField("cv"), m * subLen + 1, subLen)
+        val dd = round(aggregate(zip_with(sv, dsub, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc2, x) => acc2 + x), 6)
+        when(dd < acc.getField("d"),
+          struct(dd.as("d"), c.getField("c_lbl").as("l"))).otherwise(acc)
+      }).getField("l")
+    }: _*)
+    val coded = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v"),
+        graft.functions.Int8Vec.pack(codesCol).as("pq_code"))
+    val qrow = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), sqrt(sq(col("v"))).as("qnorm"))
+    // per-query LUT: (label → per-subspace (dot with q, squared norm))
+    val lut = cents.crossJoin(broadcast(qrow.select(col("qv"))))
+      .select(col("c_lbl"), array((0 until numSub).map { m =>
+        val cvm = slice(col("cv"), m * subLen + 1, subLen)
+        val qvm = slice(col("qv"), m * subLen + 1, subLen)
+        struct(dot(cvm, qvm).as("dot"), sq(cvm).as("n2"))
+      }: _*).as("sub"))
+      .agg(collect_list(struct(col("c_lbl"), col("sub"))).as("entries"))
+      .select(map_from_entries(col("entries")).as("lutMap"))
+    val codes = graft.functions.Int8Vec.unpack(col("pq_code"))
+    val acc0 = struct(lit(0.0).as("num"), lit(0.0).as("n2"))
+    val sums = aggregate(sequence(lit(0), lit(numSub - 1)), acc0, (acc, m) => {
+      val cell = element_at(element_at(col("lutMap"),
+        element_at(codes, m + 1)), m + 1)
+      struct((acc.getField("num") + cell.getField("dot")).as("num"),
+        (acc.getField("n2") + cell.getField("n2")).as("n2"))
+    })
+    val approx = coded.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qrow))
+      .crossJoin(broadcast(lut))
+      .select(col("vec_id"),
+        round(sums.getField("num") /
+          (col("qnorm") * sqrt(sums.getField("n2"))), 4).as("pq_sim"),
+        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(k)
+    val exact = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qrow.select(col("qv"))))
+      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), lit(true).as("hit"))
+    approx.join(exact, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pq_sim"), col("cos_sim"),
+        coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+  }
+
   /** Batch kNN join: top-k corpus neighbors for EVERY query vector —
     * the workload shape of retrieval eval sets and near-dup candidate
     * mining, where single-query probes (bruteForceTopK) would mean M

@@ -452,6 +452,39 @@ object CurationQueries {
         |SELECT doc_id, shard, CAST((cum - n_tokens) // 2000 AS INTEGER) AS bin,
         |  CAST(n_tokens AS INTEGER) AS n_tokens
         |FROM c ORDER BY doc_id""".stripMargin),
-      "token-budget bin packing: hash-ordered concat-and-chunk into 2000-token bins")
+      "token-budget bin packing: hash-ordered concat-and-chunk into 2000-token bins"),
+
+    // q87 — token-weighted source MIXTURE sampling (the data-mixing step
+    // before training): mixture weights parts(srcN) = N % 3 + 1, derived
+    // arithmetically on BOTH engines so neither side hardcodes a weight
+    // table. Feasible total T = min_s(avail_s div parts_s) — integral
+    // division both sides — and each source keeps its hash-ordered doc
+    // prefix with running tokens <= parts_s * T. Downsample-only: no
+    // source is asked for more tokens than it has.
+    Q("q87_mixture_sample",
+      (s, d) => Curation.mixtureSample(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), col("source"),
+          parts = (0 until 20).map(i => s"src$i" -> (i % 3 + 1)).toMap,
+          seed = 23)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, source,
+        |    CAST(len($wsSql) AS BIGINT) AS n_tokens,
+        |    ('0x' || substring(md5('23#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |p AS (SELECT source,
+        |    CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS parts
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |j AS (SELECT w.*, p.parts FROM w JOIN p USING (source)),
+        |t AS (SELECT min(avail // parts) AS t FROM (
+        |    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail,
+        |      any_value(parts) AS parts
+        |    FROM j GROUP BY source)),
+        |c AS (SELECT doc_id, source, n_tokens, parts,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+        |  FROM j)
+        |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c, t WHERE cum <= parts * t.t ORDER BY doc_id""".stripMargin),
+      "token-weighted source mixture: hash-prefix downsample to parts_s * min(avail div parts)")
   )
 }

@@ -182,7 +182,92 @@ object PipelineQueries {
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
-      "bounded-state streaming dedup (dropDuplicatesWithinWatermark), oracle-compared"))
+      "bounded-state streaming dedup (dropDuplicatesWithinWatermark), oracle-compared"),
+
+    // q86 — streaming SESSIONIZATION under the oracle: §2.9's custom-
+    // state mechanism (flatMapGroupsWithState) joins q74/q77/q80 in the
+    // CORRECTNESS regime. The events feed plus one sentinel flush event
+    // per user (ts = global max + gap + 1s, value 0) runs through
+    // StatefulSessions.sessionize in the incremental engine; the
+    // sentinel closes every user's open tail — its gap from ANY last
+    // event exceeds the 30-min gap by construction — so append-mode
+    // emissions = ALL real sessions, while the sentinel's own 1-event
+    // session stays open and unemitted. The oracle replays q20's batch
+    // gap logic over the REAL events only. Session boundaries depend
+    // only on ts (ties cannot straddle a gap), so arrival order is
+    // harmless; session_value rounds at 4dp like q20 (same documented
+    // cross-engine float-sum residual). StatefulSessionsSpec covers the
+    // cross-micro-batch checkpoint-resume path the oracle cannot see.
+    Q("q86_streaming_sessions",
+      (s, d) => {
+        val qname = s"graft_q86_sink_${streamSinkRuns.incrementAndGet()}"
+        val ev = Tables(s, d, "events").select(col("user_id"), col("ts"), col("value"))
+        val maxUs = ev.agg(max(unix_micros(col("ts"))).as("m"))
+        val flush = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(maxUs))
+          .select(col("user_id"),
+            expr("timestamp_micros(m + 1801000000)").as("ts"),
+            lit(0.0).as("value"))
+        val feed = graft.util.TmpDirs.perProcess("graft_q86_feed")
+        ev.unionByName(flush).write.mode("overwrite").parquet(feed)
+        import s.implicits.newProductEncoder
+        val stream = s.readStream.schema(ev.schema).parquet(feed)
+          .as[graft.streaming.StatefulSessions.Ev]
+        val query = graft.streaming.StatefulSessions
+          .sessionize(s, stream, gapMinutes = 30)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), round(col("session_value"), 4).as("session_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+      "flatMapGroupsWithState sessionization under the oracle (sentinel-flushed open tails)"),
+
+    // q88 — incremental latest-wins UPSERT into the warehouse: the
+    // incremental sibling of W2's truncate+reload (a real warehouse
+    // cannot rebuild 100 TB nightly). The update batch is derived
+    // deterministically from events (every 7th event re-delivered 1h
+    // later with doubled value and a new type); Warehouse.upsert merges
+    // it by event_id, greatest ts wins. The oracle replays the same
+    // derivation + QUALIFY row_number merge.
+    Q("q88_incremental_upsert",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val upd = ev.filter(col("event_id") % 7 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("event_type", lit("updated"))
+          .withColumn("value", round(col("value") * 2, 4))
+        graft.warehouse.Warehouse.upsert(ev, upd, Seq("event_id"), "ts")
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+        |    'updated' AS event_type, round(value * 2, 4) AS value
+        |  FROM events WHERE event_id % 7 = 0),
+        |b AS (SELECT event_id, ts, user_id, event_type, value, 0 AS is_upd FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts, user_id, event_type, value, 1 AS is_upd FROM u)
+        |SELECT event_id, ts, user_id, event_type, value FROM b
+        |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, is_upd DESC) = 1
+        |ORDER BY event_id""".stripMargin),
+      "incremental latest-wins upsert (MERGE semantics as union + per-key top-1)"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

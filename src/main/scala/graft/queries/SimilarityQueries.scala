@@ -362,6 +362,58 @@ object SimilarityQueries {
         |SELECT vec_id, qcos_sim, cos_sim,
         |  abs(qcos_sim - cos_sim) <= 0.02 AS close
         |FROM s ORDER BY qcos_sim DESC, vec_id LIMIT 10""".stripMargin),
-      "full IVF composition: sampled quantizer build × nprobe probing × int8 byte scan")
+      "full IVF composition: sampled quantizer build × nprobe probing × int8 byte scan"),
+
+    // q89 — PRODUCT QUANTIZATION with true ADC scoring: 64 dims → 8
+    // one-byte codes (8 subspaces × label-keyed 6dp sub-codebooks, code
+    // = min 6dp-rounded L2², ties → min label), scored WITHOUT touching
+    // the original vectors — Σ_m LUT[code_m].dot over the packed codes,
+    // normalized by ‖q‖·sqrt(Σ_m LUT[code_m].n2). Both engines fold the
+    // 8 subspaces in the same order over identical codebooks, so 4dp
+    // scores agree. Exact cosine + brute-force-membership audit columns
+    // (the q72/q75 recall pattern) certify the approximation in-result.
+    Q("q89_ann_pq_adc",
+      (s, d) => Similarity.pqTopK(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), queryId = 0L,
+        k = 10, dim = 64, numSub = 8),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings
+        |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |c AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |d AS (SELECT e.vec_id, m.m, cw.c_lbl,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (v[m.m*8 + i] - cv[m.m*8 + i]) * (v[m.m*8 + i] - cv[m.m*8 + i]))), 6) AS dd
+        |  FROM e, generate_series(0, 7) AS m(m), cw),
+        |code AS (SELECT vec_id, m, c_lbl FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c_lbl) = 1),
+        |qrow AS (SELECT v AS qv,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+        |  FROM e WHERE vec_id = 0),
+        |lut AS (SELECT cw.c_lbl, m.m,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> cv[m.m*8 + i] * qv[m.m*8 + i])) AS dot,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> cv[m.m*8 + i] * cv[m.m*8 + i])) AS n2
+        |  FROM cw, generate_series(0, 7) AS m(m), qrow),
+        |sums AS (SELECT code.vec_id,
+        |    list_sum(list(lut.dot ORDER BY code.m)) AS num,
+        |    list_sum(list(lut.n2 ORDER BY code.m)) AS n2sum
+        |  FROM code JOIN lut ON code.m = lut.m AND code.c_lbl = lut.c_lbl
+        |  GROUP BY code.vec_id),
+        |s AS (SELECT sums.vec_id,
+        |    round(num / (qnorm * sqrt(n2sum)), 4) AS pq_sim,
+        |    round(list_cosine_similarity(e.v, qrow.qv), 4) AS cos_sim
+        |  FROM sums JOIN e USING (vec_id), qrow WHERE vec_id <> 0),
+        |topk AS (SELECT vec_id, pq_sim, cos_sim FROM s
+        |  ORDER BY pq_sim DESC, vec_id LIMIT 10),
+        |exact AS (SELECT vec_id FROM (
+        |  SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS sc
+        |  FROM e, qrow WHERE vec_id <> 0 ORDER BY sc DESC, vec_id LIMIT 10))
+        |SELECT t.vec_id, t.pq_sim, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
+        |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
+        |ORDER BY t.pq_sim DESC, t.vec_id""".stripMargin),
+      "product-quantization ANN: 8-byte codes + broadcast ADC LUT, recall-audited")
   )
 }

@@ -49,6 +49,35 @@ object Warehouse {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Incremental latest-wins UPSERT — the incremental sibling of the
+    * reference's truncate+reload (W2, extract.py:167-171): MERGE INTO
+    * semantics expressed as union + per-key top-1. Each key keeps the
+    * row with the greatest `versionCol`; a version tie goes to the
+    * update side (the MERGE "WHEN MATCHED" contract). Callers must not
+    * ship two updates for one (key, version) — that tie would be
+    * arbitrary.
+    *
+    * Scale shape: ONE shuffle on the key columns (the row_number
+    * window); keys are near-unique so per-key sort state is O(1). At
+    * 100 TB, land the target bucketed on the key (loadBucketed) so the
+    * repeated nightly merge reuses the bucketing instead of
+    * re-shuffling the full target each run — the whole point of not
+    * rebuilding the mart from scratch.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keyCols: Seq[String],
+             versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val tagged = target.withColumn("is_upd", lit(0))
+      .unionByName(updates.withColumn("is_upd", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("is_upd").desc)
+    tagged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "is_upd")
+  }
+
   /** Bucketed write: pay the shuffle ONCE at write time — `numBuckets`
     * files per partition, hash-clustered and sorted on `key` — so every
     * later equi-join or aggregation on `key` between co-bucketed tables

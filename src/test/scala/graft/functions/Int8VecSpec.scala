@@ -66,6 +66,16 @@ class Int8VecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("unpack(pack(a)) round-trips, sign-extending") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(30)(int8Vec(rnd))
+    val rows = cases.toDF("a").select(col("a"),
+      Int8Vec.unpack(Int8Vec.pack(col("a"))).as("back")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+    }
+  }
+
   test("length mismatch yields NULL; out-of-range component throws") {
     val df = Seq((Seq(1, 2, 3), Seq(1, 2))).toDF("a", "b")
     val r = df.select(

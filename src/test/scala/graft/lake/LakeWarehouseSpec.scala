@@ -21,6 +21,26 @@ class LakeWarehouseSpec extends SparkSpec {
   private def batch(ts: Timestamp, b: Int) =
     Ingest.extract(spark, chans.map(json(_, b)), ts)
 
+  test("upsert: updated keys take the update row, others keep the target row") {
+    import spark.implicits._
+    val target = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"))
+      .toDF("k", "v", "payload")
+    val updates = Seq((2L, 20L, "B"), (4L, 20L, "D")).toDF("k", "v", "payload")
+    val got = Warehouse.upsert(target, updates, Seq("k"), "v")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq ===
+      Seq((1L, 10L, "a"), (2L, 20L, "B"), (3L, 10L, "c"), (4L, 20L, "D")))
+  }
+
+  test("upsert: a version tie goes to the update side") {
+    import spark.implicits._
+    val target = Seq((1L, 10L, "old")).toDF("k", "v", "payload")
+    val updates = Seq((1L, 10L, "new")).toDF("k", "v", "payload")
+    val got = Warehouse.upsert(target, updates, Seq("k"), "v").collect()
+    assert(got.length === 1 && got(0).getString(2) === "new")
+  }
+
   test("lake append accumulates batches under channel_key partitions") {
     val lake = scratch("lake_parquet")
     Lake.appendBatch(batch(ts1, 1), lake)

@@ -164,6 +164,37 @@ class CurationSpec extends SparkSpec {
     assert(got.count() === d.count())
   }
 
+  test("mixtureSample: per-source kept tokens fit parts*T") {
+    val d = graft.util.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val parts = (0 until 20).map(i => s"src$i" -> (i % 3 + 1)).toMap
+    val got = Curation.mixtureSample(d, col("doc_id"), col("text"),
+      col("source"), parts, seed = 23)
+    // recompute the feasible total T from the full corpus
+    val availRows = d.select(col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("avail")).collect()
+    val t = availRows.map(r => r.getLong(1) / parts(r.getString(0))).min
+    got.groupBy("source").agg(sum("n_tokens").as("kept")).collect()
+      .foreach { r =>
+        assert(r.getLong(1) <= parts(r.getString(0)).toLong * t,
+          s"source ${r.getString(0)} over budget")
+      }
+    val kept = got.count()
+    assert(kept > 0 && kept < d.count())
+  }
+
+  test("mixtureSample: deterministic; sources outside the mixture drop") {
+    val d = graft.util.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val parts = Map("src0" -> 1, "src1" -> 2) // other 18 sources dropped
+    def run() = Curation.mixtureSample(d, col("doc_id"), col("text"),
+      col("source"), parts, seed = 23)
+    assert(run().collect().map(_.toString).sorted.toSeq ===
+      run().collect().map(_.toString).sorted.toSeq)
+    val srcs = run().select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(srcs.nonEmpty && srcs.subsetOf(Set("src0", "src1")))
+  }
+
   test("sourceQuota caps each source deterministically") {
     import spark.implicits._
     // 3 sources x 10 docs; cap 4 → 12 survivors, stable across runs

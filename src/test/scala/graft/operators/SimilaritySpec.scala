@@ -124,6 +124,19 @@ class SimilaritySpec extends SparkSpec {
     assert(qsims === qsims.sorted.reverse)
   }
 
+  test("pqTopK: k rows ranked by pq_sim, audited, deterministic") {
+    def run() = Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+      col("label"), queryId = 0L, k = 10, dim = 64, numSub = 8).collect()
+    val got = run()
+    assert(got.length === 10)
+    val sims = got.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse)
+    // ADC scores live in cosine range and the audit column is populated
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(got.map(_.getBoolean(3)).count(identity) >= 1) // some recall
+    assert(got.map(_.toString).toSeq === run().map(_.toString).toSeq)
+  }
+
   test("probeMasks: deterministic, distinct, Hamming<=2, H1 prefix stable") {
     val m = Similarity.probeMasks(4)
     assert(m.length === 1 + 4 + 6)

@@ -55,6 +55,29 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(norm(spark.table("ss_all")) === norm(closedBatchSessions))
   }
 
+  test("sentinel flush events close every open tail: streamed == ALL batch sessions") {
+    val src = scratch("sess_src3"); val cp = scratch("sess_cp3")
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val flush = events.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        expr(s"timestamp_micros($maxUs + 1801000000)").as("ts"),
+        lit(0.0).as("value"))
+    events.unionByName(flush).write.mode("overwrite").parquet(src)
+    runStream(src, cp, "ss_flush")
+    val w = Window.partitionBy("user_id").orderBy("ts", "value")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allBatch = events
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_sess").over(cum))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    assert(norm(spark.table("ss_flush")) === norm(allBatch))
+  }
+
   test("typed state survives the micro-batch boundary (checkpointed resume)") {
     // memory sink cannot recover from a checkpoint; the parquet sink can
     // (exactly-once file log), so the resume path uses it

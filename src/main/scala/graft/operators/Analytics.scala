@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a (user, timestamp, event-type) feed —
+  * the query family the reference's domain (channel/video engagement
+  * analytics) runs on top of its mart: ordered funnels, retention
+  * cohorts, and dimension-history (SCD2) builds.
+  *
+  * All three operators shuffle ONLY on the user key (funnel: one
+  * exchange per stage, all on the same key so AQE reuses the
+  * partitioning; retention: a single groupBy(user) — the per-user week
+  * set is bounded by the calendar, so the collect_set explode is safe at
+  * any corpus size; SCD2: one window partitioning). Nothing collects to
+  * the driver; final stage/cohort aggregates are a handful of rows.
+  */
+object Analytics {
+
+  /** Ordered funnel: how many users reach each stage, where stage i+1
+    * counts only events STRICTLY AFTER the user's first stage-i event
+    * (the standard "did the click happen after the view" contract —
+    * min-ts chaining, not mere presence).
+    *
+    * Output: (stage, stage_name, n_users), one row per stage.
+    *
+    * Scale shape: stage 1 is a map-side-combined min-agg keyed on user;
+    * each later stage joins the (shrinking) reached-set back to the
+    * events scan on the SAME user key — co-partitioned exchanges, no
+    * broadcast needed even when the reached-set is huge. The per-stage
+    * count collapses to one row; stages union to |stages| rows.
+    */
+  def funnel(df: DataFrame, user: Column, ts: Column, typ: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = df.select(user.as("uid"), ts.as("ts"), typ.as("et"))
+    val reached: Seq[DataFrame] = stages.zipWithIndex
+      .foldLeft(Vector.empty[DataFrame]) { case (acc, (stage, i)) =>
+        val hits = ev.filter(col("et") === stage)
+        val r =
+          if (i == 0) hits.groupBy("uid").agg(min("ts").as("reached_ts"))
+          else hits.join(acc.last.select(col("uid"), col("reached_ts").as("prev_ts")), "uid")
+            .filter(col("ts") > col("prev_ts"))
+            .groupBy("uid").agg(min("ts").as("reached_ts"))
+        acc :+ r
+      }
+    reached.zip(stages).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(name).as("stage_name"),
+          col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event; cell (cohort_week, week_offset) counts the cohort's users
+    * active `week_offset` weeks later.
+    *
+    * Scale shape: ONE shuffle — groupBy(user) collecting the user's
+    * distinct active weeks (bounded by the calendar: a user active every
+    * week for 20 years is ~1000 entries — a hard structural bound, not a
+    * data-dependent one). Cohort = the array min; the explode emits one
+    * row per (user, active week), already distinct, so the final
+    * (cohort, offset) agg needs count(*), not a count-distinct expand.
+    */
+  def retentionCohorts(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val perUser = df
+      // DATE-typed weeks (date_trunc returns a midnight timestamp; the
+      // calendar week is a date-domain concept and engines agree on it)
+      .select(user.as("uid"), date_trunc("week", ts).cast("date").as("wk"))
+      .groupBy("uid").agg(array_sort(collect_set("wk")).as("wks"))
+    perUser
+      .select(element_at(col("wks"), 1).as("cohort_week"),
+        explode(col("wks")).as("wk"))
+      .select(col("cohort_week"),
+        graft.functions.IntMath.intDiv(
+          datediff(col("wk"), col("cohort_week")).cast("long"), lit(7L))
+          .cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** SCD2 dimension-history build from a change feed: per key, collapse
+    * consecutive equal attribute values (classic SCD2 compression), then
+    * emit versioned rows with [effective_from, effective_to) validity —
+    * effective_to NULL = the current version. The incremental-warehouse
+    * sibling of `Warehouse.upsert` (q88 keeps only latest-wins; this
+    * keeps the full history a point-in-time join needs).
+    *
+    * `version_id` = the event id that OPENED the version: a unique
+    * tiebreaker so the output has a total order even if two versions of
+    * one key share a timestamp.
+    *
+    * Scale shape: one window partitioning on the key serves both passes
+    * (change-detection lag, then validity lead over the compressed
+    * rows — Catalyst plans one exchange + one sort). No driver state.
+    */
+  def scd2(df: DataFrame, key: Column, ts: Column, ordId: Column,
+           attr: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("ts", "oid")
+    val changed = df
+      .select(key.as("k"), ts.as("ts"), ordId.as("oid"), attr.as("attr"))
+      .withColumn("prev", lag("attr", 1).over(w))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+    changed
+      .withColumn("effective_to", lead("ts", 1).over(w))
+      .select(col("k"), col("oid").as("version_id"), col("attr"),
+        col("ts").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+  }
+}

@@ -286,6 +286,55 @@ object Curation {
         col("n_tokens").cast("int").as("n_tokens"))
   }
 
+  /** Corpus-trained bigram language-model quality score — the CCNet /
+    * Gopher "perplexity filtering" step re-expressed without a float in
+    * the path: the LM is the corpus's own bigram table, a document's
+    * score is the exact round-half-up MEAN CONDITIONAL PROBABILITY of
+    * its bigram occurrences in basis points (probability domain, not
+    * log — transcendentals would reopen the q61 cross-engine-libm
+    * class; the ranking signal is the same "how typical is this text of
+    * the corpus" and boilerplate/gibberish separate identically), plus
+    * the weakest-link minimum. P(w2|w1) = count(w1 w2) / count(w1 ·),
+    * both counts from the full corpus, each occurrence weighted by its
+    * in-document frequency.
+    *
+    * Output: (doc_id, n_bigrams, lm_score, min_prob) per doc with >= 2
+    * tokens; scores in [0,1] at 4dp, exact in integer arithmetic.
+    *
+    * Scale shape: per-doc bigram counts first (groupBy(doc, gram) —
+    * map-side combined, the shuffle carries distinct grams per doc, not
+    * occurrences); the corpus tables re-aggregate FROM that compacted
+    * form (gram-keyed and prefix-keyed shuffles over distinct grams);
+    * scoring joins doc-grams to the two stat tables ON THE GRAM KEYS —
+    * shuffle hash joins by design, since a 100 TB corpus's bigram
+    * vocabulary does not broadcast; the final mean is one doc-keyed
+    * agg. Every stage linear in distinct (doc, gram) pairs.
+    */
+  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.functions.IntMath
+    val dg = df.select(id.as("doc_id"), words(text).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.WordGramsNative.gramsCol(col("ws"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val gramStats = dg.groupBy("g").agg(sum("cnt").as("cg"))
+    val prefixStats = dg
+      .select(split(col("g"), " ").getItem(0).as("w1"), col("cnt"))
+      .groupBy("w1").agg(sum("cnt").as("cp"))
+    dg.join(gramStats, "g")
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(prefixStats, "w1")
+      .select(col("doc_id"), col("cnt"),
+        IntMath.bp(col("cg"), col("cp")).as("bp"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n"), sum(col("cnt") * col("bp")).as("sbp"),
+        min("bp").as("minbp"))
+      .select(col("doc_id"), col("n").cast("int").as("n_bigrams"),
+        (IntMath.intDiv(col("sbp") * 2L + col("n"), col("n") * 2L) / 10000.0)
+          .as("lm_score"),
+        (col("minbp") / 10000.0).as("min_prob"))
+  }
+
   /** Deterministic global shuffle into training shards: shard =
     * hash60(id) % numShards; pos = rank of the hash within its shard.
     * Hash-derived, not rand() — re-runs, engines, and partitionings all

@@ -643,4 +643,53 @@ object Dedup {
         round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= thr)
   }
+
+  /** SemDeDup-style SEMANTIC dedup (cluster-then-prune; Abbas et al.
+    * 2023, arXiv:2303.09540): vectors are assigned to their nearest
+    * coarse-quantizer centroid (the IVF build/assign machinery —
+    * label-keyed 6dp centroids, rounded-cosine argmax, min-label ties),
+    * and WITHIN each cluster any vector whose cosine to a LOWER-id
+    * cluster member reaches `thr` is marked a semantic duplicate — the
+    * same deterministic min-representative rule as q68's cluster prune.
+    * Pairwise comparison happens only inside clusters: the global
+    * O(n²) pair space is cut to Σ|cluster|², which is the entire point
+    * of the published algorithm (they size k so clusters stay small).
+    *
+    * Output: (vec_id, bucket, kept) for every non-zero vector — the
+    * audit-friendly form (a pipeline filters on `kept`; the bucket
+    * column says WHICH cluster adjudicated the drop).
+    *
+    * Scale shape: assignment is the shuffle-free broadcast-centroid
+    * fold; in-cluster candidate lists ride the same hard-capped
+    * `BoundedLongListAgg` as every other dedup family (a cluster past
+    * `maxBucket` contributes no pairs — the cap is the RECALL CONTRACT,
+    * replayed by the oracle's HAVING); pair verification joins back on
+    * vec_id, ≤ |cluster| choose 2 rows per cluster. At 100 TB the
+    * operator's knob is the quantizer's k: more centroids → smaller
+    * clusters → fewer pairs, the recall/cost trade the paper documents.
+    */
+  def semDedup(df: DataFrame, id: Column, vec: Column, label: Column,
+               thr: Double, maxBucket: Int): DataFrame = {
+    graft.functions.ArrayCosine.register(df.sparkSession)
+    import graft.functions.ArrayCosine.cosine
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+      .filter(array_max(transform(col("v"), x => abs(x))) > 0)
+    val cents = Similarity.centroidsWide(e)
+    val assigned = Similarity.assignToNearest(e.drop("lbl"), cents)
+    val buckets = assigned.groupBy("bucket")
+      .agg(graft.functions.BoundedLongList(col("vec_id"), maxBucket)
+        .as("docs"))
+      .filter(col("docs").isNotNull)
+      .select(sort_array(col("docs")).as("docs"))
+    val dropped = bucketPairs(buckets)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      .join(assigned.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(assigned.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .filter(round(cosine(col("va"), col("vb")), 4) >= thr)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("dup").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
 }

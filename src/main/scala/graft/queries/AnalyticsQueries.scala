@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.util.Tables
+
+/** Event-sequence analytics pack over `events` — the funnel / retention
+  * / dimension-history queries the reference's engagement-analytics
+  * domain runs downstream of its mart (graft.operators.Analytics).
+  */
+object AnalyticsQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // q91 — ordered funnel view → click → purchase: stage i+1 counts
+    // only events strictly after the user's first stage-i event
+    // (min-ts chaining). Each stage is a user-keyed min-agg / join —
+    // same key every exchange, so the partitioning is reused; per-stage
+    // counts collapse to one row each.
+    Q("q91_funnel",
+      (s, d) => Analytics.funnel(Tables(s, d, "events"),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin),
+      "ordered funnel (strictly-after min-ts chaining), user-keyed stage joins"),
+
+    // q92 — weekly retention cohorts: cohort = week of first event;
+    // cell (cohort_week, week_offset) = cohort users active that many
+    // weeks later. ONE user-keyed shuffle: the per-user distinct-week
+    // set is calendar-bounded, so it rides in a collect_set and the
+    // explode emits already-distinct (user, week) rows — the final agg
+    // is a plain count, no count-distinct expand.
+    Q("q92_retention_cohorts",
+      (s, d) => Analytics.retentionCohorts(Tables(s, d, "events"),
+        col("user_id"), col("ts")),
+      Some("""WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+      "weekly retention cohort matrix in one user-keyed shuffle"),
+
+    // q93 — SCD2 dimension history from the events change feed:
+    // consecutive equal event_types per user collapse to one version;
+    // versions carry [effective_from, effective_to) validity with
+    // effective_to NULL = current. version_id = the opening event_id
+    // (unique total order even under timestamp ties). One window
+    // partitioning serves both the change-detect lag and validity lead.
+    Q("q93_scd2_history",
+      (s, d) => Analytics.scd2(Tables(s, d, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id", "effective_from", "version_id"),
+      Some("""WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_id AS version_id, event_type AS attr,
+        |  ts AS effective_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c ORDER BY user_id, effective_from, version_id""".stripMargin),
+      "SCD2 history build: change-compressed versions with validity ranges"),
+
+    // q96 — one-pass table profiling (the ANALYZE-TABLE surface): per
+    // column, nulls, exact distinct cardinality, an HLL sketch audited
+    // against it (q54 pattern — the sketch is the 100 TB path, the audit
+    // justifies it, so the oracle asserts TRUE), and min/max as strings.
+    // ONE aggregation job covers all columns; the per-column reshape is
+    // an explode of the single aggregated row.
+    Q("q96_table_profile",
+      (s, d) => graft.operators.DataProfile.profile(
+        Tables(s, d, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")),
+      Some("""SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    TRUE AS approx_ok,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', count(*),
+        |    CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT), TRUE,
+        |    CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT), TRUE,
+        |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*),
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT l_shipdate) AS BIGINT), TRUE,
+        |    CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY "column"""".stripMargin),
+      "one-pass multi-column profile: nulls, exact+HLL-audited distinct, min/max"))
+}

@@ -485,6 +485,40 @@ object CurationQueries {
         |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
         |  CAST(cum AS BIGINT) AS cum_tokens
         |FROM c, t WHERE cum <= parts * t.t ORDER BY doc_id""".stripMargin),
-      "token-weighted source mixture: hash-prefix downsample to parts_s * min(avail div parts)")
+      "token-weighted source mixture: hash-prefix downsample to parts_s * min(avail div parts)"),
+
+    // q94 — bigram-LM quality score (the CCNet/Gopher perplexity-filter
+    // step) with NO float in the path: the LM is the corpus's own
+    // bigram table; a doc's score is the exact round-half-up mean
+    // conditional probability of its bigram occurrences in basis points
+    // (probability domain, not log — ln() would reopen the q61
+    // cross-engine-libm class), plus the weakest-link min. Both corpus
+    // stat tables re-aggregate from the compacted (doc, gram, cnt) form;
+    // scoring joins on the gram keys (shuffle joins by design — a
+    // 100 TB bigram vocabulary does not broadcast).
+    Q("q94_bigram_lm_quality",
+      (s, d) => Curation.bigramLmScore(Tables(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(ws[pos:pos+1], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS pos
+        |        FROM w WHERE len(ws) >= 2)),
+        |dg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY doc_id, g),
+        |cg AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS cg FROM dg GROUP BY g),
+        |pf AS (SELECT string_split(g, ' ')[1] AS w1,
+        |    CAST(sum(cnt) AS BIGINT) AS cp
+        |  FROM dg GROUP BY 1),
+        |pr AS (SELECT dg.doc_id, dg.cnt,
+        |    (2 * cg.cg * 10000 + pf.cp) // (pf.cp * 2) AS bp
+        |  FROM dg JOIN cg USING (g)
+        |  JOIN pf ON string_split(dg.g, ' ')[1] = pf.w1)
+        |SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_bigrams,
+        |  ((2 * CAST(sum(cnt * bp) AS BIGINT) + CAST(sum(cnt) AS BIGINT))
+        |    // (2 * CAST(sum(cnt) AS BIGINT))) / 10000.0 AS lm_score,
+        |  min(bp) / 10000.0 AS min_prob
+        |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "corpus-bigram LM quality score: exact integer mean conditional probability")
   )
 }

@@ -434,6 +434,41 @@ object DedupQueries {
         |FROM w LEFT JOIN keep k USING (doc_id)
         |GROUP BY w.doc_id, len(w.ws)
         |ORDER BY w.doc_id""".stripMargin),
-      "substring-dedup removal: cleaned corpus with one canonical copy of every duplicated span")
+      "substring-dedup removal: cleaned corpus with one canonical copy of every duplicated span"),
+
+    // q90 — SemDeDup-style SEMANTIC dedup (cluster-then-prune): every
+    // vector is assigned to its nearest label-centroid (the IVF
+    // build/assign machinery — 6dp centroids, 4dp-rounded-cosine argmax,
+    // min-label ties), then any vector whose cosine to a LOWER-id member
+    // of the SAME cluster reaches 0.4 is marked a semantic duplicate
+    // (min-representative rule, q68). Pairing happens only inside
+    // clusters — Σ|cluster|² instead of n² — which is the published
+    // algorithm's entire cost model; in-cluster candidate lists ride the
+    // hard-capped BoundedLongList (cap 4000 = the recall contract,
+    // replayed by the oracle's HAVING).
+    Q("q90_semdedup",
+      (s, d) => Dedup.semDedup(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"),
+        thr = 0.4, maxBucket = 4000),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings
+        |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |c AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |a AS (SELECT vec_id, v, c_lbl AS bucket,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |ok AS (SELECT bucket FROM a GROUP BY bucket HAVING count(*) <= 4000),
+        |p AS (SELECT y.vec_id AS ib
+        |  FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  JOIN ok ON x.bucket = ok.bucket
+        |  WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.4),
+        |dr AS (SELECT DISTINCT ib FROM p)
+        |SELECT a.vec_id, a.bucket, (dr.ib IS NULL) AS kept
+        |FROM a LEFT JOIN dr ON a.vec_id = dr.ib
+        |ORDER BY a.vec_id""".stripMargin),
+      "SemDeDup semantic dedup: nearest-centroid clustering + in-cluster cosine prune")
   )
 }

@@ -267,7 +267,59 @@ object PipelineQueries {
         |SELECT event_id, ts, user_id, event_type, value FROM b
         |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, is_upd DESC) = 1
         |ORDER BY event_id""".stripMargin),
-      "incremental latest-wins upsert (MERGE semantics as union + per-key top-1)"))
+      "incremental latest-wins upsert (MERGE semantics as union + per-key top-1)"),
+
+    // q95 — STREAM-STREAM interval join under the oracle (§2.9's join
+    // mechanism, completing the streaming family: window agg q74,
+    // stateful dedup q77/q80, sessionization q86): views and clicks run
+    // as TWO separate file streams (each written as 4 files, read with
+    // maxFilesPerTrigger=1, so matches genuinely straddle micro-batches
+    // and the join buffers state across them), inner-joined on user
+    // with click time in [view, view + 2h]. Watermarks on both sides
+    // make the state evictable in production; the test delay covers the
+    // whole feed so no row is dropped and the result provably equals
+    // the batch interval join the oracle runs. Inner matches emit when
+    // both rows have arrived — arrival order changes emission order,
+    // never the match set, so the sorted output is deterministic.
+    Q("q95_stream_stream_join",
+      (s, d) => {
+        val qname = s"graft_q95_sink_${streamSinkRuns.incrementAndGet()}"
+        val ev = Tables(s, d, "events")
+        val feedV = graft.util.TmpDirs.perProcess("graft_q95_views")
+        val feedC = graft.util.TmpDirs.perProcess("graft_q95_clicks")
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+          .repartition(4).write.mode("overwrite").parquet(feedV)
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+          .repartition(4).write.mode("overwrite").parquet(feedC)
+        val vs = s.readStream.schema(s.read.parquet(feedV).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedV)
+        val cs = s.readStream.schema(s.read.parquet(feedC).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedC)
+        val joined = graft.streaming.IntervalJoin
+          .within(vs, "v_ts", cs, "c_ts", "user_id",
+            gap = "2 hours", delay = "3650 days")
+          .select(col("l.user_id").as("user_id"), col("view_id"),
+            col("click_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        val query = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname).orderBy("view_id", "click_id")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY view_id, click_id""".stripMargin),
+      "stream-stream interval join across micro-batches, oracle-compared to batch"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

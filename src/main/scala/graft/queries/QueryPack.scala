@@ -25,7 +25,7 @@ object QueryPack {
   lazy val all: Seq[Q] =
     Relational.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
       TextQueries.qs ++ MultimodalQueries.qs ++ PipelineQueries.qs ++
-      CurationQueries.qs
+      CurationQueries.qs ++ AnalyticsQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit-level event-sequence semantics on hand-built feeds (the oracle
+  * gate covers the full operators on `events` at sf0.01; these pin the
+  * ordering edge cases the aggregate comparisons cannot isolate).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, Long, String, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, u, t, typ) => (id, u, ts(t), typ) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+  }
+
+  test("funnel: later stages require STRICTLY-after ordering") {
+    val d = ev(
+      // u1 completes the funnel in order
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:05:00", "click"),
+      (3L, 1L, "2024-01-01 10:10:00", "purchase"),
+      // u2 clicked BEFORE viewing: click must not count
+      (4L, 2L, "2024-01-01 09:00:00", "click"),
+      (5L, 2L, "2024-01-01 09:30:00", "view"),
+      // u3 purchase without click: stops at stage 1
+      (6L, 3L, "2024-01-01 08:00:00", "view"),
+      (7L, 3L, "2024-01-01 08:30:00", "purchase"))
+    val got = Analytics.funnel(d, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+  }
+
+  test("funnel: simultaneous events do not satisfy strictly-after") {
+    val d = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:00:00", "click")) // same instant
+    val got = Analytics.funnel(d, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("retentionCohorts: cohort anchors to first week, cells count users") {
+    val d = ev(
+      // u1 first active week of Jan 1 (Monday), returns 2 weeks later
+      (1L, 1L, "2024-01-02 10:00:00", "view"),
+      (2L, 1L, "2024-01-16 10:00:00", "view"),
+      // u2 same cohort, active only that week (two events, one cell)
+      (3L, 2L, "2024-01-03 10:00:00", "view"),
+      (4L, 2L, "2024-01-05 10:00:00", "view"),
+      // u3 cohort of Jan 8, next-week return
+      (5L, 3L, "2024-01-08 10:00:00", "view"),
+      (6L, 3L, "2024-01-15 10:00:00", "view"))
+    val got = Analytics.retentionCohorts(d, col("user_id"), col("ts"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
+  test("scd2: consecutive equal values compress; validity ranges chain") {
+    val d = ev(
+      (1L, 1L, "2024-01-01 10:00:00", "bronze"),
+      (2L, 1L, "2024-01-02 10:00:00", "bronze"), // no change: compressed
+      (3L, 1L, "2024-01-03 10:00:00", "gold"),
+      (4L, 1L, "2024-01-04 10:00:00", "bronze")) // back again: NEW version
+    val rows = Analytics.scd2(d, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      .orderBy("effective_from").collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("bronze", "gold", "bronze"))
+    // each version closes exactly when the next opens; last one current
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 3L, 4L))
+    assert(rows(0).getTimestamp(4) === rows(1).getTimestamp(3))
+    assert(rows(1).getTimestamp(4) === rows(2).getTimestamp(3))
+    assert(rows(2).isNullAt(4) && rows(2).getBoolean(5))
+  }
+}

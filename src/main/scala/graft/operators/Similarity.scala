@@ -366,6 +366,127 @@ object Similarity {
       .orderBy(col("pq_sim").desc, col("vec_id"))
   }
 
+  /** IVF-PQ with RESIDUAL codebooks — the full production index
+    * composition (coarse quantizer × nprobe probing × product-quantized
+    * residuals with ADC scoring): each vector is assigned to its
+    * nearest coarse centroid, the PQ codebooks are trained on the
+    * RESIDUALS v − c_bucket (the standard refinement: residuals are
+    * centered near zero, so a fixed code budget spends its resolution
+    * on the part the coarse quantizer could not explain), and the
+    * per-query scan touches only the probed buckets' packed codes plus
+    * a broadcast LUT.
+    *
+    *  - Coarse layer: `centroidsWide` build + `assignToNearest`, the
+    *    q38/q79 machinery; probe set = `nprobe` nearest centroids.
+    *  - Residual codebooks: subspace m's codebook is the per-label 6dp
+    *    centroid of the residuals restricted to dims [m·s, (m+1)·s) —
+    *    label-keyed like every quantizer here, so both engines derive
+    *    identical codebooks.
+    *  - Encoding: code_m = argmin 6dp-rounded L2² between the vector's
+    *    residual subvector and the codebook entries (ties → min label);
+    *    codes pack via PackInt8 to physical binary.
+    *  - ADC: the reconstruction is v̂ = c_bucket + r̂, so the LUT is
+    *    keyed (bucket, code label, m): dot(q_m, c_b_m + rcb_l_m) and
+    *    ‖c_b_m + rcb_l_m‖² — C·C·numSub broadcast cells; subspaces
+    *    partition the dims, so Σ_m cells give dot(q, v̂) and ‖v̂‖²
+    *    exactly, and pq_sim = dot / (‖q‖·‖v̂‖), folded in subspace
+    *    order on both engines. Exact cosine + brute-force-membership
+    *    audit ride along (the q89 pattern).
+    *
+    * Scale shape: encode once at ingest (the index build); the
+    * per-query cost reads nprobe/C of the corpus at numSub bytes per
+    * vector — the coarse cut and the code compression MULTIPLY, and
+    * the LUT (C·C·numSub doubles) is still broadcast-trivial.
+    */
+  def ivfPqTopK(df: DataFrame, id: Column, vec: Column, label: Column,
+                queryId: Long, k: Int, dim: Int, numSub: Int,
+                nprobe: Int): DataFrame = {
+    require(numSub >= 1 && dim % numSub == 0,
+      s"dim=$dim must divide into numSub=$numSub equal subspaces")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val subLen = dim / numSub
+    ArrayCosine.register(df.sparkSession)
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+      .filter(array_max(transform(col("v"), x => abs(x))) > 0)
+    val cents = centroidsWide(e)
+    val assigned = assignToNearest(e, cents) // vec_id, v, lbl, bucket
+    val res = assigned
+      .join(broadcast(cents), col("bucket") === col("c_lbl"))
+      .select(col("vec_id"), col("v"), col("lbl"), col("bucket"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
+    val rcb = centroidsWide(res.select(col("lbl"), col("r").as("v")))
+    val rcbArr = rcb
+      .agg(array_sort(collect_list(struct(col("c_lbl"), col("cv")))).as("rcbs"))
+    val codesCol = array((0 until numSub).map { m =>
+      val sv = slice(col("r"), m * subLen + 1, subLen)
+      val zero = struct(lit(Double.MaxValue).as("d"),
+        element_at(col("rcbs"), 1).getField("c_lbl").as("l"))
+      aggregate(col("rcbs"), zero, (acc, c) => {
+        val dsub = slice(c.getField("cv"), m * subLen + 1, subLen)
+        val dd = round(aggregate(zip_with(sv, dsub, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc2, x) => acc2 + x), 6)
+        when(dd < acc.getField("d"),
+          struct(dd.as("d"), c.getField("c_lbl").as("l"))).otherwise(acc)
+      }).getField("l")
+    }: _*)
+    val coded = res.crossJoin(broadcast(rcbArr))
+      .select(col("vec_id"), col("v"), col("bucket"),
+        graft.functions.Int8Vec.pack(codesCol).as("pq_code"))
+    val qrow = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"),
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+          .as("qnorm"))
+    val qbuckets = nearestBuckets(cents, qrow.select(col("qv")), nprobe)
+    // per-bucket LUT: bucket -> map(code label -> per-subspace (dot, n2)
+    // of the reconstruction c_bucket + rcb_label)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def sq(a: Column): Column =
+      aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    val lut = cents.select(col("c_lbl").as("bucket"), col("cv"))
+      .join(qbuckets, col("bucket") === col("qbucket")).drop("qbucket")
+      .crossJoin(rcb.select(col("c_lbl").as("r_lbl"), col("cv").as("rv")))
+      .crossJoin(broadcast(qrow.select(col("qv"))))
+      .select(col("bucket"), col("r_lbl"), array((0 until numSub).map { m =>
+        val recon = zip_with(
+          slice(col("cv"), m * subLen + 1, subLen),
+          slice(col("rv"), m * subLen + 1, subLen), (x, y) => x + y)
+        val qvm = slice(col("qv"), m * subLen + 1, subLen)
+        struct(dot(qvm, recon).as("dot"), sq(recon).as("n2"))
+      }: _*).as("sub"))
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("r_lbl"), col("sub"))).as("entries"))
+      .select(col("bucket").as("lut_bucket"),
+        map_from_entries(col("entries")).as("lutMap"))
+    val codes = graft.functions.Int8Vec.unpack(col("pq_code"))
+    val acc0 = struct(lit(0.0).as("num"), lit(0.0).as("n2"))
+    val sums = aggregate(sequence(lit(0), lit(numSub - 1)), acc0, (acc, m) => {
+      val cell = element_at(element_at(col("lutMap"),
+        element_at(codes, m + 1)), m + 1)
+      struct((acc.getField("num") + cell.getField("dot")).as("num"),
+        (acc.getField("n2") + cell.getField("n2")).as("n2"))
+    })
+    val approx = coded.filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), col("bucket") === col("lut_bucket"))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"),
+        round(sums.getField("num") /
+          (col("qnorm") * sqrt(sums.getField("n2"))), 4).as("pq_sim"),
+        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(k)
+    val exact = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qrow.select(col("qv"))))
+      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), lit(true).as("hit"))
+    approx.join(exact, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pq_sim"), col("cos_sim"),
+        coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+  }
+
   /** Batch kNN join: top-k corpus neighbors for EVERY query vector —
     * the workload shape of retrieval eval sets and near-dup candidate
     * mining, where single-query probes (bruteForceTopK) would mean M

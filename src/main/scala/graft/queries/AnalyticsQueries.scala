@@ -116,5 +116,77 @@ object AnalyticsQueries {
         |    CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |  FROM lineitem)
         |ORDER BY "column"""".stripMargin),
-      "one-pass multi-column profile: nulls, exact+HLL-audited distinct, min/max"))
+      "one-pass multi-column profile: nulls, exact+HLL-audited distinct, min/max"),
+
+    // q98 — POINT-IN-TIME join: every event enriched with the SCD2
+    // version (q93) valid at its timestamp — the composition a real
+    // warehouse runs constantly (fact rows joined to the dimension AS
+    // OF the fact time, never the current row). Versions opened at the
+    // same instant collapse to the last one (the earlier interval is
+    // empty — replayed by the oracle's interval predicate), satisfying
+    // AsOfJoin's one-row-per-(key, time) determinism contract; the join
+    // itself is the union+window asof composition — ONE user-keyed
+    // window pass, no per-key range explosion.
+    Q("q98_pit_join",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val versions = Analytics.scd2(Tables(s, d, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val oneOpenPerInstant = graft.plans.TopK.perKey(
+          versions.select(col("k"), col("version_id"), col("attr"),
+            col("effective_from")),
+          Seq("k", "effective_from"), "version_id",
+          desc = true, tiebreak = Seq.empty, k = 1)
+        graft.operators.AsOfJoin.asof(ev, oneOpenPerInstant,
+            col("user_id"), col("k"), col("ts"), col("effective_from"),
+            payload = Seq(col("attr") -> "attr"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("__match").getField("attr").as("attr_at_event"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id, event_id AS version_id, event_type AS attr,
+        |    ts AS ef,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS et
+        |  FROM c)
+        |SELECT e.event_id, e.user_id, e.ts, v.attr AS attr_at_event
+        |FROM events e LEFT JOIN v
+        |  ON e.user_id = v.user_id AND e.ts >= v.ef
+        |  AND (v.et IS NULL OR e.ts < v.et)
+        |ORDER BY e.event_id""".stripMargin),
+      "point-in-time join: facts enriched with the SCD2 version valid at fact time"),
+
+    // q99 — incremental AGGREGATE maintenance (the aggregate sibling of
+    // q88's row upsert): per-user aggregates stored as algebraic
+    // partials (count + integral basis-point sum), history and the new
+    // batch aggregated separately and MERGED — O(|batch|) nightly work,
+    // never a history rescan — with the oracle doing the full recompute
+    // the merge must equal. Long addition is order-independent, so the
+    // equality is exact, not approximate.
+    Q("q99_incremental_agg",
+      (s, d) => {
+        import graft.warehouse.Warehouse
+        val ev = Tables(s, d, "events").select(col("user_id"), col("ts"),
+          round(col("value") * 10000).cast("long").as("vbp"))
+        val cutoff = "2024-01-15 00:00:00"
+        val history = ev.filter(col("ts") < lit(cutoff).cast("timestamp"))
+        val batch = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
+        Warehouse.mergeAggState(
+            Seq(Warehouse.aggState(history, Seq("user_id"), col("vbp")),
+              Warehouse.aggState(batch, Seq("user_id"), col("vbp"))),
+            Seq("user_id"))
+          .select(col("user_id"), col("n_rows").as("n_events"),
+            (col("total_bp") / 10000.0).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |    / 10000.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "incremental aggregate maintenance: merged algebraic partials == full recompute"))
 }

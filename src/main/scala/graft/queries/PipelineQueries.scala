@@ -272,9 +272,12 @@ object PipelineQueries {
     // q95 — STREAM-STREAM interval join under the oracle (§2.9's join
     // mechanism, completing the streaming family: window agg q74,
     // stateful dedup q77/q80, sessionization q86): views and clicks run
-    // as TWO separate file streams (each written as 4 files, read with
+    // as TWO separate file streams (each written as 2 files, read with
     // maxFilesPerTrigger=1, so matches genuinely straddle micro-batches
-    // and the join buffers state across them), inner-joined on user
+    // and the join buffers state across them — 2 files per side keeps
+    // the per-micro-batch state-store commit overhead, the dominant
+    // local cost, at the minimum that still proves the mechanism; the
+    // spec drives a finer one-file-per-row split), inner-joined on user
     // with click time in [view, view + 2h]. Watermarks on both sides
     // make the state evictable in production; the test delay covers the
     // whole feed so no row is dropped and the result provably equals
@@ -290,11 +293,11 @@ object PipelineQueries {
         ev.filter(col("event_type") === "view")
           .select(col("user_id"), col("event_id").as("view_id"),
             col("ts").as("v_ts"))
-          .repartition(4).write.mode("overwrite").parquet(feedV)
+          .repartition(2).write.mode("overwrite").parquet(feedV)
         ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts").as("c_ts"))
-          .repartition(4).write.mode("overwrite").parquet(feedC)
+          .repartition(2).write.mode("overwrite").parquet(feedC)
         val vs = s.readStream.schema(s.read.parquet(feedV).schema)
           .option("maxFilesPerTrigger", "1").parquet(feedV)
         val cs = s.readStream.schema(s.read.parquet(feedC).schema)
@@ -319,7 +322,58 @@ object PipelineQueries {
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
         |WHERE v.event_type = 'view' AND c.event_type = 'click'
         |ORDER BY view_id, click_id""".stripMargin),
-      "stream-stream interval join across micro-batches, oracle-compared to batch"))
+      "stream-stream interval join across micro-batches, oracle-compared to batch"),
+
+    // q101 — streaming INCREMENTAL AGGREGATE MAINTENANCE: the q99
+    // algebraic-partials warehouse pattern driven by a real stream.
+    // foreachBatch aggregates each micro-batch (3 single-file batches)
+    // to (user, count, integral sum) partials and MERGES them into the
+    // persisted state table — O(|batch|) per trigger, history never
+    // rescanned, the exact shape of a production streaming-ETL sink.
+    // State alternates between two parquet dirs (read batch N-1's dir,
+    // write batch N's) so a read never races its own overwrite. Long
+    // addition is order-independent, so however the files split into
+    // batches the final state provably equals the oracle's full
+    // recompute — same oracle as q99, entirely different machinery.
+    Q("q101_streaming_agg_maintenance",
+      (s, d) => {
+        import graft.warehouse.Warehouse
+        val run = streamSinkRuns.incrementAndGet()
+        val ev = Tables(s, d, "events").select(col("user_id"),
+          round(col("value") * 10000).cast("long").as("vbp"))
+        val feed = graft.util.TmpDirs.perProcess("graft_q101_feed")
+        ev.repartition(3).write.mode("overwrite").parquet(feed)
+        val stateBase = graft.util.TmpDirs.perProcess(s"graft_q101_state_$run")
+        @volatile var last = -1L
+        val stream = s.readStream.schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val query = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val partial = Warehouse.aggState(batch, Seq("user_id"), col("vbp"))
+            val merged =
+              if (last < 0) partial
+              else Warehouse.mergeAggState(
+                Seq(s.read.parquet(s"$stateBase/${last % 2}"), partial),
+                Seq("user_id"))
+            merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
+            last = batchId
+            ()
+          }
+          .option("checkpointLocation",
+            graft.util.TmpDirs.perProcess(s"graft_q101_ckpt_$run"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$stateBase/${last % 2}")
+          .select(col("user_id"), col("n_rows").as("n_events"),
+            (col("total_bp") / 10000.0).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |    / 10000.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "streaming incremental agg maintenance: per-batch partial merge == full recompute"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

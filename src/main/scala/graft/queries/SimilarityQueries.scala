@@ -414,6 +414,77 @@ object SimilarityQueries {
         |SELECT t.vec_id, t.pq_sim, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
         |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
         |ORDER BY t.pq_sim DESC, t.vec_id""".stripMargin),
-      "product-quantization ANN: 8-byte codes + broadcast ADC LUT, recall-audited")
+      "product-quantization ANN: 8-byte codes + broadcast ADC LUT, recall-audited"),
+
+    // q97 — IVF-PQ with RESIDUAL codebooks, the full production-index
+    // composition: coarse assign (q38) × nprobe=2 probing (q75) × PQ
+    // codes (q89) — but the codebooks train on the RESIDUALS
+    // v − c_bucket, the standard refinement that spends the code budget
+    // on what the coarse layer could not explain. ADC reconstruction is
+    // v̂ = c_bucket + r̂, so the LUT keys on (bucket, code label,
+    // subspace); both engines fold the 8 subspaces over identical
+    // codebooks, and the exact-cosine + brute-force-membership audit
+    // certifies the approximation in-result.
+    Q("q97_ann_ivf_pq_residual",
+      (s, d) => Similarity.ivfPqTopK(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), queryId = 0L,
+        k = 10, dim = 64, numSub = 8, nprobe = 2),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings
+        |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |c AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |a AS (SELECT vec_id, v, lbl, c_lbl AS bucket,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |res AS (SELECT a.vec_id, a.lbl, a.bucket,
+        |    list_transform(generate_series(1, 64), i -> a.v[i] - cw.cv[i]) AS r
+        |  FROM a JOIN cw ON a.bucket = cw.c_lbl),
+        |rc AS (SELECT lbl, t.dim, round(avg(r[t.dim]), 6) AS cd
+        |  FROM res, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |rcw AS (SELECT lbl AS r_lbl, list(cd ORDER BY dim) AS rv FROM rc GROUP BY lbl),
+        |dd AS (SELECT res.vec_id, m.m, rcw.r_lbl,
+        |    round(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (r[m.m*8 + i] - rv[m.m*8 + i]) * (r[m.m*8 + i] - rv[m.m*8 + i]))), 6) AS dist
+        |  FROM res, generate_series(0, 7) AS m(m), rcw),
+        |code AS (SELECT vec_id, m, r_lbl FROM dd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, r_lbl) = 1),
+        |qrow AS (SELECT v AS qv,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+        |  FROM e WHERE vec_id = 0),
+        |qb AS (SELECT c_lbl AS qbucket FROM cw, qrow
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, c_lbl) <= 2),
+        |lut AS (SELECT cw.c_lbl AS bucket, rcw.r_lbl, m.m,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> qv[m.m*8 + i] * (cw.cv[m.m*8 + i] + rcw.rv[m.m*8 + i]))) AS dt,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> (cw.cv[m.m*8 + i] + rcw.rv[m.m*8 + i])
+        |         * (cw.cv[m.m*8 + i] + rcw.rv[m.m*8 + i]))) AS n2
+        |  FROM cw JOIN qb ON cw.c_lbl = qb.qbucket, rcw,
+        |    generate_series(0, 7) AS m(m), qrow),
+        |sums AS (SELECT code.vec_id,
+        |    list_sum(list(lut.dt ORDER BY code.m)) AS num,
+        |    list_sum(list(lut.n2 ORDER BY code.m)) AS n2sum
+        |  FROM code
+        |  JOIN a ON code.vec_id = a.vec_id
+        |  JOIN lut ON lut.bucket = a.bucket AND lut.r_lbl = code.r_lbl
+        |    AND lut.m = code.m
+        |  GROUP BY code.vec_id),
+        |sc AS (SELECT sums.vec_id,
+        |    round(num / (qnorm * sqrt(n2sum)), 4) AS pq_sim,
+        |    round(list_cosine_similarity(e.v, qrow.qv), 4) AS cos_sim
+        |  FROM sums JOIN e USING (vec_id), qrow WHERE vec_id <> 0),
+        |topk AS (SELECT vec_id, pq_sim, cos_sim FROM sc
+        |  ORDER BY pq_sim DESC, vec_id LIMIT 10),
+        |exact AS (SELECT vec_id FROM (
+        |  SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS s
+        |  FROM e, qrow WHERE vec_id <> 0 ORDER BY s DESC, vec_id LIMIT 10))
+        |SELECT t.vec_id, t.pq_sim, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
+        |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
+        |ORDER BY t.pq_sim DESC, t.vec_id""".stripMargin),
+      "IVF-PQ residual composition: coarse probe x residual codebooks x ADC LUT, recall-audited")
   )
 }

@@ -248,6 +248,72 @@ object TextQueries {
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY round(raw, 6) DESC, term) = 1
         |ORDER BY doc_id""".stripMargin),
-      "TF-IDF top term per doc (corpus df broadcast back to per-doc counts)")
+      "TF-IDF top term per doc (corpus df broadcast back to per-doc counts)"),
+
+    // q100 — BM25 top-k retrieval with NO float in the scoring path:
+    // the full inverted-index ranking function (Okapi BM25, k1 = 6/5,
+    // b = 3/4) evaluated as exact integer arithmetic. Clearing the
+    // denominators of tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    // avgdl = T/N gives tf_norm = 44·tf·T / (20·tf·T + 6·T + 18·dl·N);
+    // the idf is the rational (N+1)/(df+1) (q61's substitution — no
+    // transcendental, so both engines agree bit-for-bit; the log
+    // damping is traded for cross-engine exactness). Per-term
+    // contribution = halfUp(idf_bp · tfnorm_bp / 10⁴), summed as longs.
+    // Long bounds hold through ~1e9 corpus tokens per stat partition;
+    // beyond that the same formulas run in DECIMAL(38) unchanged.
+    //
+    // Scale shape: the isin(query terms) filter runs BEFORE the (doc,
+    // term) agg — the posting lists of three terms, not the corpus
+    // vocabulary, reach the shuffle; df/N/T collapse to broadcast rows;
+    // the per-doc score is one map-side-combined agg + TakeOrdered.
+    Q("q100_bm25_topk",
+      (s, d) => {
+        import graft.functions.IntMath._
+        val qterms = Seq("spark", "join", "window")
+        val w = Tables(s, d, "documents")
+          .select(col("doc_id"), words(col("text")).as("ws"))
+        val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+        val g = dl.agg(sum("dl").as("t"), count(lit(1)).as("n"))
+        val tf = w.select(col("doc_id"), explode(col("ws")).as("term"))
+          .filter(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val den = lit(20L) * col("tf") * col("t") + lit(6L) * col("t") +
+          lit(18L) * col("dl") * col("n")
+        val idfBp = halfUp(col("n") + 1L, col("df") + 1L, 10000L)
+        val tfnBp = halfUp(lit(44L) * col("tf") * col("t"), den, 10000L)
+        val contrib = intDiv(lit(2L) * idfBp * tfnBp + 10000L, lit(20000L))
+        tf.join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(g))
+          .select(col("doc_id"), contrib.as("c"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nh"), sum("c").as("score_bp"))
+          .select(col("doc_id"), col("nh").cast("int").as("n_hit_terms"),
+            (col("score_bp") / 10000.0).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+        |g AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    (2 * (n + 1) * 10000 + (df + 1)) // (2 * (df + 1)) AS idf_bp,
+        |    (2 * (44 * tf * t) * 10000 + (20 * tf * t + 6 * t + 18 * dl.dl * n))
+        |      // (2 * (20 * tf * t + 6 * t + 18 * dl.dl * n)) AS tfn_bp
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g),
+        |c AS (SELECT doc_id, count(*) AS nh,
+        |    CAST(sum((2 * idf_bp * tfn_bp + 10000) // 20000) AS BIGINT) AS score_bp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, CAST(nh AS INTEGER) AS n_hit_terms,
+        |  score_bp / 10000.0 AS bm25
+        |FROM c ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
+      "Okapi BM25 top-k in exact integer arithmetic (rational idf, cleared denominators)")
   )
 }

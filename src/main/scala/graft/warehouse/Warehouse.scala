@@ -78,6 +78,39 @@ object Warehouse {
       .drop("rn", "is_upd")
   }
 
+  /** Incremental AGGREGATE maintenance — the aggregate sibling of
+    * `upsert`: the warehouse stores per-key aggregates as ALGEBRAIC
+    * PARTIALS (count + integral sum, the mergeable form), and each new
+    * batch merges in O(|batch| distinct keys) instead of recomputing
+    * over 100 TB of history. `aggState` builds the partial form from
+    * raw rows; `mergeAggState` folds any number of partial states into
+    * one — associative and commutative, so nightly batches, backfills,
+    * and region-parallel states all combine the same way.
+    *
+    * Values are carried as INTEGRAL basis points (callers pre-convert
+    * with round(value·10⁴)): long addition is exact and
+    * order-independent, so the merged state is bit-identical to a full
+    * recompute — the property that makes incremental maintenance
+    * auditable at all (float sums would drift with merge order).
+    *
+    * Scale shape: one map-side-combined shuffle per call, keyed on the
+    * aggregation key; the state table never rescans history.
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String],
+               valueBp: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(valueBp).as("total_bp"))
+  }
+
+  def mergeAggState(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(states.nonEmpty, "mergeAggState needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n_rows").as("n_rows"), sum("total_bp").as("total_bp"))
+  }
+
   /** Bucketed write: pay the shuffle ONCE at write time — `numBuckets`
     * files per partition, hash-clustered and sorted on `key` — so every
     * later equi-join or aggregation on `key` between co-bucketed tables

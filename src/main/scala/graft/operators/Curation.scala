@@ -335,6 +335,34 @@ object Curation {
         (col("minbp") / 10000.0).as("min_prob"))
   }
 
+  /** Deterministic stratified TRAIN/VAL/TEST split: every row gets a
+    * split label from its id hash — train below `trainPerMille`, val
+    * below `trainPerMille + valPerMille`, test otherwise — evaluated
+    * independently per row, so the split is (a) disjoint and exhaustive
+    * by construction, (b) stable under re-runs, engines, partitionings,
+    * and appends (a new document never moves an old one), and
+    * (c) stratified: the hash is uniform within every stratum, so each
+    * source's ratio matches the global ratio in expectation without any
+    * per-stratum bookkeeping. The eval sets of a 100 TB corpus must be
+    * frozen this way — a rand() split reshuffles on every retry and
+    * leaks eval docs into training.
+    *
+    * Scale shape: a pure per-row codegen'd expression — no shuffle, no
+    * state, no stratum metadata.
+    */
+  def trainValTestSplit(df: DataFrame, id: Column,
+                        trainPerMille: Int, valPerMille: Int,
+                        seed: Int): DataFrame = {
+    require(trainPerMille > 0 && valPerMille > 0 &&
+      trainPerMille + valPerMille < 1000,
+      "per-mille thresholds must be positive and sum below 1000")
+    val gate = hash60(id.cast("string"), seed) % 1000
+    df.withColumn("split",
+      when(gate < trainPerMille, "train")
+        .when(gate < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic global shuffle into training shards: shard =
     * hash60(id) % numShards; pos = rank of the hash within its shard.
     * Hash-derived, not rand() — re-runs, engines, and partitionings all

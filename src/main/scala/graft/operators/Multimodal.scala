@@ -101,6 +101,46 @@ object Multimodal {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** FRAME SAMPLING — the video-ingest step that turns one media row
+    * into sampled per-frame rows: the payload stream is cut into
+    * fixed-size frames (the stub "codec": `frameChars` characters of
+    * the decoded stream per frame, the same decoded-column seam as
+    * `perceptualHash`), and every `stride`-th frame explodes into its
+    * own row carrying a content fingerprint — the unit a vision encoder
+    * or frame-level dedup consumes downstream. A production swap
+    * replaces the substring slicing with codec frame extraction and
+    * keeps the identical plan: per-row `sequence` + `explode`, no
+    * shuffle, payload pruned after the fingerprint so frames never ride
+    * through later exchanges.
+    *
+    * Output: (doc_id, frame_idx, n_frames, frame_hash) per sampled
+    * frame; the last frame may be short (stream remainder), hashed as
+    * is.
+    */
+  def sampleFrames(df: DataFrame, id: org.apache.spark.sql.Column,
+                   decoded: org.apache.spark.sql.Column,
+                   frameChars: Int, stride: Int): DataFrame = {
+    require(frameChars > 0 && stride > 0, "frameChars and stride must be positive")
+    val len = length(decoded).cast("long")
+    val nFrames = graft.functions.IntMath.intDiv(
+      len + (frameChars - 1).toLong, lit(frameChars.toLong))
+    df.select(id.as("doc_id"), decoded.as("s"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("s"), col("n_frames").cast("int").as("n_frames"),
+        explode(sequence(lit(0), col("n_frames").cast("int") - 1,
+          lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        md5(substring_index_safe(col("s"), col("frame_idx"), frameChars))
+          .as("frame_hash"))
+  }
+
+  // substring with a column start (functions.substring takes literal
+  // ints only): expression form, 1-based start = idx*frameChars + 1
+  private def substring_index_safe(s: org.apache.spark.sql.Column,
+                                   idx: org.apache.spark.sql.Column,
+                                   frameChars: Int): org.apache.spark.sql.Column =
+    s.substr(idx * frameChars + 1, lit(frameChars))
+
   /** Feature-extraction stub: a deterministic `dim`-dimensional float
     * vector derived from the payload's md5 — the embedding a real
     * vision/audio encoder would produce, with the exact Spark plumbing

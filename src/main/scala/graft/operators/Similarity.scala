@@ -366,6 +366,39 @@ object Similarity {
       .orderBy(col("pq_sim").desc, col("vec_id"))
   }
 
+  /** One Lloyd (k-means) ITERATION of the coarse quantizer — the
+    * training loop every IVF/PQ build above seeds from labels is
+    * expressible in the engine itself: assign every vector to its
+    * nearest centroid (the shuffle-free broadcast argmax fold), then
+    * recompute each cluster's centroid as the mean of its ASSIGNED
+    * vectors (6dp-rounded like every quantizer build, so both engines
+    * agree bit-for-bit), then re-assign against the moved centroids.
+    *
+    * Output: (vec_id, bucket0, bucket1, moved) per vector — the
+    * iteration's full effect, auditable row by row (Σ moved is the
+    * convergence signal a driver loop would test).
+    *
+    * Scale shape per iteration: one broadcast-fold assignment pass +
+    * one centroid agg (map-side combined, C·dim output rows) — the
+    * textbook distributed Lloyd step. Production runs this in a driver
+    * loop with a bounded iteration count on a deterministic hash sample
+    * (the q38 `buildSamplePerMille` shape); empty clusters keep their
+    * previous centroid implicitly (no assigned rows → no new mean → the
+    * label drops out, matching the oracle's inner-join replay).
+    */
+  def lloydStep(df: DataFrame, id: Column, vec: Column,
+                label: Column): DataFrame = {
+    ArrayCosine.register(df.sparkSession)
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+    val a0 = assignToNearest(e.drop("lbl"), centroidsWide(e))
+      .withColumnRenamed("bucket", "bucket0")
+    val cents1 = centroidsWide(a0.select(col("bucket0").as("lbl"), col("v")))
+    assignToNearest(a0, cents1)
+      .select(col("vec_id"), col("bucket0"), col("bucket").as("bucket1"),
+        (col("bucket0") =!= col("bucket")).as("moved"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-PQ with RESIDUAL codebooks — the full production index
     * composition (coarse quantizer × nprobe probing × product-quantized
     * residuals with ADC scoring): each vector is assigned to its

@@ -188,5 +188,32 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
         |    / 10000.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-      "incremental aggregate maintenance: merged algebraic partials == full recompute"))
+      "incremental aggregate maintenance: merged algebraic partials == full recompute"),
+
+    // q103 — Z-ORDER clustering stats: Morton-interleave the 8-bit
+    // reduced (customer, order-day) dimensions and report per-z-bucket
+    // row counts + BOTH dimensions' min/max — the file-level statistics
+    // a scan planner prunes on, so the clustering claim is itself the
+    // oracle-checked result: each of the 64 buckets pins the top 3 bits
+    // of BOTH dimensions (span ≤ 32 of 256 in each — an 8x pruning cut
+    // per dimension that a single-column sort can only give its leading
+    // column). The z-value is a pure codegen'd shift/mask fold; the
+    // layout job at scale is repartitionByRange on it + write.
+    Q("q103_zorder_stats",
+      (s, d) => graft.operators.ZOrder.bucketStats(
+        Tables(s, d, "orders"),
+        col("o_custkey") % 256L,
+        (datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")) % 256).cast("long"),
+        bits = 8, shift = 10),
+      Some(s"""WITH b AS (SELECT o_custkey % 256 AS x,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE) % 256 AS y
+        |  FROM orders),
+        |z AS (SELECT x, y, ${(0 until 8).map(i =>
+             s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+             .mkString(" + ")} AS zv FROM b)
+        |SELECT zv // 1024 AS z_bucket, count(*) AS n_rows,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin),
+      "z-order clustering: per-Morton-bucket min/max spans of both dimensions"))
 }

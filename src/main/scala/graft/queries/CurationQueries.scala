@@ -519,6 +519,27 @@ object CurationQueries {
         |    // (2 * CAST(sum(cnt) AS BIGINT))) / 10000.0 AS lm_score,
         |  min(bp) / 10000.0 AS min_prob
         |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "corpus-bigram LM quality score: exact integer mean conditional probability")
+      "corpus-bigram LM quality score: exact integer mean conditional probability"),
+
+    // q106 — deterministic stratified train/val/test split (80/10/10):
+    // the frozen-eval-set contract — split from the id hash, so
+    // disjoint + exhaustive by construction, stable under re-runs and
+    // appends, and stratified across sources without bookkeeping (the
+    // hash is uniform within every stratum). Pure per-row expression;
+    // the oracle replays the identical md5 gate.
+    Q("q106_train_val_test_split",
+      (s, d) => Curation.trainValTestSplit(
+          Tables(s, d, "documents").select("doc_id", "source"),
+          col("doc_id"), trainPerMille = 800, valPerMille = 100, seed = 7)
+        .orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id, source,
+        |    ('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS gate
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN gate < 800 THEN 'train'
+        |       WHEN gate < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin),
+      "stratified train/val/test split: per-row hash gate, frozen eval sets")
   )
 }

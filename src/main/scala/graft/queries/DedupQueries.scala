@@ -469,6 +469,53 @@ object DedupQueries {
         |SELECT a.vec_id, a.bucket, (dr.ib IS NULL) AS kept
         |FROM a LEFT JOIN dr ON a.vec_id = dr.ib
         |ORDER BY a.vec_id""".stripMargin),
-      "SemDeDup semantic dedup: nearest-centroid clustering + in-cluster cosine prune")
+      "SemDeDup semantic dedup: nearest-centroid clustering + in-cluster cosine prune"),
+
+    // q107 — near-dup prune with a QUALITY representative: q68 keeps
+    // each cluster's min doc_id; a real curation pipeline keeps its
+    // BEST member — here the longest (n_chars desc, doc_id tiebreak),
+    // the "prefer the most complete copy" heuristic. Same candidate
+    // chain + connected components as q37/q68; the representative
+    // choice runs on the TopKPerKey node (≤1 row per (cluster,
+    // partition) reaches the exchange).
+    Q("q107_neardup_prune_quality",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+            n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 100))
+        val withLen = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        val reps = graft.plans.TopK.perKey(withLen, Seq("cluster_id"),
+            "n_chars", desc = true, tiebreak = Seq("doc_id"), k = 1)
+          .select(col("doc_id"), lit(true).as("rep"))
+        val drop = clusters.join(reps, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id", "n_chars").orderBy("doc_id")
+      },
+      Some(s"""${gramCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$minhashCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM j
+        |  WHERE round(shared / (na + nb - shared), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+        |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM cc GROUP BY id),
+        |wl AS (SELECT cl.doc_id, cl.cluster_id, d2.n_chars
+        |  FROM cl JOIN documents d2 USING (doc_id)),
+        |reps AS (SELECT doc_id FROM wl
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) = 1),
+        |dr AS (SELECT doc_id FROM cl ANTI JOIN reps USING (doc_id))
+        |SELECT doc_id, n_chars FROM documents ANTI JOIN dr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+      "near-dup prune keeping each cluster's longest member (quality representative)")
   )
 }

@@ -108,6 +108,28 @@ object MultimodalQueries {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
-      "perceptual-hash (dHash) payload near-dup via the bounded Hamming chunk machinery")
+      "perceptual-hash (dHash) payload near-dup via the bounded Hamming chunk machinery"),
+
+    // q104 — FRAME SAMPLING: the video-ingest explode — each media
+    // stream cut into fixed 40-char frames (the stub codec over the
+    // same decoded seam as q81), every 2nd frame emitted as its own row
+    // with a content fingerprint, the unit frame-level encoders and
+    // dedup consume. Per-row sequence + explode, no shuffle; the last
+    // frame carries the stream remainder.
+    Q("q104_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          frameChars = 40, stride = 2)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH s AS (SELECT doc_id, text AS s,
+        |    CAST((length(text) + 39) // 40 AS INTEGER) AS n_frames
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id, s, n_frames,
+        |    CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx
+        |  FROM s)
+        |SELECT doc_id, frame_idx, n_frames,
+        |  md5(substring(s, frame_idx * 40 + 1, 40)) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+      "frame sampling: fixed-size frame explode with stride, per-frame fingerprints")
   )
 }

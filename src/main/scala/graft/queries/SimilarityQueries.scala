@@ -485,6 +485,38 @@ object SimilarityQueries {
         |SELECT t.vec_id, t.pq_sim, t.cos_sim, (x.vec_id IS NOT NULL) AS in_exact_topk
         |FROM topk t LEFT JOIN exact x ON t.vec_id = x.vec_id
         |ORDER BY t.pq_sim DESC, t.vec_id""".stripMargin),
-      "IVF-PQ residual composition: coarse probe x residual codebooks x ADC LUT, recall-audited")
+      "IVF-PQ residual composition: coarse probe x residual codebooks x ADC LUT, recall-audited"),
+
+    // q102 — one Lloyd (k-means) iteration of the coarse quantizer: the
+    // TRAIN loop the IVF/PQ builds seed from labels, run inside the
+    // engine — assign (broadcast argmax fold), recompute centroids from
+    // the assignment (6dp means), re-assign. Output is the iteration's
+    // full per-vector effect; Σ moved is the convergence signal a
+    // driver loop tests. Both engines replay identical assignment
+    // tiebreaks (rounded cosine desc, min label), so the moved set is
+    // deterministic.
+    Q("q102_kmeans_lloyd_step",
+      (s, d) => Similarity.lloydStep(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label")),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
+        |c0 AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw0 AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c0 GROUP BY lbl),
+        |a0 AS (SELECT vec_id, v, c_lbl AS bucket0,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |c1 AS (SELECT bucket0 AS lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM a0, generate_series(1, 64) AS t(dim) GROUP BY 1, 2),
+        |cw1 AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c1 GROUP BY lbl),
+        |a1 AS (SELECT a0.vec_id, a0.bucket0, cw1.c_lbl AS bucket1,
+        |    round(list_cosine_similarity(a0.v, cw1.cv), 4) AS sim1
+        |  FROM a0, cw1
+        |  QUALIFY row_number() OVER (PARTITION BY a0.vec_id
+        |    ORDER BY sim1 DESC, cw1.c_lbl) = 1)
+        |SELECT vec_id, bucket0, bucket1, (bucket0 <> bucket1) AS moved
+        |FROM a1 ORDER BY vec_id""".stripMargin),
+      "one distributed Lloyd step: assign, recompute 6dp centroids, re-assign")
   )
 }

@@ -314,6 +314,51 @@ object TextQueries {
         |SELECT doc_id, CAST(nh AS INTEGER) AS n_hit_terms,
         |  score_bp / 10000.0 AS bm25
         |FROM c ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
-      "Okapi BM25 top-k in exact integer arithmetic (rational idf, cleared denominators)")
+      "Okapi BM25 top-k in exact integer arithmetic (rational idf, cleared denominators)"),
+
+    // q105 — vocabulary coverage / OOV rate: the tokenizer-fit signal a
+    // training pipeline computes before committing to a vocab — build
+    // the reference vocabulary as the corpus's top-100 terms by
+    // frequency (count desc, term asc: the tie at the cutoff is
+    // deterministic on both engines), then score every document's
+    // out-of-vocabulary token fraction in exact basis points.
+    //
+    // Scale shape: term counts are one map-side-combined shuffle; the
+    // vocab is a top-k of the VOCABULARY (tiny) and broadcasts back; the
+    // per-doc OOV count is a broadcast left-join + one doc-keyed agg —
+    // the corpus tokens never shuffle twice.
+    Q("q105_vocab_coverage",
+      (s, d) => {
+        val w = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        val vocab = w.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(100)
+          .select(col("term"), lit(true).as("in_vocab"))
+        w.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+            col("n_oov").cast("int").as("n_oov"),
+            (graft.functions.IntMath.bp(col("n_oov"), col("n_tokens")) / 10000.0)
+              .as("oov_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |v AS (SELECT term FROM (
+        |    SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |  ORDER BY cnt DESC, term LIMIT 100),
+        |j AS (SELECT tok.doc_id, (v.term IS NOT NULL) AS hit
+        |  FROM tok LEFT JOIN v ON tok.term = v.term),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(n_oov AS INTEGER) AS n_oov,
+        |  ((2 * n_oov * 10000 + n_tokens) // (2 * n_tokens)) / 10000.0 AS oov_frac
+        |FROM c ORDER BY doc_id""".stripMargin),
+      "vocab coverage: top-100 corpus vocab broadcast back, exact per-doc OOV rate")
   )
 }

@@ -37,7 +37,16 @@ object Plans {
     "q72_ann_multiprobe" -> "probe set = 3 broadcast rows (own + two Hamming-1 buckets); corpus side scanned once, BroadcastHashJoin on bucket, TakeOrderedAndProject — same shape as single-probe at any P.",
     "q73_substring_runs" -> "join-free: packed (doc_id,pos) longs ride INSIDE the bounded_long_list buckets; one hash exchange for the bucket agg, one for the per-doc run window — no full-corpus cache, no second tokenize scan.",
     "q75_ann_ivf_nprobe" -> "nprobe=2 probe buckets arrive as a 2-row broadcast ranked from the same centroid array; corpus assignment unchanged (argmax fold over one broadcast row).",
-    "q76_source_quota" -> "two TopKPerKey phases around ONE hash exchange on source — a hot domain ships maxPerSource rows per input partition, never its volume; no row_number window.")
+    "q76_source_quota" -> "two TopKPerKey phases around ONE hash exchange on source — a hot domain ships maxPerSource rows per input partition, never its volume; no row_number window.",
+    "q90_semdedup" -> "assignment is a broadcast argmax fold (no corpus shuffle); in-cluster candidates via ONE bounded_long_list aggregate; pair verify joins keyed on vec_id — the global pair space never materializes.",
+    "q91_funnel" -> "every stage exchange is keyed on uid (reused partitioning); per-stage counts collapse to single rows before the union.",
+    "q92_retention_cohorts" -> "ONE uid-keyed exchange (collect_set of calendar-bounded weeks); the cohort explode and final (cohort, offset) agg add only a tiny second exchange.",
+    "q96_table_profile" -> "NO Expand / no multi-distinct SortAggregate: one hash-agg pass for nulls/min/max/HLL plus an explode + hash-distinct pass for exact cardinalities.",
+    "q97_ann_ivf_pq_residual" -> "probe candidates join a broadcast per-bucket LUT; the scan side carries packed pq codes (graft_pack_int8 BINARY); assignment and codebooks ride broadcast folds.",
+    "q98_pit_join" -> "the asof composition: ONE exchange on the user key feeding the running last(payload) window — no per-key range theta-join.",
+    "q100_bm25_topk" -> "isin(query terms) filter sits ON the scan (posting lists, not the vocabulary, reach the agg); df/N/T are broadcast; final score agg shows partial_ combine + TakeOrderedAndProject.",
+    "q103_zorder_stats" -> "z-value is a pure per-row projection (shift/mask fold inside WholeStageCodegen); one hash exchange for the bucket stats.",
+    "q108_bloom_incremental_dedup" -> "bloom probe is a scan-side filter (bloom_filter_might_contain on a literal sketch); only might-contain candidates reach the anti-join exchange — the definitely-new branch has NO join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -516,6 +516,30 @@ object DedupQueries {
         |dr AS (SELECT doc_id FROM cl ANTI JOIN reps USING (doc_id))
         |SELECT doc_id, n_chars FROM documents ANTI JOIN dr USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
-      "near-dup prune keeping each cluster's longest member (quality representative)")
+      "near-dup prune keeping each cluster's longest member (quality representative)"),
+
+    // q108 — BLOOM-PREFILTERED incremental dedup: the nightly "which
+    // batch rows are new?" anti-join against a persisted history,
+    // routed through a broadcast Bloom sketch of the history keys —
+    // sketch-rejected rows are definitely new (no false negatives) and
+    // skip the join entirely; only might-contain candidates pay the
+    // exact verify. Semantics == the plain anti-join (the oracle), the
+    // sketch only routes rows. History = every 3rd document's text;
+    // note duplicate texts drop NON-history docs too — exactly what
+    // the anti-join contract says.
+    Q("q108_bloom_incremental_dedup",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val history = docs.filter(col("doc_id") % 3 === 0).select(col("text"))
+        graft.operators.BloomPrefilter.antiJoin(
+            docs.select("doc_id", "text", "n_chars"), col("text"),
+            history, col("text"), expectedItems = 10000L, fpp = 0.03)
+          .select("doc_id", "n_chars").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
+        |ORDER BY doc_id""".stripMargin),
+      "bloom-prefiltered incremental dedup: sketch-routed exact anti-join vs history")
   )
 }

@@ -287,6 +287,17 @@ object PipelineQueries {
     Q("q95_stream_stream_join",
       (s, d) => {
         val qname = s"graft_q95_sink_${streamSinkRuns.incrementAndGet()}"
+        // Size the join's STATE partitions to the stream, not the batch
+        // default: a streaming query pins shuffle.partitions at start as
+        // its state-store count, and every micro-batch pays a commit per
+        // store per side — 32 stores × 4 batches of this feed is pure
+        // overhead at this key cardinality (150 users). 8 is the real
+        // production decision (state partitions ≈ key cardinality /
+        // target per-store size), made explicitly here and restored
+        // after; batch queries are unaffected.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
         val ev = Tables(s, d, "events")
         val feedV = graft.util.TmpDirs.perProcess("graft_q95_views")
         val feedC = graft.util.TmpDirs.perProcess("graft_q95_clicks")
@@ -314,6 +325,7 @@ object PipelineQueries {
           .start()
         query.awaitTermination()
         s.table(qname).orderBy("view_id", "click_id")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
       Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
         |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us

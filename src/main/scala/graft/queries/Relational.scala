@@ -506,6 +506,123 @@ object Relational {
         |ORDER BY segment""".stripMargin),
       "SQL-text entry point over registered views (S4/S5 analogue)"),
 
+    // q109 — SLIDING time windows (1h window, 15m slide): every event
+    // lands in exactly window/slide = 4 overlapping windows — the
+    // trending-metrics shape q21's tumbling windows cannot express, and
+    // the batch twin of the streaming sliding-window aggregation. The
+    // oracle derives the same 4 window starts per event from 15-minute
+    // epoch slots (Spark aligns window starts to the epoch).
+    Q("q109_sliding_window_agg",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH slots AS (SELECT event_type, value,
+        |    epoch_us(ts) // 900000000 AS slot FROM events),
+        |w AS (SELECT event_type, value,
+        |    make_timestamp((slot - k.k) * 900000000) AS win_start
+        |  FROM slots, generate_series(0, 3) AS k(k))
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin),
+      "sliding 1h/15m window agg (each event in 4 overlapping windows)"),
+
+    // q110 — NATIVE session windows: Spark's built-in session_window
+    // aggregation (dynamic-gap windows merged by the engine) — the
+    // declarative sibling of q20's lag/running-sum sessionization and
+    // q86's flatMapGroupsWithState; all three express the same gap
+    // semantics, which the shared oracle proves. session end = last
+    // event + gap by definition of the operator.
+    Q("q110_session_window",
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("session_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+      "built-in session_window agg == the lag/running-sum sessionization"),
+
+    // q111 — GROUPING SETS with grouping_id: the explicit multi-level
+    // aggregate (priority x status, priority alone, grand total) that
+    // rollup/cube (q17/q47) special-case; grouping(col) disambiguates
+    // real NULLs from subtotal rows on both engines.
+    Q("q111_grouping_sets",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("v_orders_gs")
+        s.sql("""SELECT o_orderpriority, o_orderstatus,
+                |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+                |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+                |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+                |FROM v_orders_gs
+                |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                |  (o_orderpriority), ())
+                |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), ())
+        |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin),
+      "explicit GROUPING SETS with grouping() disambiguation"),
+
+    // q112 — equi-width HISTOGRAM: the profiling companion to q96 —
+    // global min/max in one broadcast row, bucket = floor((x-min)/
+    // (max-min)*k) clamped to k-1 (the max lands in the last bucket).
+    // Both engines evaluate the identical double expression on
+    // identical inputs, so bucket boundaries cannot drift; emitted
+    // bounds round at 4dp.
+    Q("q112_histogram",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        val k = 20
+        val b = least(lit(k - 1), floor((col("o_totalprice") - col("lo")) /
+          (col("hi") - col("lo")) * k)).cast("int")
+        o.crossJoin(broadcast(mm))
+          .select(b.as("bucket"), col("lo"), col("hi"))
+          .groupBy("bucket", "lo", "hi")
+          .agg(count(lit(1)).as("n"))
+          .select(col("bucket"),
+            round(col("lo") + (col("hi") - col("lo")) / k * col("bucket"), 4)
+              .as("bucket_lo"),
+            round(col("lo") + (col("hi") - col("lo")) / k * (col("bucket") + 1), 4)
+              .as("bucket_hi"),
+            col("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM orders),
+        |b AS (SELECT CAST(least(19, floor((o_totalprice - lo) / (hi - lo) * 20)) AS INTEGER) AS bucket,
+        |    lo, hi
+        |  FROM orders, mm)
+        |SELECT bucket,
+        |  round(lo + (hi - lo) / 20 * bucket, 4) AS bucket_lo,
+        |  round(lo + (hi - lo) / 20 * (bucket + 1), 4) AS bucket_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin),
+      "equi-width histogram: broadcast min/max, identical double bucket arithmetic"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

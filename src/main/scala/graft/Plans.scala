@@ -46,7 +46,10 @@ object Plans {
     "q98_pit_join" -> "the asof composition: ONE exchange on the user key feeding the running last(payload) window — no per-key range theta-join.",
     "q100_bm25_topk" -> "isin(query terms) filter sits ON the scan (posting lists, not the vocabulary, reach the agg); df/N/T are broadcast; final score agg shows partial_ combine + TakeOrderedAndProject.",
     "q103_zorder_stats" -> "z-value is a pure per-row projection (shift/mask fold inside WholeStageCodegen); one hash exchange for the bucket stats.",
-    "q108_bloom_incremental_dedup" -> "bloom probe is a scan-side filter (bloom_filter_might_contain on a literal sketch); only might-contain candidates reach the anti-join exchange — the definitely-new branch has NO join.")
+    "q108_bloom_incremental_dedup" -> "bloom probe is a scan-side filter (bloom_filter_might_contain on a literal sketch); only might-contain candidates reach the anti-join exchange — the definitely-new branch has NO join.",
+    "q113_gap_fill_locf" -> "daily rollup window + aggregate share ONE (key, day) exchange; grid explode is calendar-bounded; LOCF window keyed on user only — no global sort.",
+    "q114_rolling_range_window" -> "ONE user-keyed Exchange feeding both RANGE-frame window functions; cents projection inside WholeStageCodegen on the scan.",
+    "q115_equidepth_histogram" -> "NO single-partition window over the fact table: prebucket is a scan-side projection, the only fact exchange is hashpartitioning(rk_bucket); offsets arrive as a 256-row broadcast.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

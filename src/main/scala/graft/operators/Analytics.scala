@@ -109,4 +109,47 @@ object Analytics {
         col("ts").as("effective_from"), col("effective_to"),
         col("effective_to").isNull.as("is_current"))
   }
+
+  /** Time-series resample to a daily grid + last-observation-carried-
+    * forward: per key, every calendar day from the key's first to last
+    * active day; gap days (no events) carry the previous day's closing
+    * value. The missing-row repair every downstream rolling metric
+    * needs — a rolling average over a feed with holes silently shortens
+    * its denominator.
+    *
+    * Per (key, day): n_events = row count, close = value of the day's
+    * last event (ts desc, ordId desc — deterministic under ts ties).
+    * Grid days get n_events = 0, is_gap = true, value_locf = previous
+    * close.
+    *
+    * Scale shape: the daily rollup is ONE (key, day) shuffle (the
+    * row_number window and the aggregate share it); the grid explode is
+    * bounded by key-count x calendar span — independent of event volume,
+    * the whole point of resampling; the LOCF window partitions by key
+    * with calendar-bounded partitions. Nothing global, nothing on the
+    * driver.
+    */
+  def gapFillLocf(df: DataFrame, key: Column, ts: Column, ordId: Column,
+                  value: Column): DataFrame = {
+    val base = df.select(key.as("k"), ts.as("ts"), ordId.as("oid"),
+        value.as("v"))
+      .withColumn("day", to_date(col("ts")))
+    val wDay = Window.partitionBy("k", "day")
+      .orderBy(col("ts").desc, col("oid").desc)
+    val daily = base
+      .withColumn("rn", row_number().over(wDay))
+      .groupBy("k", "day")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("v"))).as("close"))
+    val grid = daily.groupBy("k")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("k"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wLocf = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("k", "day"), "left")
+      .select(col("k").as("key"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last("close", ignoreNulls = true).over(wLocf).as("value_locf"),
+        col("n_events").isNull.as("is_gap"))
+  }
 }

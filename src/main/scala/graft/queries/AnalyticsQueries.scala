@@ -215,5 +215,39 @@ object AnalyticsQueries {
         |SELECT zv // 1024 AS z_bucket, count(*) AS n_rows,
         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin),
-      "z-order clustering: per-Morton-bucket min/max spans of both dimensions"))
+      "z-order clustering: per-Morton-bucket min/max spans of both dimensions"),
+
+    // q113 — daily resample + LOCF gap fill: per user, the full calendar
+    // grid from first to last active day; days with no events carry the
+    // previous day's closing value (last event by ts desc, event_id
+    // desc) forward. value_locf is a raw passthrough of parquet doubles
+    // — no arithmetic, so no rounding is needed for cross-engine
+    // equality. The grid explode is calendar-bounded (users x ~30 days),
+    // independent of event volume.
+    Q("q113_gap_fill_locf",
+      (s, d) => Analytics.gapFillLocf(Tables(s, d, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "day"),
+      Some("""WITH base AS (SELECT user_id AS k, ts, event_id, value,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |rn AS (SELECT k, day, value,
+        |    row_number() OVER (PARTITION BY k, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM base),
+        |daily AS (SELECT k, day, count(*) AS n_events,
+        |    max(CASE WHEN rn = 1 THEN value END) AS close
+        |  FROM rn GROUP BY k, day),
+        |mm AS (SELECT k, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY k),
+        |grid AS (SELECT k, CAST(unnest(generate_series(d0::TIMESTAMP,
+        |    d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day FROM mm)
+        |SELECT g.k AS user_id, g.day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  last_value(d.close IGNORE NULLS) OVER (PARTITION BY g.k
+        |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_locf,
+        |  d.n_events IS NULL AS is_gap
+        |FROM grid g LEFT JOIN daily d ON g.k = d.k AND g.day = d.day
+        |ORDER BY user_id, g.day""".stripMargin),
+      "daily grid resample with LOCF fill (calendar-bounded explode, user-keyed shuffles)"))
 }

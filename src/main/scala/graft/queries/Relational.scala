@@ -623,6 +623,64 @@ object Relational {
         |FROM b GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin),
       "equi-width histogram: broadcast min/max, identical double bucket arithmetic"),
 
+    // q114 — rolling 7-day RANGE-frame window: per user, events count +
+    // value total over [t - 7d, t] ordered by epoch SECONDS — the
+    // time-interval frame (RANGE BETWEEN) that row-count frames (q12)
+    // cannot express: peers in the same second share one frame. The
+    // value rides as exact integer CENTS (round(value*100) — identical
+    // double op on identical parquet input, then integer sums), because
+    // sliding-frame double summation is association-ordered differently
+    // across engines (DuckDB segment trees vs Spark frame re-scan) —
+    // integer cents make the frame sum order-free and bit-exact.
+    // Scale shape: ONE user-keyed shuffle; frames are calendar-bounded.
+    Q("q114_rolling_range_window",
+      (s, d) => {
+        val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val w = Window.partitionBy("user_id").orderBy("sec")
+          .rangeBetween(-7L * 86400L, 0L)
+        e.select(col("event_id"), col("user_id"), col("sec"),
+            count(lit(1)).over(w).as("n_7d"),
+            round(sum("cents").over(w) / 100.0, 2).as("v_7d"))
+          .orderBy("user_id", "sec", "event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(ts) // 1000000 AS sec,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, sec,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(cents) OVER w / 100.0, 2) AS v_7d
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, sec, event_id""".stripMargin),
+      "rolling 7-day RANGE frame (integer-cents sums: order-free, bit-exact)"),
+
+    // q115 — equi-DEPTH histogram via distributed exact global rank:
+    // the quantile-binned companion to q112's equi-width buckets. The
+    // rank comes from Rank.globalRank — equi-width prebuckets +
+    // broadcast prefix-sum offsets + per-bucket row_number, so NO
+    // single-partition global window ever materializes (the plan the
+    // naive row_number() OVER (ORDER BY price) would give). The oracle
+    // replays the plain global row_number — the prebucketing affects
+    // only distribution, never the rank. bin = (rank-1)*k div n + 1:
+    // exact integer arithmetic on both engines (deliberately NOT SQL
+    // ntile's remainder placement — the formula is the contract).
+    Q("q115_equidepth_histogram",
+      (s, d) => graft.operators.Rank.equiDepthHistogram(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice", "o_orderkey", k = 16),
+      Some("""WITH r AS (SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+        |    count(*) OVER () AS n_total
+        |  FROM orders)
+        |SELECT CAST((rnk - 1) * 16 // n_total + 1 AS INTEGER) AS bin,
+        |  count(*) AS n_rows,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin),
+      "equi-depth histogram from distributed exact rank (no global-sort reducer)"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

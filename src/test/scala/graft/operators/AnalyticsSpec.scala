@@ -82,4 +82,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(1).getTimestamp(4) === rows(2).getTimestamp(3))
     assert(rows(2).isNullAt(4) && rows(2).getBoolean(5))
   }
+
+  test("gapFillLocf: gap days carry the previous CLOSE forward") {
+    import spark.implicits._
+    val d = Seq(
+      // Jan 1: two events — close must be the later one (7.0)
+      (1L, 1L, ts("2024-01-01 09:00:00"), 3.0),
+      (2L, 1L, ts("2024-01-01 18:00:00"), 7.0),
+      // Jan 2-3: gap; Jan 4: one event
+      (3L, 1L, ts("2024-01-04 12:00:00"), 9.0),
+      // user 2: single day, no grid expansion
+      (4L, 2L, ts("2024-01-02 10:00:00"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Analytics.gapFillLocf(d, col("user_id"), col("ts"),
+        col("event_id"), col("value"))
+      .orderBy("key", "day")
+      .as[(Long, java.sql.Date, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 2L, 7.0, false),
+      (1L, java.sql.Date.valueOf("2024-01-02"), 0L, 7.0, true),
+      (1L, java.sql.Date.valueOf("2024-01-03"), 0L, 7.0, true),
+      (1L, java.sql.Date.valueOf("2024-01-04"), 1L, 9.0, false),
+      (2L, java.sql.Date.valueOf("2024-01-02"), 1L, 5.0, false)))
+  }
+
+  test("gapFillLocf: ts ties broken by ordId for the close") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), 3.0),
+      (2L, 1L, ts("2024-01-01 09:00:00"), 8.0)) // same ts, higher id wins
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Analytics.gapFillLocf(d, col("user_id"), col("ts"),
+        col("event_id"), col("value"))
+      .select("value_locf").as[Double].collect().toSeq
+    assert(got === Seq(8.0))
+  }
 }

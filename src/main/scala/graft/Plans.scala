@@ -49,7 +49,10 @@ object Plans {
     "q108_bloom_incremental_dedup" -> "bloom probe is a scan-side filter (bloom_filter_might_contain on a literal sketch); only might-contain candidates reach the anti-join exchange — the definitely-new branch has NO join.",
     "q113_gap_fill_locf" -> "daily rollup window + aggregate share ONE (key, day) exchange; grid explode is calendar-bounded; LOCF window keyed on user only — no global sort.",
     "q114_rolling_range_window" -> "ONE user-keyed Exchange feeding both RANGE-frame window functions; cents projection inside WholeStageCodegen on the scan.",
-    "q115_equidepth_histogram" -> "NO single-partition window over the fact table: prebucket is a scan-side projection, the only fact exchange is hashpartitioning(rk_bucket); offsets arrive as a 256-row broadcast.")
+    "q115_equidepth_histogram" -> "NO single-partition window over the fact table: prebucket is a scan-side projection, the only fact exchange is hashpartitioning(rk_bucket); offsets arrive as a 256-row broadcast.",
+    "q116_hybrid_rrf" -> "both rankers end in TakeOrderedAndProject BEFORE their 50-row row_number windows; the fusion join is a broadcast-sized full-outer of two top-50 lists.",
+    "q117_editdist_verify" -> "candidate pairs from the bounded band buckets (no self-join); the levenshtein DP runs inside the prefix-join's projection, once per pair.",
+    "q118_cms_heavy_hitters" -> "the only corpus-sized exchange is the vocabulary agg (partial_ combine); bucket sums collapse the vocab to 1024 rows; heavy hitters via TakeOrderedAndProject; fusion joins broadcast.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

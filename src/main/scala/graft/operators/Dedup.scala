@@ -692,4 +692,36 @@ object Dedup {
       .select(col("vec_id"), col("bucket"), col("dup").isNull.as("kept"))
       .orderBy("vec_id")
   }
+
+  /** Character-level verification of candidate pairs by edit distance:
+    * joins each (doc_a, doc_b) pair back to a `prefixLen`-char text
+    * prefix and scores levenshtein similarity in exact basis points —
+    * sim_bp = 10000 - halfUp(lev / max(len_a, len_b)). The string-level
+    * second opinion a shingle-based candidate generator (MinHash,
+    * SimHash) cannot give: token-identical but character-divergent
+    * pairs (numbers, inflections) score low here.
+    *
+    * The prefix cap is the scale contract, stated rather than hidden:
+    * levenshtein is O(len²) per pair, so unbounded texts would make one
+    * hot pair quadratic in document size; prefixLen² per pair is flat.
+    * Both engines' levenshtein is the unit-cost DP — identical integers.
+    *
+    * Scale shape: two id-keyed joins of the (bounded) candidate set
+    * against the prefix projection; the O(prefixLen²) DP runs inside
+    * the join's project, once per candidate pair.
+    */
+  def editSimilarity(df: DataFrame, id: Column, text: Column,
+                     pairs: DataFrame, prefixLen: Int): DataFrame = {
+    val t = df.select(id.as("doc_id"),
+      substring(text, 1, prefixLen).as("pre"))
+    val m = greatest(length(col("pa")), length(col("pb")))
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("pre").as("pa")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("pre").as("pb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .withColumn("edit_sim_bp",
+        lit(10000L) - graft.functions.IntMath.halfUp(
+          col("edit_dist"), m.cast("long"), 10000L))
+      .drop("pa", "pb")
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.IntMath._
+import graft.functions.TextFunctions.words
+
+/** Retrieval scoring shared by the BM25 (q100) and hybrid-fusion (q116)
+  * queries: Okapi BM25 with NO float in the scoring path, and the
+  * reciprocal-rank-fusion combiner for text + vector rank lists.
+  *
+  * BM25 (k1 = 6/5, b = 3/4) as exact integer arithmetic: clearing the
+  * denominators of tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+  * avgdl = T/N gives tf_norm = 44·tf·T / (20·tf·T + 6·T + 18·dl·N); the
+  * idf is the rational (N+1)/(df+1) (no transcendental, so both engines
+  * agree bit-for-bit — log damping traded for cross-engine exactness).
+  * Per-term contribution = halfUp(idf_bp · tfnorm_bp / 10⁴), summed as
+  * longs. Long bounds hold through ~1e9 corpus tokens per stat
+  * partition; beyond that the same formulas run in DECIMAL(38).
+  *
+  * Scale shape: the isin(query terms) filter runs BEFORE the (doc, term)
+  * agg — the posting lists of the query's terms, not the corpus
+  * vocabulary, reach the shuffle; df/N/T collapse to broadcast rows; the
+  * per-doc score is one map-side-combined agg.
+  */
+object Retrieval {
+
+  /** Per-document BM25: (doc_id, nh = #query terms hit, score_bp =
+    * BM25 x 10^4 as a long). Only documents hitting >= 1 query term
+    * appear (BM25 of the rest is 0).
+    */
+  def bm25ScoreBp(df: DataFrame, id: Column, text: Column,
+                  qterms: Seq[String]): DataFrame = {
+    val w = df.select(id.as("doc_id"), words(text).as("ws"))
+    val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val g = dl.agg(sum("dl").as("t"), count(lit(1)).as("n"))
+    val tf = w.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val den = lit(20L) * col("tf") * col("t") + lit(6L) * col("t") +
+      lit(18L) * col("dl") * col("n")
+    val idfBp = halfUp(col("n") + 1L, col("df") + 1L, 10000L)
+    val tfnBp = halfUp(lit(44L) * col("tf") * col("t"), den, 10000L)
+    val contrib = intDiv(lit(2L) * idfBp * tfnBp + 10000L, lit(20000L))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nh"), sum("c").as("score_bp"))
+  }
+
+  /** Reciprocal-rank fusion of two (id, rank) lists: score =
+    * Σ 1e6 div (k + rank) over the lists containing the id — the
+    * standard RRF with the 1/(k+r) terms scaled to exact integers (1e6
+    * div is the identical truncating division on both engines; k = 60,
+    * Cormack et al.'s constant). Inputs are top-N lists (a broadcast
+    * handful of rows each), so the full-outer fusion join is trivially
+    * small at any corpus size — the heavy lifting happened in the
+    * rankers.
+    */
+  def rrfFuse(a: DataFrame, aId: String, aRank: String,
+              b: DataFrame, bId: String, bRank: String,
+              k: Int = 60): DataFrame = {
+    val l = a.select(col(aId).as("id"), col(aRank).as("rank_a"))
+    val r = b.select(col(bId).as("id"), col(bRank).as("rank_b"))
+    l.join(r, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        (coalesce(intDiv(lit(1000000L), lit(k.toLong) + col("rank_a")), lit(0L)) +
+          coalesce(intDiv(lit(1000000L), lit(k.toLong) + col("rank_b")), lit(0L)))
+          .as("rrf_score"))
+  }
+
+  /** Ranks the top `n` rows of `df` by (`score` desc, `tie` asc) —
+    * TakeOrdered prunes to n rows BEFORE the single-partition
+    * row_number window, so the global window only ever sees n rows.
+    */
+  def topNRanks(df: DataFrame, score: Column, tie: Column, n: Int,
+                rankName: String): DataFrame =
+    df.orderBy(score.desc, tie.asc).limit(n)
+      .withColumn(rankName, row_number().over(
+        Window.orderBy(score.desc, tie.asc)))
+}

@@ -540,6 +540,36 @@ object DedupQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM documents h
         |  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
         |ORDER BY doc_id""".stripMargin),
-      "bloom-prefiltered incremental dedup: sketch-routed exact anti-join vs history")
+      "bloom-prefiltered incremental dedup: sketch-routed exact anti-join vs history"),
+
+    // q117 — edit-distance verification of LSH candidates: the q24
+    // MinHash candidate generator (thr=0 — every surviving bucket pair)
+    // re-scored at the CHARACTER level with levenshtein over 120-char
+    // prefixes, in exact integer basis points. Shingle Jaccard and edit
+    // similarity disagree exactly where token-identical documents
+    // diverge in characters — emitting both is the audit. The prefix
+    // cap is the documented O(len²)-per-pair scale guard; both engines'
+    // levenshtein is the unit-cost DP (identical integers).
+    Q("q117_editdist_verify",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val cand = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+          n = 3, numPerm = 16, bands = 4, thr = 0.0, maxBucket = 100)
+        Dedup.editSimilarity(docs, col("doc_id"), col("text"), cand, 120)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$gramCtes,
+        |$minhashCtes,
+        |pairs AS (SELECT doc_a, doc_b,
+        |    round(shared / (na + nb - shared), 4) AS jaccard FROM j),
+        |p AS (SELECT doc_id, substring(text, 1, 120) AS pre FROM documents)
+        |SELECT doc_a, doc_b, jaccard,
+        |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist,
+        |  CAST(10000 - (2 * levenshtein(a.pre, b.pre) * 10000
+        |      + greatest(len(a.pre), len(b.pre)))
+        |    // (2 * greatest(len(a.pre), len(b.pre))) AS BIGINT) AS edit_sim_bp
+        |FROM pairs JOIN p a ON doc_a = a.doc_id JOIN p b ON doc_b = b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "LSH candidates re-verified by exact-integer levenshtein similarity (120-char prefix)")
   )
 }

@@ -22,6 +22,29 @@ object TextQueries {
 
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
+  /** Shared BM25 oracle chain (q100 + q116's text arm): exact-integer
+    * Okapi scoring over the fixed query terms, ending at `c` =
+    * (doc_id, nh, score_bp). Mirrors Retrieval.bm25ScoreBp.
+    */
+  private val bm25Ctes: String =
+    """WITH w AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      |g AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM dl),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    (2 * (n + 1) * 10000 + (df + 1)) // (2 * (df + 1)) AS idf_bp,
+      |    (2 * (44 * tf * t) * 10000 + (20 * tf * t + 6 * t + 18 * dl.dl * n))
+      |      // (2 * (20 * tf * t + 6 * t + 18 * dl.dl * n)) AS tfn_bp
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g),
+      |c AS (SELECT doc_id, count(*) AS nh,
+      |    CAST(sum((2 * idf_bp * tfn_bp + 10000) // 20000) AS BIGINT) AS score_bp
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens + a BPE-ish regex token count
@@ -267,54 +290,72 @@ object TextQueries {
     // vocabulary, reach the shuffle; df/N/T collapse to broadcast rows;
     // the per-doc score is one map-side-combined agg + TakeOrdered.
     Q("q100_bm25_topk",
-      (s, d) => {
-        import graft.functions.IntMath._
-        val qterms = Seq("spark", "join", "window")
-        val w = Tables(s, d, "documents")
-          .select(col("doc_id"), words(col("text")).as("ws"))
-        val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-        val g = dl.agg(sum("dl").as("t"), count(lit(1)).as("n"))
-        val tf = w.select(col("doc_id"), explode(col("ws")).as("term"))
-          .filter(col("term").isin(qterms: _*))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val den = lit(20L) * col("tf") * col("t") + lit(6L) * col("t") +
-          lit(18L) * col("dl") * col("n")
-        val idfBp = halfUp(col("n") + 1L, col("df") + 1L, 10000L)
-        val tfnBp = halfUp(lit(44L) * col("tf") * col("t"), den, 10000L)
-        val contrib = intDiv(lit(2L) * idfBp * tfnBp + 10000L, lit(20000L))
-        tf.join(broadcast(dfreq), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(g))
-          .select(col("doc_id"), contrib.as("c"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("nh"), sum("c").as("score_bp"))
-          .select(col("doc_id"), col("nh").cast("int").as("n_hit_terms"),
-            (col("score_bp") / 10000.0).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(10)
-      },
-      Some(s"""WITH w AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
-        |g AS (SELECT CAST(sum(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM dl),
-        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
-        |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT tf.doc_id,
-        |    (2 * (n + 1) * 10000 + (df + 1)) // (2 * (df + 1)) AS idf_bp,
-        |    (2 * (44 * tf * t) * 10000 + (20 * tf * t + 6 * t + 18 * dl.dl * n))
-        |      // (2 * (20 * tf * t + 6 * t + 18 * dl.dl * n)) AS tfn_bp
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g),
-        |c AS (SELECT doc_id, count(*) AS nh,
-        |    CAST(sum((2 * idf_bp * tfn_bp + 10000) // 20000) AS BIGINT) AS score_bp
-        |  FROM sc GROUP BY doc_id)
+      (s, d) => graft.operators.Retrieval.bm25ScoreBp(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          Seq("spark", "join", "window"))
+        .select(col("doc_id"), col("nh").cast("int").as("n_hit_terms"),
+          (col("score_bp") / 10000.0).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10),
+      Some(s"""$bm25Ctes
         |SELECT doc_id, CAST(nh AS INTEGER) AS n_hit_terms,
         |  score_bp / 10000.0 AS bm25
         |FROM c ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
       "Okapi BM25 top-k in exact integer arithmetic (rational idf, cleared denominators)"),
+
+    // q116 — HYBRID retrieval (BM25 + vector ANN fused by reciprocal
+    // rank): the modern two-tower search shape — the text arm ranks the
+    // q100 BM25 scores, the vector arm ranks exact cosine against query
+    // vec 0 (the q27 ranking, 6dp + id tiebreak), and RRF combines the
+    // two top-50 lists as Σ 1e6 div (60 + rank) — exact integer terms,
+    // so fusion cannot drift cross-engine. Each ranker prunes to 50
+    // rows via TakeOrdered BEFORE its row_number window, so no global
+    // window ever sees more than 50 rows; the fusion join is a 50x50
+    // full-outer over broadcast-sized lists.
+    Q("q116_hybrid_rrf",
+      (s, d) => {
+        import graft.operators.{Retrieval, Similarity}
+        val bm = Retrieval.bm25ScoreBp(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), Seq("spark", "join", "window"))
+        val tr = Retrieval.topNRanks(bm, col("score_bp"), col("doc_id"),
+          50, "text_rank")
+        val embT = Tables(s, d, "embeddings")
+        val emb = embT.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val qv = embT.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>").as("qv"))
+        graft.functions.ArrayCosine.register(s)
+        val cos = emb.crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(graft.functions.ArrayCosine.cosine(
+              col("v"), col("qv")), 6).as("rc"))
+        val vr = Retrieval.topNRanks(cos, col("rc"), col("vec_id"),
+          50, "vec_rank")
+        Retrieval.rrfFuse(tr, "doc_id", "text_rank", vr, "vec_id", "vec_rank")
+          .select(col("id"), col("rank_a").as("text_rank"),
+            col("rank_b").as("vec_rank"), col("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""$bm25Ctes,
+        |tr AS (SELECT doc_id AS id,
+        |    CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS INTEGER)
+        |      AS text_rank
+        |  FROM c ORDER BY score_bp DESC, doc_id LIMIT 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cosr AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS rc
+        |  FROM e, q WHERE vec_id <> 0),
+        |vr AS (SELECT vec_id AS id,
+        |    CAST(row_number() OVER (ORDER BY rc DESC, vec_id) AS INTEGER)
+        |      AS vec_rank
+        |  FROM cosr ORDER BY rc DESC, vec_id LIMIT 50)
+        |SELECT coalesce(tr.id, vr.id) AS id, text_rank, vec_rank,
+        |  CAST(coalesce(1000000 // (60 + text_rank), 0)
+        |    + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_score
+        |FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
+        |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin),
+      "hybrid BM25 + vector retrieval fused by integer reciprocal-rank (RRF, k=60)"),
 
     // q105 — vocabulary coverage / OOV rate: the tokenizer-fit signal a
     // training pipeline computes before committing to a vocab — build
@@ -359,6 +400,66 @@ object TextQueries {
         |  CAST(n_oov AS INTEGER) AS n_oov,
         |  ((2 * n_oov * 10000 + n_tokens) // (2 * n_tokens)) / 10000.0 AS oov_frac
         |FROM c ORDER BY doc_id""".stripMargin),
-      "vocab coverage: top-100 corpus vocab broadcast back, exact per-doc OOV rate")
+      "vocab coverage: top-100 corpus vocab broadcast back, exact per-doc OOV rate"),
+
+    // q118 — COUNT-MIN SKETCH heavy hitters, audited against exact
+    // counts (the q54/q63 sketch-audit pattern for frequency sketches):
+    // d=4 hash rows (md5-derived, seeds 101..104 — deterministic and
+    // replayable in SQL) x w=256 buckets; est(term) = min over rows of
+    // its bucket's total. The audit emits estimate alongside exact —
+    // overcount >= 0 ALWAYS (CMS never underestimates; CmsSpec pins the
+    // property), and the top-10's overcounts show the d*w -> accuracy
+    // trade directly.
+    //
+    // Scale shape: the only corpus-sized shuffle is the vocabulary agg
+    // (map-side combined); bucket sums collapse the VOCAB table to
+    // d*w = 1024 rows; heavy hitters via TakeOrdered; fusion joins are
+    // broadcast-sized. The sketch itself is mergeable across shards —
+    // the point of CMS at 100 TB (per-executor partials sum cell-wise).
+    Q("q118_cms_heavy_hitters",
+      (s, d) => {
+        val cmsD = 4
+        val cmsW = 256
+        val tok = Tables(s, d, "documents")
+          .select(explode(words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        val exact = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val rb = exact.select(col("term"), col("cnt"),
+          explode(array((0 until cmsD).map(r =>
+            struct(lit(r).as("r"),
+              (hash60(col("term"), 101 + r) % cmsW).cast("int").as("bkt"))): _*))
+            .as("rb"))
+          .select(col("term"), col("cnt"),
+            col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+        val sums = rb.groupBy("r", "bkt").agg(sum("cnt").as("bsum"))
+        val top = exact.orderBy(col("cnt").desc, col("term")).limit(10)
+        top.join(rb.drop("cnt"), "term")
+          .join(broadcast(sums), Seq("r", "bkt"))
+          .groupBy("term", "cnt")
+          .agg(min("bsum").as("cms_est"))
+          .select(col("term"), col("cnt").as("exact_cnt"),
+            col("cms_est"), (col("cms_est") - col("cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("term"))
+      },
+      Some("""WITH w AS (SELECT
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS term FROM w),
+        |exact AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE len(term) > 0 GROUP BY term),
+        |rb AS (SELECT term, cnt, r.r,
+        |    CAST(('0x' || substring(md5((101 + r.r)::VARCHAR || '#' || term), 1, 15))::BIGINT
+        |      % 256 AS INTEGER) AS bkt
+        |  FROM exact, generate_series(0, 3) AS r(r)),
+        |sums AS (SELECT r, bkt, CAST(sum(cnt) AS BIGINT) AS bsum
+        |  FROM rb GROUP BY r, bkt),
+        |top AS (SELECT term, cnt FROM exact ORDER BY cnt DESC, term LIMIT 10)
+        |SELECT t.term, t.cnt AS exact_cnt, min(s.bsum) AS cms_est,
+        |  min(s.bsum) - t.cnt AS overcount
+        |FROM top t JOIN rb ON rb.term = t.term
+        |JOIN sums s ON s.r = rb.r AND s.bkt = rb.bkt
+        |GROUP BY t.term, t.cnt
+        |ORDER BY exact_cnt DESC, t.term""".stripMargin),
+      "count-min sketch (d=4, w=256) heavy hitters audited against exact counts")
   )
 }

@@ -226,4 +226,23 @@ class DedupSpec extends SparkSpec {
       w = 4, maxDf = 2))
     assert(got.forall(_._3 === 0))
   }
+
+  test("editSimilarity: identical prefixes 10000bp; divergence past the cap invisible") {
+    import spark.implicits._
+    val long = ("x " * 70).trim // 139 chars — differs only past 120
+    val d = docs(
+      1L -> "kitten sits here",
+      2L -> "sitten sits here", // lev 1 of 16 chars
+      3L -> (long + " TAIL_A"),
+      4L -> (long + " TAIL_B"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.editSimilarity(d, col("doc_id"), col("text"), pairs, 120)
+      .select("doc_a", "edit_dist", "edit_sim_bp")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, e, s) => a -> (e, s) }.toMap
+    // lev("kitten...","sitten...") = 1; halfUp(1/16*1e4) = 625
+    assert(got(1L) === ((1L, 10000L - 625L)))
+    // both truncate to the same 120-char prefix → distance 0, sim 10000
+    assert(got(3L) === ((0L, 10000L)))
+  }
 }

@@ -52,7 +52,9 @@ object Plans {
     "q115_equidepth_histogram" -> "NO single-partition window over the fact table: prebucket is a scan-side projection, the only fact exchange is hashpartitioning(rk_bucket); offsets arrive as a 256-row broadcast.",
     "q116_hybrid_rrf" -> "both rankers end in TakeOrderedAndProject BEFORE their 50-row row_number windows; the fusion join is a broadcast-sized full-outer of two top-50 lists.",
     "q117_editdist_verify" -> "candidate pairs from the bounded band buckets (no self-join); the levenshtein DP runs inside the prefix-join's projection, once per pair.",
-    "q118_cms_heavy_hitters" -> "the only corpus-sized exchange is the vocabulary agg (partial_ combine); bucket sums collapse the vocab to 1024 rows; heavy hitters via TakeOrderedAndProject; fusion joins broadcast.")
+    "q118_cms_heavy_hitters" -> "the only corpus-sized exchange is the vocabulary agg (partial_ combine); bucket sums collapse the vocab to 1024 rows; heavy hitters via TakeOrderedAndProject; fusion joins broadcast.",
+    "q119_inverted_index" -> "postings via two TopKPerKey phases (partial heaps, a hot term ships <= 5 rows per partition); no window sort of the (term, doc) table; final cutoff is TakeOrderedAndProject.",
+    "q120_snapshot_diff" -> "ONE key-partitioned exchange per snapshot side into the full-outer SortMergeJoin; status classification is a post-join projection; final agg is 4 groups.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -385,7 +385,51 @@ object PipelineQueries {
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
         |    / 10000.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-      "streaming incremental agg maintenance: per-batch partial merge == full recompute"))
+      "streaming incremental agg maintenance: per-batch partial merge == full recompute"),
+
+    // q120 — SNAPSHOT DIFF (CDC recovery): classify every order key as
+    // insert / delete / update / unchanged between two derived snapshot
+    // versions — base = keys with k%10 != 0 at original price; next =
+    // keys with k%13 != 0, with a 10% price bump on k%7 == 0 rows. The
+    // bump runs in exact integer CENTS (cents + cents div 10) — no
+    // float multiply whose half-way rounding could diverge between
+    // engines. The batch complement of q88's upsert: upsert APPLIES a
+    // delta, diff RECOVERS one. One key-partitioned full-outer join;
+    // at warehouse scale both snapshots land bucketed on the key
+    // (Warehouse.loadBucketed) and the exchanges vanish.
+    Q("q120_snapshot_diff",
+      (s, d) => {
+        val o = Tables(s, d, "orders").select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderstatus").as("st"))
+        val base = o.filter(col("k") % 10 =!= 0)
+        val next = o.filter(col("k") % 13 =!= 0)
+          .withColumn("cents", when(col("k") % 7 === 0,
+            col("cents") + expr("cents div 10")).otherwise(col("cents")))
+        graft.operators.Diff.snapshotDiff(base, next,
+            Seq("k"), Seq("cents", "st"))
+          .groupBy("diff_status")
+          .agg(count(lit(1)).as("n_rows"), sum("k").as("key_checksum"))
+          .orderBy("diff_status")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    o_orderstatus AS st FROM orders),
+        |base AS (SELECT * FROM o WHERE k % 10 <> 0),
+        |nxt AS (SELECT k,
+        |    CASE WHEN k % 7 = 0 THEN cents + cents // 10 ELSE cents END AS cents,
+        |    st FROM o WHERE k % 13 <> 0),
+        |j AS (SELECT coalesce(b.k, n.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'insert'
+        |         WHEN n.k IS NULL THEN 'delete'
+        |         WHEN b.cents IS DISTINCT FROM n.cents
+        |           OR b.st IS DISTINCT FROM n.st THEN 'update'
+        |         ELSE 'unchanged' END AS diff_status
+        |  FROM base b FULL OUTER JOIN nxt n ON b.k = n.k)
+        |SELECT diff_status, count(*) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_checksum
+        |FROM j GROUP BY diff_status ORDER BY diff_status""".stripMargin),
+      "snapshot diff / CDC: insert-delete-update-unchanged via one key-partitioned full-outer join"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

@@ -460,6 +460,57 @@ object TextQueries {
         |JOIN sums s ON s.r = rb.r AND s.bkt = rb.bkt
         |GROUP BY t.term, t.cnt
         |ORDER BY exact_cnt DESC, t.term""".stripMargin),
-      "count-min sketch (d=4, w=256) heavy hitters audited against exact counts")
+      "count-min sketch (d=4, w=256) heavy hitters audited against exact counts"),
+
+    // q119 — INVERTED INDEX build: the materialized (term -> df,
+    // total_tf, top-5 postings) table BM25 (q100) computes on the fly —
+    // building it once is how a retrieval system amortizes the corpus
+    // scan. Postings keep the 5 highest-tf docs per term (tf desc,
+    // doc_id asc) serialized "doc:tf,...", selected by the native
+    // TopKPerKey node — partial per-partition heaps mean a hot term
+    // ships at most 5 rows per input partition to the exchange, never
+    // its full posting list (the q66/q76 machinery); no window sort of
+    // the (term, doc) table anywhere. Index rows cut to the top-100
+    // terms by (df desc, term) — a deterministic TakeOrdered cutoff.
+    Q("q119_inverted_index",
+      (s, d) => {
+        val tf = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        val stats = tf.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+        val top = graft.plans.TopK.perKey(tf, keyCols = Seq("term"),
+          orderCol = "tf", desc = true, tiebreak = Seq("doc_id"), k = 5)
+        val postings = top.groupBy("term")
+          .agg(array_join(transform(array_sort(collect_list(struct(
+              (-col("tf")).as("s1"), col("doc_id").as("s2"),
+              concat_ws(":", col("doc_id"), col("tf")).as("p")))),
+            x => x.getField("p")), ",").as("postings"))
+        stats.join(postings, "term")
+          .select(col("term"), col("df"), col("total_tf"), col("postings"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(100)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE len(term) > 0 GROUP BY 1, 2),
+        |stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1),
+        |top AS (SELECT term, doc_id, tf FROM tf
+        |  QUALIFY row_number() OVER (PARTITION BY term
+        |    ORDER BY tf DESC, doc_id) <= 5),
+        |p AS (SELECT term,
+        |    string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ','
+        |      ORDER BY tf DESC, doc_id) AS postings
+        |  FROM top GROUP BY term)
+        |SELECT s.term, s.df, s.total_tf, p.postings
+        |FROM stats s JOIN p USING (term)
+        |ORDER BY df DESC, s.term LIMIT 100""".stripMargin),
+      "inverted index: df/total_tf + top-5 postings per term via native per-partition heaps")
   )
 }

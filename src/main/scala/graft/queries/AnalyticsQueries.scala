@@ -249,5 +249,59 @@ object AnalyticsQueries {
         |  d.n_events IS NULL AS is_gap
         |FROM grid g LEFT JOIN daily d ON g.k = d.k AND g.day = d.day
         |ORDER BY user_id, g.day""".stripMargin),
-      "daily grid resample with LOCF fill (calendar-bounded explode, user-keyed shuffles)"))
+      "daily grid resample with LOCF fill (calendar-bounded explode, user-keyed shuffles)"),
+
+    // q122 — MAD outlier detection (robust anomaly flagging): per event
+    // type, median |x - median| in exact integer cents via TWO rounds
+    // of the GroupedQuantile distributed selection, then count values
+    // beyond 3xMAD — the robust-statistics outlier rule that, unlike
+    // mean/stddev z-scores, is itself immune to the outliers it hunts.
+    // Everything integer: cents in, deviations in cents, the 3xMAD
+    // threshold a pure long compare — nothing to drift cross-engine.
+    Q("q122_mad_outliers",
+      (s, d) => {
+        import graft.operators.GroupedQuantile
+        val e = Tables(s, d, "events").select(col("event_type").as("g"),
+          round(col("value") * 100, 0).cast("long").as("v"),
+          col("event_id").as("t"))
+        val med = GroupedQuantile.kthSmallestLong(e, col("g"), col("v"),
+            col("t"), GroupedQuantile.lowerMedianRank)
+          .withColumnRenamed("kth_value", "med")
+        val dev = e.join(broadcast(med), "g")
+          .select(col("g"), abs(col("v") - col("med")).as("v"), col("t"))
+        val mad = GroupedQuantile.kthSmallestLong(dev, col("g"), col("v"),
+            col("t"), GroupedQuantile.lowerMedianRank)
+          .withColumnRenamed("kth_value", "mad")
+        e.join(broadcast(med), "g").join(broadcast(mad), "g")
+          .groupBy("g", "med", "mad")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(abs(col("v") - col("med")) > lit(3L) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .select(col("g").as("event_type"), col("n_rows"),
+            (col("med") / 100.0).as("median_value"),
+            (col("mad") / 100.0).as("mad_value"), col("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v, event_id AS t
+        |  FROM events),
+        |r1 AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM e),
+        |med AS (SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+        |  FROM r1 GROUP BY g),
+        |d AS (SELECT e.g, abs(e.v - med.med) AS v, e.t
+        |  FROM e JOIN med ON e.g = med.g),
+        |r2 AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM d),
+        |mad AS (SELECT g, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS mad
+        |  FROM r2 GROUP BY g)
+        |SELECT e.g AS event_type, count(*) AS n_rows,
+        |  med.med / 100.0 AS median_value, mad.mad / 100.0 AS mad_value,
+        |  CAST(sum(CASE WHEN abs(e.v - med.med) > 3 * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN med ON e.g = med.g JOIN mad ON e.g = mad.g
+        |GROUP BY e.g, med.med, mad.mad ORDER BY event_type""".stripMargin),
+      "exact-integer MAD outlier counts per event type (two distributed selections)"))
 }

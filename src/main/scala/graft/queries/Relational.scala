@@ -681,6 +681,44 @@ object Relational {
         |FROM r GROUP BY bin ORDER BY bin""".stripMargin),
       "equi-depth histogram from distributed exact rank (no global-sort reducer)"),
 
+    // q121 — EXACT grouped percentiles via distributed selection: lower
+    // median + ceil-p90 of order price (integer cents) per priority,
+    // computed by GroupedQuantile — bucket-histogram rank location +
+    // a window over ONLY the selected bucket's thin slice, so no group
+    // is ever sorted whole in one task (the scale flaw of the naive
+    // per-group row_number scan the oracle replays). The exact
+    // complement of q63's audited approx_percentile sketch.
+    Q("q121_grouped_median_exact",
+      (s, d) => {
+        import graft.operators.GroupedQuantile
+        val o = t(s, d, "orders").select(col("o_orderpriority").as("g"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("v"),
+          col("o_orderkey").as("t"))
+        val n = o.groupBy("g").agg(count(lit(1)).as("n_rows"))
+        val med = GroupedQuantile.kthSmallestLong(o, col("g"), col("v"),
+            col("t"), GroupedQuantile.lowerMedianRank)
+          .withColumnRenamed("kth_value", "med_cents")
+        val p90 = GroupedQuantile.kthSmallestLong(o, col("g"), col("v"),
+            col("t"), GroupedQuantile.pctRank(90))
+          .withColumnRenamed("kth_value", "p90_cents")
+        n.join(med, "g").join(p90, "g")
+          .select(col("g").as("o_orderpriority"), col("n_rows"),
+            (col("med_cents") / 100.0).as("median_price"),
+            (col("p90_cents") / 100.0).as("p90_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+        |    o_orderkey AS t FROM orders),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM o)
+        |SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_rows,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) / 100.0 AS median_price,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) / 100.0 AS p90_price
+        |FROM r GROUP BY g ORDER BY o_orderpriority""".stripMargin),
+      "exact grouped median/p90 by distributed selection (no whole-group sort)"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

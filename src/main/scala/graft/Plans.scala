@@ -56,7 +56,8 @@ object Plans {
     "q119_inverted_index" -> "postings via two TopKPerKey phases (partial heaps, a hot term ships <= 5 rows per partition); no window sort of the (term, doc) table; final cutoff is TakeOrderedAndProject.",
     "q120_snapshot_diff" -> "ONE key-partitioned exchange per snapshot side into the full-outer SortMergeJoin; status classification is a post-join projection; final agg is 4 groups.",
     "q121_grouped_median_exact" -> "no whole-group sort: bucket histogram is a (g, bkt) hash agg; the only row_number window runs over the broadcast-selected thin bucket slice.",
-    "q122_mad_outliers" -> "two GroupedQuantile selection rounds, each bucket-agg + thin-slice window; med/mad ride back as broadcast joins into one final 5-group agg.")
+    "q122_mad_outliers" -> "two GroupedQuantile selection rounds, each bucket-agg + thin-slice window; med/mad ride back as broadcast joins into one final 5-group agg.",
+    "q124_touch_attribution" -> "ONE user-keyed Exchange feeding both running ignore-nulls windows; the conversion filter sits ABOVE the windows (they need the full feed), everything else per-row.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

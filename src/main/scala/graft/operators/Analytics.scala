@@ -129,6 +129,32 @@ object Analytics {
     * with calendar-bounded partitions. Nothing global, nothing on the
     * driver.
     */
+  /** First/last-touch attribution: every conversion event is annotated
+    * with the id of the user's FIRST touch event ever and the LAST
+    * touch at-or-before the conversion (order (ts, ordId) — a touch in
+    * the same instant attributes if its ordId sorts earlier). NULL
+    * touch ids = organic conversion (no touch yet). The classic
+    * marketing-attribution primitive over a (user, ts, type) feed.
+    *
+    * Scale shape: ONE user-keyed exchange feeding both running
+    * first/last windows; conversions filter AFTER the windows (the
+    * windows need the full feed), everything else per-row.
+    */
+  def touchAttribution(df: DataFrame, user: Column, ts: Column,
+                       ordId: Column, typ: Column, value: Column,
+                       touchType: String, convType: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("ts", "oid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touchId = when(col("typ") === touchType, col("oid"))
+    df.select(user.as("u"), ts.as("ts"), ordId.as("oid"),
+        typ.as("typ"), value.as("v"))
+      .withColumn("first_touch_id", first(touchId, ignoreNulls = true).over(w))
+      .withColumn("last_touch_id", last(touchId, ignoreNulls = true).over(w))
+      .filter(col("typ") === convType)
+      .select(col("oid").as("conversion_id"), col("u").as("user_id"),
+        col("v").as("value"), col("first_touch_id"), col("last_touch_id"))
+  }
+
   def gapFillLocf(df: DataFrame, key: Column, ts: Column, ordId: Column,
                   value: Column): DataFrame = {
     val base = df.select(key.as("k"), ts.as("ts"), ordId.as("oid"),

@@ -303,5 +303,29 @@ object AnalyticsQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM e JOIN med ON e.g = med.g JOIN mad ON e.g = mad.g
         |GROUP BY e.g, med.med, mad.mad ORDER BY event_type""".stripMargin),
-      "exact-integer MAD outlier counts per event type (two distributed selections)"))
+      "exact-integer MAD outlier counts per event type (two distributed selections)"),
+
+    // q124 — first/last-touch attribution: every purchase annotated
+    // with the user's first click ever and last click at-or-before the
+    // purchase ((ts, event_id) order). NULL = organic (purchase before
+    // any click). Purchase value passes through as raw parquet doubles
+    // — no arithmetic, no rounding needed. One user-keyed shuffle.
+    Q("q124_touch_attribution",
+      (s, d) => Analytics.touchAttribution(Tables(s, d, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"), touchType = "click", convType = "purchase")
+        .orderBy("conversion_id"),
+      Some("""SELECT event_id AS conversion_id, user_id, value,
+        |  first_touch_id, last_touch_id
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS first_touch_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER w AS last_touch_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase'
+        |ORDER BY conversion_id""".stripMargin),
+      "first/last-touch conversion attribution (running ignore-nulls windows, one user shuffle)"))
 }

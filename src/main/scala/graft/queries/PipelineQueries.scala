@@ -429,7 +429,73 @@ object PipelineQueries {
         |SELECT diff_status, count(*) AS n_rows,
         |  CAST(sum(k) AS BIGINT) AS key_checksum
         |FROM j GROUP BY diff_status ORDER BY diff_status""".stripMargin),
-      "snapshot diff / CDC: insert-delete-update-unchanged via one key-partitioned full-outer join"))
+      "snapshot diff / CDC: insert-delete-update-unchanged via one key-partitioned full-outer join"),
+
+    // q123 — STREAMING CDC APPLY: a change feed (upserts + 'd'
+    // tombstones keyed on l_orderkey, versioned by l_linenumber) arrives
+    // as file-stream micro-batches; each batch folds into the state
+    // table via the q88 latest-wins upsert — tombstones ride as
+    // VERSIONED ROWS, not immediate deletes, so application is
+    // arrival-order-PROOF (any batch split converges to the same state:
+    // max-version-wins is commutative where ordered-apply is not). The
+    // final read drops tombstones. This is how MERGE-with-deletes
+    // actually survives an out-of-order feed at scale; the oracle is
+    // the batch last-change-per-key answer.
+    Q("q123_streaming_cdc_apply",
+      (s, d) => {
+        import graft.warehouse.Warehouse
+        val run = streamSinkRuns.incrementAndGet()
+        // (k, linenumber) is NOT unique in the feed, so the version
+        // ENCODES the payload (ln, cents, op-flag): version ties are
+        // then payload-identical and the winner's content deterministic
+        // — the composite-version trick real CDC feeds use when the
+        // source clock is too coarse.
+        val changes = Tables(s, d, "lineitem").select(
+            col("l_orderkey").as("k"),
+            col("l_linenumber").cast("long").as("ln"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+            when(col("l_linenumber") % 7 === 0, lit("d")).otherwise(lit("u"))
+              .as("op"))
+          .withColumn("ver", col("ln") * lit(1000000000000L) +
+            col("cents") * 10L + when(col("op") === "d", 1L).otherwise(0L))
+          .drop("ln")
+        val feed = graft.util.TmpDirs.perProcess(s"graft_q123_feed_$run")
+        changes.repartition(4).write.mode("overwrite").parquet(feed)
+        val stateBase = graft.util.TmpDirs.perProcess(s"graft_q123_state_$run")
+        @volatile var last = -1L
+        val stream = s.readStream.schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val query = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val merged =
+              if (last < 0) Warehouse.upsert(batch.limit(0), batch, Seq("k"), "ver")
+              else Warehouse.upsert(
+                s.read.parquet(s"$stateBase/${last % 2}"), batch, Seq("k"), "ver")
+            merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
+            last = batchId
+            ()
+          }
+          .option("checkpointLocation",
+            graft.util.TmpDirs.perProcess(s"graft_q123_ckpt_$run"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(s"$stateBase/${last % 2}")
+          .filter(col("op") =!= "d")
+          .select("k", "cents")
+          .orderBy("k")
+      },
+      Some("""WITH c AS (SELECT l_orderkey AS k,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CASE WHEN l_linenumber % 7 = 0 THEN 'd' ELSE 'u' END AS op,
+        |    CAST(l_linenumber AS BIGINT) * 1000000000000
+        |      + CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10
+        |      + CASE WHEN l_linenumber % 7 = 0 THEN 1 ELSE 0 END AS ver
+        |  FROM lineitem),
+        |last AS (SELECT k, cents, op FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver DESC) = 1)
+        |SELECT k, cents FROM last WHERE op <> 'd' ORDER BY k""".stripMargin),
+      "streaming CDC apply: versioned tombstones + latest-wins fold, arrival-order-proof"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

@@ -106,6 +106,26 @@ class AnalyticsSpec extends SparkSpec {
       (2L, java.sql.Date.valueOf("2024-01-02"), 1L, 5.0, false)))
   }
 
+  test("touchAttribution: first ever vs last preceding; organic = NULL") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), "purchase", 5.0), // organic
+      (2L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-01 11:00:00"), "click", 0.0),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "purchase", 9.0), // first=2 last=3
+      (5L, 1L, ts("2024-01-01 13:00:00"), "click", 0.0),
+      (6L, 1L, ts("2024-01-01 14:00:00"), "purchase", 7.0)) // first=2 last=5
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Analytics.touchAttribution(d, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), col("value"), "click", "purchase")
+      .orderBy("conversion_id")
+      .as[(Long, Long, Double, Option[Long], Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 5.0, None, None),
+      (4L, 1L, 9.0, Some(2L), Some(3L)),
+      (6L, 1L, 7.0, Some(2L), Some(5L))))
+  }
+
   test("gapFillLocf: ts ties broken by ordId for the close") {
     import spark.implicits._
     val d = Seq(

@@ -570,6 +570,47 @@ object DedupQueries {
         |    // (2 * greatest(len(a.pre), len(b.pre))) AS BIGINT) AS edit_sim_bp
         |FROM pairs JOIN p a ON doc_a = a.doc_id JOIN p b ON doc_b = b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
-      "LSH candidates re-verified by exact-integer levenshtein similarity (120-char prefix)")
+      "LSH candidates re-verified by exact-integer levenshtein similarity (120-char prefix)"),
+
+    // q125 — GRAM NOVELTY (marginal-contribution curation signal): for
+    // each document, the fraction of its distinct 3-grams whose FIRST
+    // corpus occurrence (min doc_id) is this document — "how much new
+    // content does this doc add to everything before it". Boilerplate
+    // scores near 0, fresh content near 10000bp; the greedy
+    // de-duplicated-corpus-value measure, per-doc and exact-integer.
+    //
+    // Scale shape: one gram-keyed shuffle builds the first-seer table;
+    // the novelty join re-uses the same gram partitioning (join key ==
+    // agg key, no extra exchange under AQE); the per-doc rollup is one
+    // map-side-combined agg. No pair joins anywhere — novelty is a
+    // gram-level property, cheaper than any pairwise dedup.
+    Q("q125_gram_novelty",
+      (s, d) => {
+        import graft.functions.IntMath
+        val g = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions
+              .distinctGrams(col("text"), 3)).as("gram"))
+        val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        g.join(first, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            IntMath.bp(col("n_novel"), col("n_grams")).as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$gramCtes,
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST((2 * sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |      * 10000 + count(*)) // (2 * count(*)) AS BIGINT) AS novelty_bp
+        |FROM g JOIN f USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+      "per-doc 3-gram novelty vs all earlier docs (first-seer join, exact basis points)")
   )
 }

@@ -719,6 +719,37 @@ object Relational {
         |FROM r GROUP BY g ORDER BY o_orderpriority""".stripMargin),
       "exact grouped median/p90 by distributed selection (no whole-group sort)"),
 
+    // q127 — JOIN-KEY SKEW REPORT: the diagnostic a planner (or a
+    // human) reads before choosing q41's salting vs a broadcast — the
+    // 5 hottest join keys with their row counts and the skew ratio
+    // (key count / mean count, exact basis points). One
+    // map-side-combined key agg; global stats collapse to a broadcast
+    // row; the top-5 is a TakeOrdered of the KEY table.
+    Q("q127_join_skew_report",
+      (s, d) => {
+        import graft.functions.IntMath
+        val cnt = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(count(lit(1)).as("cnt"))
+        val stats = cnt.agg(count(lit(1)).as("n_keys"),
+          sum("cnt").as("total_rows"))
+        cnt.orderBy(col("cnt").desc, col("l_orderkey")).limit(5)
+          .crossJoin(broadcast(stats))
+          .select(col("l_orderkey"), col("cnt"), col("n_keys"),
+            col("total_rows"),
+            IntMath.bp(col("cnt") * col("n_keys"), col("total_rows"))
+              .as("skew_ratio_bp"))
+          .orderBy(col("cnt").desc, col("l_orderkey"))
+      },
+      Some("""WITH cnt AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS total_rows FROM cnt)
+        |SELECT l_orderkey, cnt, n_keys, total_rows,
+        |  (2 * cnt * n_keys * 10000 + total_rows) // (2 * total_rows)
+        |    AS skew_ratio_bp
+        |FROM cnt, stats ORDER BY cnt DESC, l_orderkey LIMIT 5""".stripMargin),
+      "join-key skew diagnostic: hottest keys + exact skew ratio (salting-decision input)"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

@@ -517,6 +517,54 @@ object SimilarityQueries {
         |    ORDER BY sim1 DESC, cw1.c_lbl) = 1)
         |SELECT vec_id, bucket0, bucket1, (bucket0 <> bucket1) AS moved
         |FROM a1 ORDER BY vec_id""".stripMargin),
-      "one distributed Lloyd step: assign, recompute 6dp centroids, re-assign")
+      "one distributed Lloyd step: assign, recompute 6dp centroids, re-assign"),
+
+    // q126 — EMBEDDING-SPACE decontamination: the semantic complement
+    // of q58's n-gram benchmark decontam — flag corpus vectors whose
+    // best cosine against the benchmark set (vec_id % 100 == 0, a
+    // broadcast handful) reaches 0.8. Paraphrased contamination that
+    // shares no 8-gram still lands here. Zero vectors are excluded on
+    // both sides (the q55 NULL contract); best match ties at 6dp break
+    // to the smallest bench id via the max-struct fold — no window over
+    // the corpus.
+    //
+    // Scale shape: bench rows broadcast; the corpus is scanned ONCE,
+    // scored k_bench times per row inside codegen, and folded by one
+    // map-side-combined max-struct agg — same shape as q27 at any
+    // corpus size.
+    Q("q126_embedding_decontam",
+      (s, d) => {
+        graft.functions.ArrayCosine.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .filter(array_max(transform(col("v"), x => abs(x))) > 0)
+        val bench = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("b_id"), col("v").as("bv"))
+        val corpus = e.filter(col("vec_id") % 100 =!= 0)
+        corpus.crossJoin(broadcast(bench))
+          .select(col("vec_id"), col("b_id"),
+            round(graft.functions.ArrayCosine.cosine(col("v"), col("bv")), 6)
+              .as("rc"))
+          .filter(col("rc").isNotNull)
+          .groupBy("vec_id")
+          .agg(max(struct(col("rc"), (-col("b_id")).as("nb"))).as("best"))
+          .select(col("vec_id"), (-col("best.nb")).as("best_bench_id"),
+            col("best.rc").as("cos_sim"),
+            (col("best.rc") >= 0.8).as("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+        |b AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 100 <> 0),
+        |s AS (SELECT c.vec_id, b.b_id,
+        |    round(list_cosine_similarity(c.v, b.bv), 6) AS rc FROM c, b)
+        |SELECT vec_id, b_id AS best_bench_id, rc AS cos_sim,
+        |  rc >= 0.8 AS contaminated
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY rc DESC, b_id) = 1
+        |ORDER BY vec_id""".stripMargin),
+      "semantic decontamination: best-cosine-vs-benchmark flag via broadcast max-struct fold")
   )
 }

@@ -327,5 +327,36 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase'
         |ORDER BY conversion_id""".stripMargin),
-      "first/last-touch conversion attribution (running ignore-nulls windows, one user shuffle)"))
+      "first/last-touch conversion attribution (running ignore-nulls windows, one user shuffle)"),
+
+    // q129 — MARKET-BASKET co-occurrence: top supplier PAIRS appearing
+    // in the same order — the association-mining primitive behind
+    // "frequently bought together". The pair space is generated by an
+    // order-keyed SELF-JOIN over the per-order DISTINCT supplier set:
+    // baskets are size-bounded (<= 7 lineitems per order), so the
+    // per-key fan-out is <= C(7,2) = 21 pairs — linear in order count,
+    // the same bounded-pair argument as the dedup bucket caps (a
+    // basket-size guard would precede this at 100 TB if baskets were
+    // unbounded; here the bound is the data model's). a < b
+    // deduplicates orientation; ONE co-partitioned shuffle.
+    Q("q129_basket_pairs",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val a = li.select(col("ok"), col("sk").as("s_a"))
+        val b = li.select(col("ok"), col("sk").as("s_b"))
+        a.join(b, "ok")
+          .filter(col("s_a") < col("s_b"))
+          .groupBy("s_a", "s_b")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("s_a"), col("s_b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem)
+        |SELECT a.sk AS s_a, b.sk AS s_b, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, s_a, s_b LIMIT 20""".stripMargin),
+      "market-basket supplier pair counts (bounded per-order fan-out, one shuffle)"))
 }

@@ -495,7 +495,53 @@ object PipelineQueries {
         |last AS (SELECT k, cents, op FROM c
         |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY ver DESC) = 1)
         |SELECT k, cents FROM last WHERE op <> 'd' ORDER BY k""".stripMargin),
-      "streaming CDC apply: versioned tombstones + latest-wins fold, arrival-order-proof"))
+      "streaming CDC apply: versioned tombstones + latest-wins fold, arrival-order-proof"),
+
+    // q128 — STREAM-STATIC enrichment under the oracle (closing the one
+    // streaming path previously verified only by StreamingEnrichSpec):
+    // the events feed arrives as 3 file-stream micro-batches, each
+    // inner-joined to the STATIC customer dimension (user_id ==
+    // c_custkey — the dim is read once and broadcast per batch, the
+    // standard stream-static plan), enriched rows appended to parquet,
+    // and the final rollup compared hash-for-hash to the batch join the
+    // oracle runs. Join-then-append is arrival-order-proof: the match
+    // set is independent of batching. Value rides as exact cents.
+    Q("q128_stream_static_enrich",
+      (s, d) => {
+        val run = streamSinkRuns.incrementAndGet()
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val feed = graft.util.TmpDirs.perProcess(s"graft_q128_feed_$run")
+        ev.repartition(3).write.mode("overwrite").parquet(feed)
+        val dim = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val out = graft.util.TmpDirs.perProcess(s"graft_q128_out_$run")
+        val stream = s.readStream.schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val query = stream
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), col("cents"))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation",
+            graft.util.TmpDirs.perProcess(s"graft_q128_ckpt_$run"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.read.parquet(out)
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_events"),
+            (sum("cents") / 100.0).as("total_value"))
+          .orderBy("segment")
+      },
+      Some("""SELECT c_mktsegment AS segment, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin),
+      "stream-static broadcast enrichment across micro-batches == the batch join"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

@@ -60,7 +60,8 @@ object Plans {
     "q124_touch_attribution" -> "ONE user-keyed Exchange feeding both running ignore-nulls windows; the conversion filter sits ABOVE the windows (they need the full feed), everything else per-row.",
     "q125_gram_novelty" -> "first-seer agg and novelty join share the gram hash partitioning (no second gram exchange); per-doc rollup shows partial_ combine; no pair joins anywhere.",
     "q126_embedding_decontam" -> "bench vectors behind BroadcastExchange; corpus scanned once, scored inside codegen, folded by one map-side-combined max-struct agg — no window over the corpus.",
-    "q129_basket_pairs" -> "self-join co-partitioned on the order key (bounded <= C(7,2) fan-out per key); pair counts show partial_ combine; top-20 via TakeOrderedAndProject.")
+    "q129_basket_pairs" -> "self-join co-partitioned on the order key (bounded <= C(7,2) fan-out per key); pair counts show partial_ combine; top-20 via TakeOrderedAndProject.",
+    "q131_drift_tvd" -> "pure-integer bucket projection on the scan; ONE (type, bucket) exchange; totals and TVD fold over the bucket-count-sized table with a broadcast totals join.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

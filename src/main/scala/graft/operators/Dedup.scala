@@ -710,6 +710,30 @@ object Dedup {
     * against the prefix projection; the O(prefixLen²) DP runs inside
     * the join's project, once per candidate pair.
     */
+  /** Per-document n-gram NOVELTY: the exact-basis-point fraction of a
+    * doc's distinct n-grams whose first corpus occurrence (min id) is
+    * this doc — the marginal-contribution signal (boilerplate ~0, fresh
+    * content ~10000bp). One gram-keyed shuffle builds the first-seer
+    * table; the novelty join reuses that partitioning; the per-doc
+    * rollup map-side combines. No pair joins — novelty is a gram-level
+    * property, cheaper than any pairwise dedup.
+    * Output: (doc_id, n_grams, n_novel, novelty_bp). Docs with fewer
+    * than n words have no grams and are absent.
+    */
+  def gramNovelty(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val g = df.select(id.as("doc_id"),
+      explode(graft.functions.TextFunctions.distinctGrams(text, n)).as("gram"))
+    val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    g.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        graft.functions.IntMath.bp(col("n_novel"), col("n_grams"))
+          .as("novelty_bp"))
+  }
+
   def editSimilarity(df: DataFrame, id: Column, text: Column,
                      pairs: DataFrame, prefixLen: Int): DataFrame = {
     val t = df.select(id.as("doc_id"),

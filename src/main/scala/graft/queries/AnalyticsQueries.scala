@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Analytics
 import graft.util.Tables
@@ -358,5 +359,94 @@ object AnalyticsQueries {
         |SELECT a.sk AS s_a, b.sk AS s_b, count(*) AS n_orders
         |FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
         |GROUP BY 1, 2 ORDER BY n_orders DESC, s_a, s_b LIMIT 20""".stripMargin),
-      "market-basket supplier pair counts (bounded per-order fan-out, one shuffle)"))
+      "market-basket supplier pair counts (bounded per-order fan-out, one shuffle)"),
+
+    // q131 — DISTRIBUTION DRIFT monitor: total-variation distance
+    // between the first and second half of the month, per event type —
+    // the "did yesterday's feed change shape?" check a production
+    // pipeline alerts on. Value distributions are 20 equi-width buckets
+    // over integer cents with a PURE-INTEGER bucket formula (no double
+    // arithmetic anywhere), and TVD = Σ|n1·N2 − n2·N1| / (2·N1·N2)
+    // in exact half-up basis points. The integer sibling of PSI/KL —
+    // those need ln(), which cannot cross engines exactly.
+    // ONE events shuffle (type, half, bucket); everything after is
+    // bucket-count-sized.
+    Q("q131_drift_tvd",
+      (s, d) => {
+        import graft.functions.IntMath
+        val k = 20
+        val e = Tables(s, d, "events").select(col("event_type").as("g"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), 1)
+            .otherwise(2).as("half"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val mm = e.agg(min("cents").as("lo"), max("cents").as("hi"))
+        val b = e.crossJoin(broadcast(mm))
+          .withColumn("bkt", least(lit(k - 1),
+            IntMath.intDiv((col("cents") - col("lo")) * k,
+              col("hi") - col("lo") + 1L)).cast("int"))
+        val cnt = b.groupBy("g", "bkt")
+          .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"))
+        val tot = cnt.groupBy("g")
+          .agg(sum("n1").as("t1"), sum("n2").as("t2"))
+        cnt.join(broadcast(tot), "g")
+          .groupBy("g", "t1", "t2")
+          .agg(sum(abs(col("n1") * col("t2") - col("n2") * col("t1")))
+            .as("num"))
+          .select(col("g").as("event_type"), col("t1").as("n_first_half"),
+            col("t2").as("n_second_half"),
+            IntMath.halfUp(col("num"), lit(2L) * col("t1") * col("t2"), 10000L)
+              .as("tvd_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END AS half,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e),
+        |b AS (SELECT g, half,
+        |    CAST(least(19, ((cents - lo) * 20) // (hi - lo + 1)) AS INTEGER)
+        |      AS bkt FROM e, mm),
+        |cnt AS (SELECT g, bkt,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM b GROUP BY g, bkt),
+        |tot AS (SELECT g, CAST(sum(n1) AS BIGINT) AS t1,
+        |    CAST(sum(n2) AS BIGINT) AS t2 FROM cnt GROUP BY g)
+        |SELECT cnt.g AS event_type, t1 AS n_first_half, t2 AS n_second_half,
+        |  CAST((2 * sum(abs(n1 * t2 - n2 * t1)) * 10000 + 2 * t1 * t2)
+        |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
+        |FROM cnt JOIN tot ON cnt.g = tot.g
+        |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
+      "distribution drift: exact-integer total-variation distance per event type"),
+
+    // q132 — DAILY TRENDING ranks: each day's event types ranked by
+    // volume, with the rank DELTA vs the previous day (positive =
+    // climbing) — the dashboard "movers" query. Two windows: a
+    // day-partitioned rank (bounded partitions: one per day) and a
+    // type-partitioned lag over the tiny (day x type) rollup — the
+    // fact table shuffles ONCE into the daily rollup, everything after
+    // is calendar-sized.
+    Q("q132_trending_rank_delta",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val wDay = Window.partitionBy("day")
+          .orderBy(col("n").desc, col("event_type"))
+        val wType = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("rnk", row_number().over(wDay))
+          .withColumn("rank_delta", lag("rnk", 1).over(wType) - col("rnk"))
+          .orderBy("day", "rnk")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n, CAST(row_number() OVER (
+        |    PARTITION BY day ORDER BY n DESC, event_type) AS INTEGER) AS rnk
+        |  FROM daily)
+        |SELECT day, event_type, n, rnk,
+        |  lag(rnk, 1) OVER (PARTITION BY event_type ORDER BY day) - rnk
+        |    AS rank_delta
+        |FROM r ORDER BY day, rnk""".stripMargin),
+      "daily trending ranks with movers delta (one fact shuffle, calendar-sized windows)"))
 }

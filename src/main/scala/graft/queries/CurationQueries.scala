@@ -540,6 +540,67 @@ object CurationQueries {
         |  CASE WHEN gate < 800 THEN 'train'
         |       WHEN gate < 900 THEN 'val' ELSE 'test' END AS split
         |FROM g ORDER BY doc_id""".stripMargin),
-      "stratified train/val/test split: per-row hash gate, frozen eval sets")
+      "stratified train/val/test split: per-row hash gate, frozen eval sets"),
+
+    // q130 — BLENDED curation ranking: fuse two orthogonal per-doc
+    // signals — 3-gram novelty (q125's operator) and token count — by
+    // integer reciprocal rank (the q116 RRF combiner), selecting the
+    // top-50 "most valuable" documents. Rank fusion instead of score
+    // blending because the signals live on incomparable scales; each
+    // rank comes from Rank.globalRank (prebucket + broadcast offsets),
+    // so NO single-partition window touches the corpus-sized signal
+    // tables. Rank 1 = best (highest signal): globalRank runs on the
+    // negated metric.
+    Q("q130_curation_rank_blend",
+      (s, d) => {
+        import graft.operators.{Dedup, Rank, Retrieval}
+        val docs = Tables(s, d, "documents")
+        val nov = Dedup.gramNovelty(docs, col("doc_id"), col("text"), 3)
+          .select(col("doc_id"), col("novelty_bp"),
+            (-col("novelty_bp")).as("neg"))
+        val tokc = docs.select(col("doc_id"),
+            size(graft.functions.TextFunctions.words(col("text")))
+              .cast("long").as("n_tokens"))
+          .withColumn("neg", -col("n_tokens"))
+        val nr = Rank.globalRank(nov, "neg", "doc_id")
+          .select(col("doc_id"), col("novelty_bp"),
+            col("global_rank").as("nov_rank"))
+        val tr = Rank.globalRank(tokc, "neg", "doc_id")
+          .select(col("doc_id"), col("n_tokens"),
+            col("global_rank").as("tok_rank"))
+        Retrieval.rrfFuse(nr, "doc_id", "nov_rank", tr, "doc_id", "tok_rank")
+          .join(nr.select(col("doc_id").as("id"), col("novelty_bp")), Seq("id"), "left")
+          .join(tr.select(col("doc_id").as("id"), col("n_tokens")), Seq("id"), "left")
+          .select(col("id").as("doc_id"), col("novelty_bp"), col("n_tokens"),
+            col("rank_a").as("nov_rank"), col("rank_b").as("tok_rank"),
+            col("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS grams
+        |  FROM w WHERE len(ws) >= 3),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |nov AS (SELECT g.doc_id, CAST((2 * sum(CASE WHEN f.first_doc = g.doc_id
+        |      THEN 1 ELSE 0 END) * 10000 + count(*)) // (2 * count(*)) AS BIGINT)
+        |      AS novelty_bp
+        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id),
+        |tokc AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+        |nr AS (SELECT doc_id, novelty_bp, CAST(row_number() OVER (
+        |    ORDER BY novelty_bp DESC, doc_id) AS BIGINT) AS nov_rank FROM nov),
+        |tr AS (SELECT doc_id, n_tokens, CAST(row_number() OVER (
+        |    ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS tok_rank FROM tokc)
+        |SELECT coalesce(nr.doc_id, tr.doc_id) AS doc_id, novelty_bp, n_tokens,
+        |  nr.nov_rank, tr.tok_rank,
+        |  CAST(coalesce(1000000 // (60 + nr.nov_rank), 0)
+        |    + coalesce(1000000 // (60 + tr.tok_rank), 0) AS BIGINT) AS rrf_score
+        |FROM nr FULL OUTER JOIN tr ON nr.doc_id = tr.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin),
+      "curation rank-blend: novelty x token-count fused by integer RRF, distributed ranks")
   )
 }

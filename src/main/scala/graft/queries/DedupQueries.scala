@@ -585,22 +585,9 @@ object DedupQueries {
     // map-side-combined agg. No pair joins anywhere — novelty is a
     // gram-level property, cheaper than any pairwise dedup.
     Q("q125_gram_novelty",
-      (s, d) => {
-        import graft.functions.IntMath
-        val g = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions
-              .distinctGrams(col("text"), 3)).as("gram"))
-        val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
-        g.join(first, "gram")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
-          .select(col("doc_id"), col("n_grams"), col("n_novel"),
-            IntMath.bp(col("n_novel"), col("n_grams")).as("novelty_bp"))
-          .orderBy("doc_id")
-      },
+      (s, d) => Dedup.gramNovelty(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), 3)
+        .orderBy("doc_id"),
       Some(s"""$gramCtes,
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)

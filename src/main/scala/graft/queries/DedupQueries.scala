@@ -598,6 +598,45 @@ object DedupQueries {
         |      * 10000 + count(*)) // (2 * count(*)) AS BIGINT) AS novelty_bp
         |FROM g JOIN f USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
-      "per-doc 3-gram novelty vs all earlier docs (first-seer join, exact basis points)")
+      "per-doc 3-gram novelty vs all earlier docs (first-seer join, exact basis points)"),
+
+    // q135 — INCREMENTAL novelty vs a FROZEN history: the nightly-batch
+    // variant of q125 — each new document scored by the fraction of its
+    // distinct 3-grams absent from the history corpus (doc_id % 3 == 0).
+    // Deliberately the shuffle-join sibling of q58's broadcast
+    // decontamination: a history gram universe at corpus scale cannot
+    // broadcast, so the membership probe is a gram-keyed LEFT join
+    // against the deduped history gram table — same partitioning as the
+    // batch gram explode, one exchange each side. (At 100 TB the q108
+    // Bloom prefilter composes in front to skip definitely-new grams.)
+    Q("q135_incremental_novelty",
+      (s, d) => {
+        import graft.functions.IntMath
+        val docs = Tables(s, d, "documents")
+        val grams = graft.functions.TextFunctions.distinctGrams(col("text"), 3)
+        val batchG = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), explode(grams).as("gram"))
+        val histG = docs.filter(col("doc_id") % 3 === 0)
+          .select(explode(grams).as("gram")).distinct()
+          .withColumn("seen", lit(1))
+        batchG.join(histG, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+          .select(col("doc_id"), col("n_grams"), col("n_new"),
+            IntMath.bp(col("n_new"), col("n_grams")).as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$gramCtes,
+        |bg AS (SELECT doc_id, unnest(grams) AS gram FROM d WHERE doc_id % 3 <> 0),
+        |hg AS (SELECT DISTINCT unnest(grams) AS gram FROM d WHERE doc_id % 3 = 0)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN hg.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST((2 * sum(CASE WHEN hg.gram IS NULL THEN 1 ELSE 0 END) * 10000
+        |    + count(*)) // (2 * count(*)) AS BIGINT) AS novelty_bp
+        |FROM bg LEFT JOIN hg ON bg.gram = hg.gram
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin),
+      "incremental batch novelty vs frozen history grams (shuffle membership probe)")
   )
 }

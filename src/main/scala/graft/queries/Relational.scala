@@ -750,6 +750,81 @@ object Relational {
         |FROM cnt, stats ORDER BY cnt DESC, l_orderkey LIMIT 5""".stripMargin),
       "join-key skew diagnostic: hottest keys + exact skew ratio (salting-decision input)"),
 
+    // q133 — BENFORD first-digit audit: the classic "is this column
+    // organic or fabricated?" data-quality check — observed first
+    // significant digit distribution of order prices vs Benford's law,
+    // everything in exact integers: the digit comes from string ops on
+    // the price's integer part (no log10), observed shares in half-up
+    // per-mille, and the Benford expectation as the standard per-mille
+    // constants (301..46). The |obs − exp| deviation column is the
+    // alert signal. One map-side-combined digit agg; 9-row output.
+    Q("q133_benford_audit",
+      (s, d) => {
+        import graft.functions.IntMath
+        val benford = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+        val o = t(s, d, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .filter(col("digit") >= 1)
+        val cnt = o.groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum("n").as("t"))
+        val exp = expr(s"element_at(array(${benford.mkString(",")}), digit)")
+        cnt.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            IntMath.halfUp(col("n"), col("t"), 1000L).as("obs_pm"),
+            exp.as("benford_pm"))
+          .withColumn("abs_dev_pm", abs(col("obs_pm") - col("benford_pm")))
+          .orderBy("digit")
+      },
+      Some("""WITH o AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM o
+        |  WHERE digit >= 1 GROUP BY digit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt)
+        |SELECT digit, n,
+        |  (2 * n * 1000 + t) // (2 * t) AS obs_pm,
+        |  [301, 176, 125, 97, 79, 67, 58, 51, 46][digit] AS benford_pm,
+        |  abs((2 * n * 1000 + t) // (2 * t)
+        |    - [301, 176, 125, 97, 79, 67, 58, 51, 46][digit]) AS abs_dev_pm
+        |FROM cnt, tot ORDER BY digit""".stripMargin),
+      "Benford first-digit audit in exact per-mille integers (no log anywhere)"),
+
+    // q134 — FUNCTIONAL-DEPENDENCY profiler: does LHS determine RHS?
+    // The schema-discovery check (q96's profile tells you about single
+    // columns; this is the cross-column structure): for each candidate
+    // FD, the number of LHS values mapping to >1 distinct RHS (0 =
+    // the FD holds). nation->region holds by construction;
+    // partkey->suppkey is expected to fail — both results are the
+    // point. Each check is a two-level agg (distinct-pair collapse,
+    // then LHS rollup), map-side combined, nothing driver-side.
+    Q("q134_fd_profile",
+      (s, d) => {
+        def fd(df: DataFrame, name: String, lhs: String, rhs: String) =
+          df.select(col(lhs).as("l"), col(rhs).as("r")).distinct()
+            .groupBy("l").agg(count(lit(1)).as("nd"))
+            .agg(lit(name).as("fd"), count(lit(1)).as("n_lhs"),
+              sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+              max("nd").as("max_rhs_per_lhs"))
+        fd(t(s, d, "nation"), "nation->region", "n_nationkey", "n_regionkey")
+          .unionAll(fd(t(s, d, "lineitem"), "partkey->suppkey",
+            "l_partkey", "l_suppkey"))
+          .orderBy("fd")
+      },
+      Some("""WITH n1 AS (SELECT n_nationkey AS l, count(DISTINCT n_regionkey) AS nd
+        |  FROM nation GROUP BY 1),
+        |p1 AS (SELECT l_partkey AS l, count(DISTINCT l_suppkey) AS nd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT 'nation->region' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs FROM n1
+        |UNION ALL
+        |SELECT 'partkey->suppkey', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(nd) AS BIGINT) FROM p1
+        |ORDER BY fd""".stripMargin),
+      "functional-dependency violation profiler (two-level distinct aggs, 2-row output)"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

@@ -61,7 +61,10 @@ object Plans {
     "q125_gram_novelty" -> "first-seer agg and novelty join share the gram hash partitioning (no second gram exchange); per-doc rollup shows partial_ combine; no pair joins anywhere.",
     "q126_embedding_decontam" -> "bench vectors behind BroadcastExchange; corpus scanned once, scored inside codegen, folded by one map-side-combined max-struct agg — no window over the corpus.",
     "q129_basket_pairs" -> "self-join co-partitioned on the order key (bounded <= C(7,2) fan-out per key); pair counts show partial_ combine; top-20 via TakeOrderedAndProject.",
-    "q131_drift_tvd" -> "pure-integer bucket projection on the scan; ONE (type, bucket) exchange; totals and TVD fold over the bucket-count-sized table with a broadcast totals join.")
+    "q131_drift_tvd" -> "pure-integer bucket projection on the scan; ONE (type, bucket) exchange; totals and TVD fold over the bucket-count-sized table with a broadcast totals join.",
+    "q136_hybrid_ivf_rrf" -> "text arm: posting-list isin filter on the scan + TakeOrdered; vector arm: broadcast centroid argmax + 2-bucket probe; fusion join broadcast-sized.",
+    "q137_delete_propagation" -> "deletion list behind BroadcastExchange probed as left_semi into each table scan — no table shuffles for the purge counts.",
+    "q138_session_paths" -> "ONE user-keyed Exchange serves the session fold AND both lead windows; the path rollup shows partial_ combine + TakeOrderedAndProject.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -448,5 +448,53 @@ object AnalyticsQueries {
         |  lag(rnk, 1) OVER (PARTITION BY event_type ORDER BY day) - rnk
         |    AS rank_delta
         |FROM r ORDER BY day, rnk""".stripMargin),
-      "daily trending ranks with movers delta (one fact shuffle, calendar-sized windows)"))
+      "daily trending ranks with movers delta (one fact shuffle, calendar-sized windows)"),
+
+    // q138 — SESSION PATH ANALYSIS: the top 20 three-step event-type
+    // paths users take WITHIN a session (30-minute gap rule, q20's
+    // semantics) — the product-analytics "what do people do next"
+    // query. Session ids via the lag/running-sum fold, then each row
+    // looks two steps ahead with lead() and keeps the trigram only when
+    // all three steps share the session. ONE user-keyed shuffle serves
+    // every window; the path rollup is map-side combined.
+    Q("q138_session_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("new_sess",
+            when(lag("ts", 1).over(w).isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))
+                > 1800L, 1L).otherwise(0L))
+          .withColumn("sid", sum("new_sess").over(wRun))
+        val tri = e
+          .withColumn("t1", lead("event_type", 1).over(w))
+          .withColumn("t2", lead("event_type", 2).over(w))
+          .withColumn("s1", lead("sid", 1).over(w))
+          .withColumn("s2", lead("sid", 2).over(w))
+          .filter(col("s1") === col("sid") && col("s2") === col("sid"))
+          .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+            .as("path"))
+        tri.groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000
+        |        > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |t AS (SELECT event_type, sid,
+        |    lead(event_type, 1) OVER w AS t1, lead(event_type, 2) OVER w AS t2,
+        |    lead(sid, 1) OVER w AS s1, lead(sid, 2) OVER w AS s2
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
+        |FROM t WHERE s1 = sid AND s2 = sid
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin),
+      "top 3-step in-session paths (one user shuffle serves session + lead windows)"))
 }

@@ -541,7 +541,64 @@ object PipelineQueries {
         |    AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin),
-      "stream-static broadcast enrichment across micro-batches == the batch join"))
+      "stream-static broadcast enrichment across micro-batches == the batch join"),
+
+    // q137 — DELETE PROPAGATION (right-to-be-forgotten audit): given a
+    // deletion list (user_id % 97 == 0), report the purge cascade
+    // across the raw feed and two derived marts — rows before, rows
+    // purged, rows after, per table. The deletion list rides as a
+    // broadcast anti-join probe into each table scan (the 100 TB shape:
+    // the list is small, the tables are not — no table ever shuffles
+    // for the purge); each mart's rollup happens BEFORE the purge so
+    // the report shows true cascade counts, not post-hoc arithmetic.
+    Q("q137_delete_propagation",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val dels = ev.select(col("user_id")).distinct()
+          .filter(col("user_id") % 97 === 0)
+        val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val latest = ev.groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"))).as("last"))
+        def report(name: String, df: org.apache.spark.sql.DataFrame) = {
+          val purged = df.join(broadcast(dels), Seq("user_id"), "left_semi")
+          df.agg(lit(name).as("table_name"), count(lit(1)).as("rows_before"))
+            .crossJoin(purged.agg(count(lit(1)).as("rows_purged")))
+            .select(col("table_name"), col("rows_before"), col("rows_purged"),
+              (col("rows_before") - col("rows_purged")).as("rows_after"))
+        }
+        report("events", ev)
+          .unionAll(report("daily_rollup", daily))
+          .unionAll(report("user_latest", latest))
+          .orderBy("table_name")
+      },
+      Some("""WITH dels AS (SELECT DISTINCT user_id FROM events
+        |  WHERE user_id % 97 = 0),
+        |daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |latest AS (SELECT user_id FROM events GROUP BY user_id)
+        |SELECT 'daily_rollup' AS table_name,
+        |  CAST((SELECT count(*) FROM daily) AS BIGINT) AS rows_before,
+        |  CAST((SELECT count(*) FROM daily WHERE user_id IN
+        |    (SELECT user_id FROM dels)) AS BIGINT) AS rows_purged,
+        |  CAST((SELECT count(*) FROM daily) - (SELECT count(*) FROM daily
+        |    WHERE user_id IN (SELECT user_id FROM dels)) AS BIGINT) AS rows_after
+        |UNION ALL
+        |SELECT 'events',
+        |  CAST((SELECT count(*) FROM events) AS BIGINT),
+        |  CAST((SELECT count(*) FROM events WHERE user_id IN
+        |    (SELECT user_id FROM dels)) AS BIGINT),
+        |  CAST((SELECT count(*) FROM events) - (SELECT count(*) FROM events
+        |    WHERE user_id IN (SELECT user_id FROM dels)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'user_latest',
+        |  CAST((SELECT count(*) FROM latest) AS BIGINT),
+        |  CAST((SELECT count(*) FROM latest WHERE user_id IN
+        |    (SELECT user_id FROM dels)) AS BIGINT),
+        |  CAST((SELECT count(*) FROM latest) - (SELECT count(*) FROM latest
+        |    WHERE user_id IN (SELECT user_id FROM dels)) AS BIGINT)
+        |ORDER BY table_name""".stripMargin),
+      "right-to-be-forgotten cascade report: broadcast semi-probe per table, no table shuffle"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

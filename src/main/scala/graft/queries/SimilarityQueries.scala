@@ -565,6 +565,64 @@ object SimilarityQueries {
         |QUALIFY row_number() OVER (PARTITION BY vec_id
         |  ORDER BY rc DESC, b_id) = 1
         |ORDER BY vec_id""".stripMargin),
-      "semantic decontamination: best-cosine-vs-benchmark flag via broadcast max-struct fold")
+      "semantic decontamination: best-cosine-vs-benchmark flag via broadcast max-struct fold"),
+
+    // q136 — hybrid retrieval ON THE SCALE PATH: q116's fusion with the
+    // vector arm swapped from brute force to IVF nprobe=2 probing (the
+    // q75 machinery) — the composition a production hybrid search
+    // actually runs: BM25 posting-list pruning on the text side, a
+    // 2-of-C bucket probe on the vector side, exact-integer RRF on top.
+    // Both arms end in TakeOrdered before their 50-row rank windows.
+    Q("q136_hybrid_ivf_rrf",
+      (s, d) => {
+        import graft.operators.{Retrieval, Similarity}
+        val bm = Retrieval.bm25ScoreBp(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), Seq("spark", "join", "window"))
+        val tr = Retrieval.topNRanks(bm, col("score_bp"), col("doc_id"),
+          50, "text_rank")
+        val ivf = Similarity.ivfTopK(Tables(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), col("label"), queryId = 0L,
+          k = 50, nprobe = 2)
+        val vr = Retrieval.topNRanks(ivf, col("cos_sim"), col("vec_id"),
+          50, "vec_rank")
+        Retrieval.rrfFuse(tr, "doc_id", "text_rank", vr, "vec_id", "vec_rank")
+          .select(col("id"), col("rank_a").as("text_rank"),
+            col("rank_b").as("vec_rank"), col("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("id"))
+          .limit(20)
+      },
+      Some(s"""${TextQueries.bm25Ctes},
+        |tr AS (SELECT doc_id AS id,
+        |    CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS INTEGER)
+        |      AS text_rank
+        |  FROM c ORDER BY score_bp DESC, doc_id LIMIT 50),
+        |ve AS (SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl
+        |  FROM embeddings),
+        |vc AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM ve, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |vcw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv
+        |  FROM vc GROUP BY lbl),
+        |va AS (SELECT vec_id, v, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM ve, vcw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, c_lbl) = 1),
+        |vqv AS (SELECT v AS qv FROM ve WHERE vec_id = 0),
+        |vqb AS (SELECT c_lbl AS qbucket FROM vcw, vqv
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, c_lbl) <= 2),
+        |vcand AS (SELECT vec_id,
+        |    round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |  FROM va JOIN vqb ON va.c_lbl = vqb.qbucket, vqv WHERE vec_id <> 0),
+        |vr AS (SELECT vec_id AS id,
+        |    CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+        |      AS vec_rank
+        |  FROM vcand ORDER BY cos_sim DESC, vec_id LIMIT 50)
+        |SELECT coalesce(tr.id, vr.id) AS id, text_rank, vec_rank,
+        |  CAST(coalesce(1000000 // (60 + text_rank), 0)
+        |    + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_score
+        |FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
+        |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin),
+      "hybrid retrieval on the scale path: BM25 x IVF-probe ANN fused by integer RRF")
   )
 }

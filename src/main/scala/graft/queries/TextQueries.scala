@@ -26,7 +26,7 @@ object TextQueries {
     * Okapi scoring over the fixed query terms, ending at `c` =
     * (doc_id, nh, score_bp). Mirrors Retrieval.bm25ScoreBp.
     */
-  private val bm25Ctes: String =
+  private[queries] val bm25Ctes: String =
     """WITH w AS (SELECT doc_id,
       |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
       |  FROM documents),

@@ -64,7 +64,9 @@ object Plans {
     "q131_drift_tvd" -> "pure-integer bucket projection on the scan; ONE (type, bucket) exchange; totals and TVD fold over the bucket-count-sized table with a broadcast totals join.",
     "q136_hybrid_ivf_rrf" -> "text arm: posting-list isin filter on the scan + TakeOrdered; vector arm: broadcast centroid argmax + 2-bucket probe; fusion join broadcast-sized.",
     "q137_delete_propagation" -> "deletion list behind BroadcastExchange probed as left_semi into each table scan — no table shuffles for the purge counts.",
-    "q138_session_paths" -> "ONE user-keyed Exchange serves the session fold AND both lead windows; the path rollup shows partial_ combine + TakeOrderedAndProject.")
+    "q138_session_paths" -> "ONE user-keyed Exchange serves the session fold AND both lead windows; the path rollup shows partial_ combine + TakeOrderedAndProject.",
+    "q139_source_overlap" -> "gram-keyed collect_set (bounded by source cardinality) then a <= C(20,2) pair explode per gram — the gram self-join the oracle replays never materializes.",
+    "q140_curation_yield" -> "each stage chains off the previous plan (text-window dedup, filter, source-window quota); four tiny stage aggregates union; no stage re-scans parquet.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -601,6 +601,61 @@ object CurationQueries {
         |    + coalesce(1000000 // (60 + tr.tok_rank), 0) AS BIGINT) AS rrf_score
         |FROM nr FULL OUTER JOIN tr ON nr.doc_id = tr.doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin),
-      "curation rank-blend: novelty x token-count fused by integer RRF, distributed ranks")
+      "curation rank-blend: novelty x token-count fused by integer RRF, distributed ranks"),
+
+    // q140 — CURATION YIELD FUNNEL: the docs/tokens survival report a
+    // curation pipeline publishes after every run — raw → exact dedup
+    // (min doc_id per text) → quality gate (n_chars >= 200) → per-source
+    // quota (10 docs per source in deterministic md5-hash order).
+    // Stage rules are deliberately the simple replayable forms of the
+    // full operators (q22 / q50 / q76); what this query adds is the
+    // LINEAGE ACCOUNTING — each stage's loss measured on real chained
+    // survivors, the number that tells you which stage to tune.
+    Q("q140_curation_yield",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, d, "documents").select(col("doc_id"),
+          col("source"), col("n_chars"),
+          size(graft.functions.TextFunctions.words(col("text")))
+            .cast("long").as("toks"),
+          col("text"))
+        val s1 = docs.withColumn("rn", row_number().over(
+            w.partitionBy("text").orderBy("doc_id")))
+          .filter(col("rn") === 1).drop("rn")
+        val s2 = s1.filter(col("n_chars") >= 200)
+        val s3 = s2.withColumn("h",
+            graft.functions.TextFunctions.hash60(
+              col("doc_id").cast("string"), 7))
+          .withColumn("rn", row_number().over(
+            w.partitionBy("source").orderBy("h", "doc_id")))
+          .filter(col("rn") <= 10)
+        def st(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"))
+        st("0_raw", docs).unionAll(st("1_exact_dedup", s1))
+          .unionAll(st("2_quality", s2)).unionAll(st("3_quota", s3))
+          .orderBy("stage")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, n_chars, text,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |s1 AS (SELECT * FROM docs
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |s2 AS (SELECT * FROM s1 WHERE n_chars >= 200),
+        |s3 AS (SELECT * FROM s2
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT, doc_id) <= 10)
+        |SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens FROM docs
+        |UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks) AS BIGINT) FROM s1
+        |UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks) AS BIGINT) FROM s2
+        |UNION ALL SELECT '3_quota', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin),
+      "curation yield funnel: docs/tokens surviving each chained stage")
   )
 }

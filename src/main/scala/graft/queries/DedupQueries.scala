@@ -637,6 +637,39 @@ object DedupQueries {
         |    + count(*)) // (2 * count(*)) AS BIGINT) AS novelty_bp
         |FROM bg LEFT JOIN hg ON bg.gram = hg.gram
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin),
-      "incremental batch novelty vs frozen history grams (shuffle membership probe)")
+      "incremental batch novelty vs frozen history grams (shuffle membership probe)"),
+
+    // q139 — CROSS-SOURCE OVERLAP matrix: which source pairs share the
+    // most distinct 3-grams — the provenance diagnostic run before
+    // mixing sources (two crawls of the same sites will light up here
+    // long before doc-level dedup fires). The source set per gram is
+    // bounded by the source CARDINALITY (20), so the pair explode is
+    // <= C(|sources|,2) per gram — never corpus-quadratic; the oracle
+    // replays via a gram self-join, the formulation this one replaces.
+    Q("q139_source_overlap",
+      (s, d) => {
+        val g = Tables(s, d, "documents")
+          .select(col("source"),
+            explode(graft.functions.TextFunctions
+              .distinctGrams(col("text"), 3)).as("gram"))
+          .distinct()
+        val ss = g.groupBy("gram").agg(collect_set("source").as("ss"))
+          .filter(size(col("ss")) > 1)
+        ss.select(explode(col("ss")).as("s_a"), col("ss"))
+          .select(col("s_a"), explode(col("ss")).as("s_b"))
+          .filter(col("s_a") < col("s_b"))
+          .groupBy("s_a", "s_b")
+          .agg(count(lit(1)).as("n_shared_grams"))
+          .orderBy(col("n_shared_grams").desc, col("s_a"), col("s_b"))
+          .limit(20)
+      },
+      Some(s"""$gramCtes,
+        |gs AS (SELECT DISTINCT dd.source, g.gram
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM d) g
+        |  JOIN documents dd ON g.doc_id = dd.doc_id)
+        |SELECT a.source AS s_a, b.source AS s_b, count(*) AS n_shared_grams
+        |FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY n_shared_grams DESC, s_a, s_b LIMIT 20""".stripMargin),
+      "source-pair shared-gram overlap matrix (bounded source-set explode, no self-join)")
   )
 }

@@ -598,7 +598,94 @@ object PipelineQueries {
         |  CAST((SELECT count(*) FROM latest) - (SELECT count(*) FROM latest
         |    WHERE user_id IN (SELECT user_id FROM dels)) AS BIGINT)
         |ORDER BY table_name""".stripMargin),
-      "right-to-be-forgotten cascade report: broadcast semi-probe per table, no table shuffle"))
+      "right-to-be-forgotten cascade report: broadcast semi-probe per table, no table shuffle"),
+
+    // q141 — STREAMING drift monitor: q131's total-variation check run
+    // the way production actually runs it — the REFERENCE histogram
+    // (first half of the month) is frozen, with the bucket spec (lo/hi
+    // from the reference only; live values outside clamp into the end
+    // buckets) frozen with it; the live feed (second half) arrives as
+    // file-stream micro-batches whose (type, bucket) counts fold into
+    // an accumulating state table per batch (count merge is commutative
+    // — arrival-order-proof); the final TVD compares accumulated live
+    // counts against the frozen reference. Exact integers throughout.
+    Q("q141_streaming_drift",
+      (s, d) => {
+        import graft.functions.IntMath
+        val run = streamSinkRuns.incrementAndGet()
+        val k = 20
+        val e = Tables(s, d, "events").select(col("event_type").as("g"),
+          col("ts"), round(col("value") * 100, 0).cast("long").as("cents"))
+        val ref = e.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+        val mm = ref.agg(min("cents").as("lo"), max("cents").as("hi"))
+        def bucketed(df: org.apache.spark.sql.DataFrame) =
+          df.crossJoin(broadcast(mm))
+            .withColumn("bkt", least(lit(k - 1), greatest(lit(0L),
+              IntMath.intDiv((col("cents") - col("lo")) * k,
+                col("hi") - col("lo") + 1L))).cast("int"))
+            .groupBy("g", "bkt").agg(count(lit(1)).as("n"))
+        val refCnt = bucketed(ref)
+        val live = e.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+          .drop("ts")
+        val feed = graft.util.TmpDirs.perProcess(s"graft_q141_feed_$run")
+        live.repartition(3).write.mode("overwrite").parquet(feed)
+        val stateBase = graft.util.TmpDirs.perProcess(s"graft_q141_state_$run")
+        @volatile var last = -1L
+        val stream = s.readStream.schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val query = stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val part = bucketed(batch)
+            val merged =
+              if (last < 0) part
+              else s.read.parquet(s"$stateBase/${last % 2}")
+                .unionByName(part)
+                .groupBy("g", "bkt").agg(sum("n").as("n"))
+            merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
+            last = batchId
+            ()
+          }
+          .option("checkpointLocation",
+            graft.util.TmpDirs.perProcess(s"graft_q141_ckpt_$run"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val liveCnt = s.read.parquet(s"$stateBase/${last % 2}")
+        val j = refCnt.select(col("g"), col("bkt"), col("n").as("n1"))
+          .join(liveCnt.select(col("g"), col("bkt"), col("n").as("n2")),
+            Seq("g", "bkt"), "full_outer")
+          .select(col("g"), coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"))
+        val tot = j.groupBy("g").agg(sum("n1").as("t1"), sum("n2").as("t2"))
+        j.join(broadcast(tot), "g")
+          .groupBy("g", "t1", "t2")
+          .agg(sum(abs(col("n1") * col("t2") - col("n2") * col("t1")))
+            .as("num"))
+          .select(col("g").as("event_type"), col("t1").as("n_ref"),
+            col("t2").as("n_live"),
+            IntMath.halfUp(col("num"), lit(2L) * col("t1") * col("t2"), 10000L)
+              .as("tvd_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS g, ts,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM e
+        |  WHERE ts < TIMESTAMP '2024-01-16'),
+        |b AS (SELECT g, ts < TIMESTAMP '2024-01-16' AS is_ref,
+        |    CAST(least(19, greatest(0, ((cents - lo) * 20) // (hi - lo + 1)))
+        |      AS INTEGER) AS bkt FROM e, mm),
+        |cnt AS (SELECT g, bkt,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |  FROM b GROUP BY g, bkt),
+        |tot AS (SELECT g, CAST(sum(n1) AS BIGINT) AS t1,
+        |    CAST(sum(n2) AS BIGINT) AS t2 FROM cnt GROUP BY g)
+        |SELECT cnt.g AS event_type, t1 AS n_ref, t2 AS n_live,
+        |  CAST((2 * sum(abs(n1 * t2 - n2 * t1)) * 10000 + 2 * t1 * t2)
+        |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
+        |FROM cnt JOIN tot ON cnt.g = tot.g
+        |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
+      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts"))
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

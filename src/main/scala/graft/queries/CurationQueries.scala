@@ -656,6 +656,47 @@ object CurationQueries {
         |UNION ALL SELECT '3_quota', CAST(count(*) AS BIGINT),
         |  CAST(sum(toks) AS BIGINT) FROM s3
         |ORDER BY stage""".stripMargin),
-      "curation yield funnel: docs/tokens surviving each chained stage")
+      "curation yield funnel: docs/tokens surviving each chained stage"),
+
+    // q143 — SHARD BALANCE report: per-shard doc and token counts for
+    // the q60 hash-shard assignment plus each shard's deviation from
+    // the mean token load in exact basis points — the skew check run
+    // before handing shards to trainers (a 10% heavy shard = a 10%
+    // slower epoch). Deviation: dev_bp = |tokens·S − total| / total in
+    // half-up bp. One shard agg; totals broadcast back.
+    Q("q143_shard_balance",
+      (s, d) => {
+        import graft.functions.IntMath
+        val numShards = 8
+        val t = Tables(s, d, "documents").select(col("doc_id"),
+          size(graft.functions.TextFunctions.words(col("text")))
+            .cast("long").as("toks"))
+        val sh = Curation.trainShards(Tables(s, d, "documents"),
+            col("doc_id"), numShards = numShards, seed = shardSeed)
+          .join(t, "doc_id")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        val tot = sh.agg(sum("n_tokens").as("total_tokens"))
+        sh.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            IntMath.halfUp(abs(col("n_tokens") * numShards
+              - col("total_tokens")), col("total_tokens"), 10000L)
+              .as("dev_bp"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5('$shardSeed#' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 8 AS INTEGER) AS shard,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+        |      '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |sh AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens FROM t GROUP BY shard),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM sh)
+        |SELECT shard, n_docs, n_tokens,
+        |  (2 * abs(n_tokens * 8 - total_tokens) * 10000 + total_tokens)
+        |    // (2 * total_tokens) AS dev_bp
+        |FROM sh, tot ORDER BY shard""".stripMargin),
+      "train-shard balance: per-shard doc/token loads + exact deviation from mean")
   )
 }

@@ -623,6 +623,95 @@ object SimilarityQueries {
         |    + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_score
         |FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
         |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin),
-      "hybrid retrieval on the scale path: BM25 x IVF-probe ANN fused by integer RRF")
+      "hybrid retrieval on the scale path: BM25 x IVF-probe ANN fused by integer RRF"),
+
+    // q142 — ANN EVALUATION SUITE: recall@10 and MRR of each ANN method
+    // against exact brute force, as one table — the accuracy scoreboard
+    // the per-query audits (q72/q75) inline, consolidated the way an
+    // index-selection decision actually reads it. All metrics exact
+    // integers: recall_bp = hits x 1000 (of 10), mrr_milli = 1e6 div
+    // rank of the exact-top-1 in the method's list (0 = missed). The
+    // brute-force row is the control (recall 10000, MRR 1e6/1).
+    Q("q142_ann_eval",
+      (s, d) => {
+        import graft.functions.IntMath
+        import graft.operators.Retrieval
+        val e = Tables(s, d, "embeddings")
+        def ranked(df: org.apache.spark.sql.DataFrame) =
+          Retrieval.topNRanks(df, col("cos_sim"), col("vec_id"), 10, "rnk")
+            .select(col("vec_id"), col("rnk"))
+        val exact = ranked(Similarity.bruteForceTopK(e, col("vec_id"),
+          col("embedding"), queryId = 0L, k = 10))
+        val exSet = exact.select(col("vec_id"), lit(1).as("inex"))
+        val top1 = exact.filter(col("rnk") === 1)
+          .select(col("vec_id").as("t1"))
+        def eval(name: String, df: org.apache.spark.sql.DataFrame) =
+          ranked(df)
+            .join(broadcast(exSet), Seq("vec_id"), "left")
+            .crossJoin(broadcast(top1))
+            .agg(lit(name).as("method"),
+              sum(when(col("inex").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+              min(when(col("vec_id") === col("t1"), col("rnk"))).as("fr"))
+            .select(col("method"), col("n_hit"),
+              (col("n_hit") * 1000L).as("recall_bp"),
+              coalesce(col("fr"), lit(0)).cast("int").as("first_hit_rank"),
+              coalesce(IntMath.intDiv(lit(1000000L), col("fr").cast("long")),
+                lit(0L)).as("mrr_milli"))
+        eval("1_brute", Similarity.bruteForceTopK(e, col("vec_id"),
+            col("embedding"), queryId = 0L, k = 10))
+          .unionAll(eval("2_sign_lsh", Similarity.signLshTopK(e,
+            col("vec_id"), col("embedding"), queryId = 0L, k = 10,
+            bits = lshBits)))
+          .unionAll(eval("3_ivf", Similarity.ivfTopK(e, col("vec_id"),
+            col("embedding"), col("label"), queryId = 0L, k = 10,
+            nprobe = 1)))
+          .orderBy("method")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |allsim AS (SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cs
+        |  FROM e, q WHERE vec_id <> 0),
+        |exact AS (SELECT vec_id, rnk FROM (SELECT vec_id,
+        |    row_number() OVER (ORDER BY cs DESC, vec_id) AS rnk FROM allsim)
+        |  WHERE rnk <= 10),
+        |top1 AS (SELECT vec_id AS t1 FROM exact WHERE rnk = 1),
+        |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+        |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+        |lshr AS (SELECT vec_id, rnk FROM (SELECT s.vec_id,
+        |    row_number() OVER (ORDER BY s.cs DESC, s.vec_id) AS rnk
+        |  FROM b a JOIN allsim s ON a.vec_id = s.vec_id, qb
+        |  WHERE a.bucket = qb.qbucket) WHERE rnk <= 10),
+        |vc AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |vcw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv
+        |  FROM vc GROUP BY lbl),
+        |va AS (SELECT vec_id, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, vcw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, c_lbl) = 1),
+        |ivfqb AS (SELECT c_lbl AS qbucket FROM va WHERE vec_id = 0),
+        |ivfr AS (SELECT vec_id, rnk FROM (SELECT s.vec_id,
+        |    row_number() OVER (ORDER BY s.cs DESC, s.vec_id) AS rnk
+        |  FROM va a JOIN allsim s ON a.vec_id = s.vec_id, ivfqb
+        |  WHERE a.c_lbl = ivfqb.qbucket) WHERE rnk <= 10),
+        |m AS (SELECT '1_brute' AS method, vec_id, rnk FROM exact
+        |  UNION ALL SELECT '2_sign_lsh', vec_id, rnk FROM lshr
+        |  UNION ALL SELECT '3_ivf', vec_id, rnk FROM ivfr)
+        |SELECT m.method,
+        |  CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |    AS BIGINT) AS recall_bp,
+        |  CAST(coalesce(min(CASE WHEN m.vec_id = top1.t1 THEN m.rnk END), 0)
+        |    AS INTEGER) AS first_hit_rank,
+        |  CAST(CASE WHEN min(CASE WHEN m.vec_id = top1.t1 THEN m.rnk END)
+        |      IS NOT NULL
+        |    THEN 1000000 // min(CASE WHEN m.vec_id = top1.t1 THEN m.rnk END)
+        |    ELSE 0 END AS BIGINT) AS mrr_milli
+        |FROM m LEFT JOIN exact ex ON m.vec_id = ex.vec_id, top1
+        |GROUP BY m.method ORDER BY m.method""".stripMargin),
+      "ANN eval scoreboard: recall@10 + integer MRR per method vs brute force")
   )
 }

@@ -511,6 +511,37 @@ object TextQueries {
         |SELECT s.term, s.df, s.total_tf, p.postings
         |FROM stats s JOIN p USING (term)
         |ORDER BY df DESC, s.term LIMIT 100""".stripMargin),
-      "inverted index: df/total_tf + top-5 postings per term via native per-partition heaps")
+      "inverted index: df/total_tf + top-5 postings per term via native per-partition heaps"),
+
+    // q144 — VOCABULARY ID assignment: dense integer ids for the corpus
+    // vocabulary in frequency order (count desc, term asc) — the
+    // tokenizer-table build step (id 1 = most frequent). Ids come from
+    // Rank.globalRank over the NEGATED count, so the vocabulary-sized
+    // table is never sorted in one task (same no-single-partition-window
+    // contract as q115, replayed by the oracle's plain row_number).
+    // Output cut to ids <= 30 for a bounded result; the full mapping is
+    // the same frame un-limited.
+    Q("q144_vocab_ids",
+      (s, d) => {
+        val cnt = Tables(s, d, "documents")
+          .select(explode(words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .withColumn("neg", -col("cnt"))
+        graft.operators.Rank.globalRank(cnt, "neg", "term")
+          .select(col("global_rank").as("vocab_id"), col("term"), col("cnt"))
+          .filter(col("vocab_id") <= 30)
+          .orderBy("vocab_id")
+      },
+      Some("""WITH w AS (SELECT
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS term FROM w),
+        |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE len(term) > 0 GROUP BY term)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+        |    AS vocab_id, term, cnt
+        |FROM cnt QUALIFY vocab_id <= 30 ORDER BY vocab_id""".stripMargin),
+      "frequency-ordered vocabulary id table via distributed rank (tokenizer build step)")
   )
 }

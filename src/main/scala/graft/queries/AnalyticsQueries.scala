@@ -496,5 +496,74 @@ object AnalyticsQueries {
         |SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
         |FROM t WHERE s1 = sid AND s2 = sid
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin),
-      "top 3-step in-session paths (one user shuffle serves session + lead windows)"))
+      "top 3-step in-session paths (one user shuffle serves session + lead windows)"),
+
+    // q146 — ACTIVITY BITMAP index: each user's January activity as a
+    // 31-bit mask (bit d-1 = active on day d) — the roaring-bitmap-style
+    // encoding that turns retention/cohort set algebra into bitwise AND
+    // on longs. mask = sum(DISTINCT 1<<(day-1)) — distinct powers of
+    // two sum without carries, so the sum IS the OR, a pure two-level
+    // agg on both engines; bit_count(mask) cross-checks the distinct-day
+    // count in the same row.
+    Q("q146_activity_bitmap",
+      (s, d) => Tables(s, d, "events")
+        .select(col("user_id"),
+          expr("shiftleft(1L, day(ts) - 1)").as("daybit"))
+        .groupBy("user_id")
+        .agg(sum_distinct(col("daybit")).as("mask"))
+        .select(col("user_id"), col("mask"),
+          bit_count(col("mask")).cast("int").as("days_active"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        |  CAST(sum(DISTINCT 1::BIGINT << (day(ts) - 1)) AS BIGINT) AS mask,
+        |  CAST(bit_count(CAST(sum(DISTINCT 1::BIGINT << (day(ts) - 1))
+        |    AS BIGINT)) AS INTEGER) AS days_active
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "per-user day-activity bitmask (carry-free distinct power-of-two sum == OR)"),
+
+    // q147 — TIME-TO-CONVERT percentiles: median and p90 seconds from a
+    // user's first 'view' to their first 'purchase' strictly after it
+    // (q91's stage-1→3 chaining), computed by the GroupedQuantile
+    // distributed selection over a single logical group — no global
+    // sort of the latency table. Latencies are exact integer seconds.
+    Q("q147_conversion_latency",
+      (s, d) => {
+        import graft.operators.GroupedQuantile
+        val e = Tables(s, d, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("vts"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(v, "user_id")
+          .filter(col("ts") > col("vts"))
+          .groupBy("user_id").agg(min(col("ts")).as("pts"), min("vts").as("vts"))
+        val lat = p.select(col("user_id"),
+          (unix_timestamp(col("pts")) - unix_timestamp(col("vts")))
+            .as("lat_s"))
+        val n = lat.agg(count(lit(1)).as("n_converted"))
+        val med = GroupedQuantile.kthSmallestLong(
+            lat.withColumn("g", lit(1)), col("g"), col("lat_s"),
+            col("user_id"), GroupedQuantile.lowerMedianRank)
+          .select(col("kth_value").as("median_s"))
+        val p90 = GroupedQuantile.kthSmallestLong(
+            lat.withColumn("g", lit(1)), col("g"), col("lat_s"),
+            col("user_id"), GroupedQuantile.pctRank(90))
+          .select(col("kth_value").as("p90_s"))
+        n.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts, min(v.vts) AS vts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.vts
+        |  GROUP BY e.user_id),
+        |lat AS (SELECT user_id,
+        |    epoch_us(pts) // 1000000 - epoch_us(vts) // 1000000 AS lat_s
+        |  FROM p),
+        |r AS (SELECT lat_s, row_number() OVER (ORDER BY lat_s, user_id) AS rn,
+        |    count(*) OVER () AS n FROM lat)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS median_s,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_s END) AS p90_s
+        |FROM r""".stripMargin),
+      "first-view→first-purchase latency median/p90 via distributed selection"))
 }

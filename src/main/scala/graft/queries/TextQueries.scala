@@ -542,6 +542,39 @@ object TextQueries {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
         |    AS vocab_id, term, cnt
         |FROM cnt QUALIFY vocab_id <= 30 ORDER BY vocab_id""".stripMargin),
-      "frequency-ordered vocabulary id table via distributed rank (tokenizer build step)")
+      "frequency-ordered vocabulary id table via distributed rank (tokenizer build step)"),
+
+    // q145 — TOKENIZER FERTILITY per language: regex-tokens per
+    // whitespace-word (q30's two counts), aggregated per language in
+    // exact basis points — the "how many subwords does this tokenizer
+    // spend per word in each language" fit signal that decides vocab
+    // allocation across languages. One language-keyed agg over per-row
+    // counts; exact integer ratio.
+    Q("q145_tokenizer_fertility",
+      (s, d) => {
+        import graft.functions.IntMath
+        val t = Tables(s, d, "documents").select(col("lang"),
+          size(words(col("text"))).cast("long").as("ws"),
+          size(regexp_extract_all(lower(col("text")), lit(tokenPattern),
+            lit(0))).cast("long").as("re"))
+        t.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_words"),
+            sum("re").as("n_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+            (IntMath.bp(col("n_tokens"), col("n_words")) / 10000.0)
+              .as("fertility"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS n_words,
+        |  CAST(sum(re) AS BIGINT) AS n_tokens,
+        |  ((2 * sum(re) * 10000 + sum(ws)) // (2 * sum(ws))) / 10000.0
+        |    AS fertility
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
+      "tokens-per-word fertility per language (exact bp ratio, one keyed agg)")
   )
 }

@@ -565,5 +565,139 @@ object AnalyticsQueries {
         |  max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS median_s,
         |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat_s END) AS p90_s
         |FROM r""".stripMargin),
-      "first-view→first-purchase latency median/p90 via distributed selection"))
+      "first-view→first-purchase latency median/p90 via distributed selection"),
+
+    // q148 — SESSION LIFT matrix: for each event-type pair, how much
+    // more often they co-occur in a session than independence predicts
+    // — lift = P(a,b) / (P(a)·P(b)) = n_ab·n / (n_a·n_b) over session
+    // baskets, in exact half-up basis points (10000 = independent).
+    // Sessions from the q20/q138 gap fold; per-session distinct type
+    // sets are bounded by the type cardinality, so the pair explode is
+    // ≤ C(5,2) per session. q129 counts raw pair volume; lift is the
+    // statistically-normalized version that survives imbalanced types.
+    Q("q148_session_lift",
+      (s, d) => {
+        import graft.functions.IntMath
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("new_sess",
+            when(lag("ts", 1).over(w).isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))
+                > 1800L, 1L).otherwise(0L))
+          .withColumn("sid", concat_ws("#", col("user_id"),
+            sum("new_sess").over(wRun)))
+          .select(col("sid"), col("event_type")).distinct()
+        val nDf = sess.select("sid").distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        val single = sess.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+        val pairs = sess.select(col("sid"), col("event_type").as("t_a"))
+          .join(sess.select(col("sid"), col("event_type").as("t_b")), "sid")
+          .filter(col("t_a") < col("t_b"))
+          .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(single.select(col("event_type").as("t_a"),
+            col("n_t").as("n_a"))), "t_a")
+          .join(broadcast(single.select(col("event_type").as("t_b"),
+            col("n_t").as("n_b"))), "t_b")
+          .crossJoin(broadcast(nDf))
+          .select(col("t_a"), col("t_b"), col("n_ab"),
+            IntMath.halfUp(col("n_ab") * col("n_sessions"),
+              col("n_a") * col("n_b"), 10000L).as("lift_bp"))
+          .orderBy("t_a", "t_b")
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000
+        |        > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT DISTINCT
+        |    user_id || '#' || CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS VARCHAR) AS sid, event_type
+        |  FROM g),
+        |n AS (SELECT count(DISTINCT sid) AS n FROM s),
+        |single AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM s GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS t_a, b.event_type AS t_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM s a JOIN s b ON a.sid = b.sid AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t_a, t_b, n_ab,
+        |  (2 * n_ab * n.n * 10000 + sa.n_t * sb.n_t) // (2 * sa.n_t * sb.n_t)
+        |    AS lift_bp
+        |FROM pairs JOIN single sa ON t_a = sa.event_type
+        |JOIN single sb ON t_b = sb.event_type, n
+        |ORDER BY t_a, t_b""".stripMargin),
+      "session-basket lift matrix in exact basis points (normalized co-occurrence)"),
+
+    // q149 — RETENTION RATES: q92's cohort matrix normalized to exact
+    // basis-point survival rates — cell / cohort size (offset-0 cell),
+    // the number a growth dashboard actually plots. The rate join is
+    // cohort-keyed over the tiny (cohort x offset) matrix.
+    Q("q149_retention_rates",
+      (s, d) => {
+        import graft.functions.IntMath
+        val m = Analytics.retentionCohorts(Tables(s, d, "events"),
+          col("user_id"), col("ts"))
+        val base = m.filter(col("week_offset") === 0)
+          .select(col("cohort_week"), col("n_users").as("cohort_size"))
+        m.join(broadcast(base), "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_users"),
+            col("cohort_size"),
+            IntMath.bp(col("n_users"), col("cohort_size")).as("retained_bp"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY user_id),
+        |m AS (SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INTEGER)
+        |      AS week_offset, count(*) AS n_users
+        |  FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2),
+        |base AS (SELECT cohort_week, n_users AS cohort_size FROM m
+        |  WHERE week_offset = 0)
+        |SELECT m.cohort_week, m.week_offset, m.n_users, base.cohort_size,
+        |  CAST((2 * m.n_users * 10000 + base.cohort_size)
+        |    // (2 * base.cohort_size) AS BIGINT) AS retained_bp
+        |FROM m JOIN base ON m.cohort_week = base.cohort_week
+        |ORDER BY m.cohort_week, m.week_offset""".stripMargin),
+      "cohort retention rates in exact basis points (q92 normalized)"),
+
+    // q150 — CUSUM change-point scan: cumulative deviation of daily
+    // event volume from the FIRST WEEK's daily mean, in exact integer
+    // row-units (scaled by 7 to avoid division) — cusum_d =
+    // Σ_{i<=d}(7·n_i − total_week1). The day with the largest |cusum|
+    // is the change-point candidate; the threshold crossing flag is a
+    // pure long compare. Calendar-sized: one fact shuffle to daily
+    // counts, then windows over ≤31 rows.
+    Q("q150_cusum_changepoint",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val ref = daily.filter(col("day") < lit("2024-01-08").cast("date"))
+          .agg(sum("n").as("w1"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(ref))
+          .withColumn("cusum", sum(col("n") * 7L - col("w1")).over(w))
+          .select(col("day"), col("n"), col("cusum"),
+            (abs(col("cusum")) > col("w1")).as("alert"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |ref AS (SELECT CAST(sum(n) AS BIGINT) AS w1 FROM daily
+        |  WHERE day < DATE '2024-01-08')
+        |SELECT day, n,
+        |  CAST(sum(n * 7 - w1) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cusum,
+        |  abs(CAST(sum(n * 7 - w1) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+        |    > w1 AS alert
+        |FROM daily, ref ORDER BY day""".stripMargin),
+      "integer CUSUM change-point scan vs first-week mean (calendar-sized windows)"))
 }

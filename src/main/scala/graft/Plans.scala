@@ -66,7 +66,8 @@ object Plans {
     "q137_delete_propagation" -> "deletion list behind BroadcastExchange probed as left_semi into each table scan — no table shuffles for the purge counts.",
     "q138_session_paths" -> "ONE user-keyed Exchange serves the session fold AND both lead windows; the path rollup shows partial_ combine + TakeOrderedAndProject.",
     "q139_source_overlap" -> "gram-keyed collect_set (bounded by source cardinality) then a <= C(20,2) pair explode per gram — the gram self-join the oracle replays never materializes.",
-    "q140_curation_yield" -> "each stage chains off the previous plan (text-window dedup, filter, source-window quota); four tiny stage aggregates union; no stage re-scans parquet.")
+    "q140_curation_yield" -> "each stage chains off the previous plan (text-window dedup, filter, source-window quota); four tiny stage aggregates union; no stage re-scans parquet.",
+    "q151_star_join_revenue" -> "region->nation->customer dim chain entirely behind BroadcastExchanges (the region filter prunes before the fact join); the ONLY shuffle join is orders x lineitem on the fact key; date filter pushed to the orders scan.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -699,5 +699,45 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
         |    > w1 AS alert
         |FROM daily, ref ORDER BY day""".stripMargin),
-      "integer CUSUM change-point scan vs first-week mean (calendar-sized windows)"))
+      "integer CUSUM change-point scan vs first-week mean (calendar-sized windows)"),
+
+    // q153 — CUMULATIVE UNIQUE USERS (the growth curve): distinct users
+    // ever seen, per day — computed WITHOUT a rolling count-distinct:
+    // each user contributes only on their FIRST-SEEN day (a user-keyed
+    // min agg), daily first-seen counts then prefix-sum over the
+    // calendar. The dense_rank-free trick that turns an O(days x users)
+    // distinct-window into one user agg + a 31-row window. Days with no
+    // new users still appear (calendar grid join), carrying the running
+    // total flat.
+    Q("q153_cumulative_users",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        val firstSeen = e.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_new"))
+        val grid = e.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(firstSeen, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("cumulative_users", sum("n_new").over(w))
+          .orderBy("day")
+      },
+      Some("""WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs
+        |  GROUP BY day),
+        |mm AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |grid AS (SELECT CAST(unnest(generate_series(d0::TIMESTAMP,
+        |    d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day FROM mm)
+        |SELECT g.day, coalesce(daily.n_new, 0) AS n_new,
+        |  CAST(sum(coalesce(daily.n_new, 0)) OVER (ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_users
+        |FROM grid g LEFT JOIN daily ON g.day = daily.day
+        |ORDER BY g.day""".stripMargin),
+      "cumulative unique users via first-seen-day trick (no rolling count-distinct)"))
 }

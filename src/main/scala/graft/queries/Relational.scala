@@ -825,6 +825,88 @@ object Relational {
         |ORDER BY fd""".stripMargin),
       "functional-dependency violation profiler (two-level distinct aggs, 2-row output)"),
 
+    // q151 — STAR-JOIN revenue rollup (the TPC-H Q5 shape): lineitem ⋈
+    // orders ⋈ customer ⋈ nation ⋈ region with a region filter and a
+    // date range, revenue per nation — the 5-table plan that exercises
+    // join ORDERING: region/nation/customer broadcast in a chain (the
+    // region filter prunes customers BEFORE the fact join), the only
+    // shuffle join is orders ⋈ lineitem on the fact key. Revenue in
+    // exact integer cents x basis-point discount.
+    Q("q151_star_join_revenue",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000, 0).cast("long")))
+            .as("rev_u"))
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= "1995-01-01" &&
+            col("o_orderdate") < "1996-01-01")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))
+        val dims = c.join(broadcast(n.join(broadcast(r),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        o.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("n_name")
+          .agg((sum("rev_u") / 1000000.0).as("revenue"))
+          .select(col("n_name").as("nation"), round(col("revenue"), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("nation"))
+      },
+      Some("""SELECT n_name AS nation,
+        |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+        |    / 1000000.0, 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin),
+      "TPC-H Q5-shape star join: broadcast dim chain prunes before the one fact-fact shuffle"),
+
+    // q152 — SCALAR-SUBQUERY surface: orders above their segment's
+    // average price — the correlated-aggregate filter pattern, written
+    // as SQL scalar subqueries on both engines. Spark decorrelates the
+    // per-segment average into a broadcast aggregate join; the count
+    // per segment + the threshold land in one 5-row result. Averages
+    // compared in exact integer cents x count (n·cents vs sum) — no
+    // float division in the predicate.
+    Q("q152_scalar_subquery",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("v_o152")
+        Tables(s, d, "customer").createOrReplaceTempView("v_c152")
+        s.sql("""
+          |WITH oc AS (SELECT o.o_orderkey, c.c_mktsegment AS segment,
+          |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM v_o152 o JOIN v_c152 c ON o.o_custkey = c.c_custkey),
+          |st AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(cents) AS BIGINT) AS total FROM oc GROUP BY segment)
+          |SELECT oc.segment, CAST(count(*) AS BIGINT) AS n_above,
+          |  CAST(max(oc.cents) AS BIGINT) AS max_cents
+          |FROM oc JOIN st ON oc.segment = st.segment
+          |WHERE oc.cents * st.n > st.total
+          |GROUP BY oc.segment ORDER BY oc.segment""".stripMargin)
+      },
+      Some("""WITH oc AS (SELECT o.o_orderkey, c.c_mktsegment AS segment,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |st AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total FROM oc GROUP BY segment)
+        |SELECT oc.segment, CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(max(oc.cents) AS BIGINT) AS max_cents
+        |FROM oc JOIN st ON oc.segment = st.segment
+        |WHERE oc.cents * st.n > st.total
+        |GROUP BY oc.segment ORDER BY oc.segment""".stripMargin),
+      "above-segment-average filter via integer cross-multiplied aggregate join"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

@@ -158,7 +158,7 @@ object Similarity {
     * the IVF coarse-quantizer build, rounded 6dp so every engine agrees
     * on the quantizer bit-for-bit.
     */
-  private[operators] def centroidsWide(train: DataFrame): DataFrame =
+  private[graft] def centroidsWide(train: DataFrame): DataFrame =
     train.select(col("lbl"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("lbl", "pos").agg(round(avg("x"), 6).as("c"))
       .groupBy("lbl")
@@ -172,7 +172,7 @@ object Similarity {
     * assignment. First-wins on rounded-cosine ties = min label,
     * matching the oracle's row_number tiebreak.
     */
-  private[operators] def assignToNearest(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignToNearest(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents
       .agg(array_sort(collect_list(struct(col("c_lbl"), col("cv")))).as("cents"))
     // zero: sim = -2 (< any cosine) so element 1 always replaces it; its

@@ -697,6 +697,83 @@ object CurationQueries {
         |  (2 * abs(n_tokens * 8 - total_tokens) * 10000 + total_tokens)
         |    // (2 * total_tokens) AS dev_bp
         |FROM sh, tot ORDER BY shard""".stripMargin),
-      "train-shard balance: per-shard doc/token loads + exact deviation from mean")
+      "train-shard balance: per-shard doc/token loads + exact deviation from mean"),
+
+    // q154 — SOURCE DIVERSITY index per language: Gini–Simpson
+    // 1 − Σ(nᵢ/N)² = (N² − Σnᵢ²) / N², in exact half-up basis points
+    // (0 = one source dominates, →10000 = evenly mixed) — the corpus-
+    // balance number a mixture designer watches, chosen over Shannon
+    // entropy because it needs NO logarithm (cross-engine exact). One
+    // (lang, source) agg; the diversity fold is group-count-sized.
+    Q("q154_source_diversity",
+      (s, d) => {
+        import graft.functions.IntMath
+        val c = Tables(s, d, "documents").groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+        c.groupBy("lang")
+          .agg(count(lit(1)).as("n_sources"), sum("n").as("n_docs"),
+            sum(col("n") * col("n")).as("sq"))
+          .select(col("lang"), col("n_sources"), col("n_docs"),
+            IntMath.halfUp(col("n_docs") * col("n_docs") - col("sq"),
+              col("n_docs") * col("n_docs"), 10000L).as("diversity_bp"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST((2 * (sum(n) * sum(n) - sum(n * n)) * 10000 + sum(n) * sum(n))
+        |    // (2 * sum(n) * sum(n)) AS BIGINT) AS diversity_bp
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+      "Gini-Simpson source diversity per language in exact basis points (no log)"),
+
+    // q156 — TRIMMED MEAN (robust location): mean of order prices
+    // strictly inside the exact [p10, p90] band per priority — the
+    // robust average that survives fat tails, with the band bounds from
+    // TWO GroupedQuantile distributed selections and the mean itself in
+    // exact integer cents (sum/count emitted; the displayed mean rounds
+    // the integer ratio). Complements q122's MAD: MAD flags outliers,
+    // the trimmed mean reports location with them excluded.
+    Q("q156_trimmed_mean",
+      (s, d) => {
+        import graft.operators.GroupedQuantile
+        val o = Tables(s, d, "orders").select(col("o_orderpriority").as("g"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("v"),
+          col("o_orderkey").as("t"))
+        val p10 = GroupedQuantile.kthSmallestLong(o, col("g"), col("v"),
+            col("t"), GroupedQuantile.pctRank(10))
+          .withColumnRenamed("kth_value", "p10")
+        val p90 = GroupedQuantile.kthSmallestLong(o, col("g"), col("v"),
+            col("t"), GroupedQuantile.pctRank(90))
+          .withColumnRenamed("kth_value", "p90")
+        o.join(broadcast(p10), "g").join(broadcast(p90), "g")
+          .filter(col("v") > col("p10") && col("v") < col("p90"))
+          .groupBy("g", "p10", "p90")
+          .agg(count(lit(1)).as("n_kept"), sum("v").as("cents_sum"))
+          .select(col("g").as("o_orderpriority"), col("n_kept"),
+            (col("p10") / 100.0).as("p10_price"),
+            (col("p90") / 100.0).as("p90_price"),
+            (graft.functions.IntMath.halfUp(col("cents_sum"),
+              col("n_kept"), 1L) / 100.0).as("trimmed_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+        |    o_orderkey AS t FROM orders),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM o),
+        |b AS (SELECT g,
+        |    max(CASE WHEN rn = (10 * n + 99) // 100 THEN v END) AS p10,
+        |    max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90
+        |  FROM r GROUP BY g)
+        |SELECT o.g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_kept,
+        |  b.p10 / 100.0 AS p10_price, b.p90 / 100.0 AS p90_price,
+        |  ((2 * sum(o.v) * 1 + count(*)) // (2 * count(*))) / 100.0
+        |    AS trimmed_mean
+        |FROM o JOIN b ON o.g = b.g
+        |WHERE o.v > b.p10 AND o.v < b.p90
+        |GROUP BY o.g, b.p10, b.p90 ORDER BY o_orderpriority""".stripMargin),
+      "exact trimmed mean inside the [p10, p90] band (robust location, integer cents)")
   )
 }

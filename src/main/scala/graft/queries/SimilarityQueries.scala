@@ -712,6 +712,79 @@ object SimilarityQueries {
         |    ELSE 0 END AS BIGINT) AS mrr_milli
         |FROM m LEFT JOIN exact ex ON m.vec_id = ex.vec_id, top1
         |GROUP BY m.method ORDER BY m.method""".stripMargin),
-      "ANN eval scoreboard: recall@10 + integer MRR per method vs brute force")
+      "ANN eval scoreboard: recall@10 + integer MRR per method vs brute force"),
+
+    // q155 — ANN SCAN-COST table: the other axis of q142's accuracy
+    // scoreboard — how many candidate vectors each method actually
+    // scores (brute = the corpus; sign-LSH = the query's bucket; IVF =
+    // the assigned centroid bucket), as exact counts and basis-point
+    // fractions of the corpus. Recall (q142) over scan fraction (here)
+    // IS the index-selection tradeoff. Bucket sizes are one tiny agg
+    // each off the same scans the methods themselves run.
+    Q("q155_ann_scan_cost",
+      (s, d) => {
+        import graft.functions.IntMath
+        graft.functions.ArrayCosine.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val tot = e.filter(col("vec_id") =!= 0L)
+          .agg(count(lit(1)).as("n_corpus"))
+        val bucketed = e.withColumn("bucket",
+          graft.functions.VectorFunctions.signBucket(col("v"), lshBits))
+        val qb = bucketed.filter(col("vec_id") === 0L)
+          .select(col("bucket").as("qbucket"))
+        val lshN = bucketed.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(qb))
+          .filter(col("bucket") === col("qbucket"))
+          .agg(count(lit(1)).as("n_scanned"))
+        val cents = Similarity.centroidsWide(
+          Tables(s, d, "embeddings").select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"),
+            col("label").as("lbl")))
+        val assigned = Similarity.assignToNearest(
+          e.select(col("vec_id"), col("v")), cents)
+        val ivfQb = assigned.filter(col("vec_id") === 0L)
+          .select(col("bucket").as("qbucket"))
+        val ivfN = assigned.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(ivfQb))
+          .filter(col("bucket") === col("qbucket"))
+          .agg(count(lit(1)).as("n_scanned"))
+        def row(name: String, scanned: org.apache.spark.sql.DataFrame) =
+          scanned.crossJoin(broadcast(tot))
+            .select(lit(name).as("method"), col("n_scanned"),
+              col("n_corpus"),
+              IntMath.bp(col("n_scanned"), col("n_corpus")).as("scan_bp"))
+        row("1_brute", tot.select(col("n_corpus").as("n_scanned")))
+          .unionAll(row("2_sign_lsh", lshN))
+          .unionAll(row("3_ivf", ivfN))
+          .orderBy("method")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl
+        |  FROM embeddings),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e
+        |  WHERE vec_id <> 0),
+        |b AS (SELECT vec_id, $bucketSql AS bucket FROM e),
+        |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+        |lshn AS (SELECT CAST(count(*) AS BIGINT) AS n_scanned FROM b, qb
+        |  WHERE vec_id <> 0 AND bucket = qbucket),
+        |vc AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |vcw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv
+        |  FROM vc GROUP BY lbl),
+        |va AS (SELECT vec_id, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, vcw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, c_lbl) = 1),
+        |ivfqb AS (SELECT c_lbl AS qbucket FROM va WHERE vec_id = 0),
+        |ivfn AS (SELECT CAST(count(*) AS BIGINT) AS n_scanned FROM va, ivfqb
+        |  WHERE vec_id <> 0 AND c_lbl = qbucket),
+        |m AS (SELECT '1_brute' AS method, n_corpus AS n_scanned FROM tot
+        |  UNION ALL SELECT '2_sign_lsh', n_scanned FROM lshn
+        |  UNION ALL SELECT '3_ivf', n_scanned FROM ivfn)
+        |SELECT method, n_scanned, tot.n_corpus,
+        |  (2 * n_scanned * 10000 + n_corpus) // (2 * n_corpus) AS scan_bp
+        |FROM m, tot ORDER BY method""".stripMargin),
+      "ANN scan-cost table: candidates scored per method, exact bp of corpus")
   )
 }

@@ -907,6 +907,116 @@ object Relational {
         |GROUP BY oc.segment ORDER BY oc.segment""".stripMargin),
       "above-segment-average filter via integer cross-multiplied aggregate join"),
 
+    // q157 — JOIN-CARDINALITY estimator audit: the per-key histogram
+    // product Σ_k (n_orders(k) · n_lineitem(k)) — the estimate a
+    // cost-based optimizer with per-key stats would compute — checked
+    // against the ACTUAL join row count in the same result. For an
+    // equi-join these are provably equal (the audit is the proof, the
+    // way q54/q63 audit sketches); with a coarser histogram the gap is
+    // the estimation error, and this query is the harness that would
+    // measure it. Two key aggs + one key-partitioned product sum; the
+    // actual count reuses the q11 join shape.
+    Q("q157_join_card_audit",
+      (s, d) => {
+        val oc = t(s, d, "orders").groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("n_o"))
+        val lc = t(s, d, "lineitem").groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("n_l"))
+        val est = oc.join(lc, "k")
+          .agg(sum(col("n_o") * col("n_l")).as("estimated_rows"))
+        val actual = t(s, d, "orders")
+          .join(t(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("actual_rows"))
+        est.crossJoin(broadcast(actual))
+          .select(col("estimated_rows"), col("actual_rows"),
+            (col("estimated_rows") === col("actual_rows")).as("estimator_exact"))
+      },
+      Some("""WITH oc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_o
+        |  FROM orders GROUP BY 1),
+        |lc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_l
+        |  FROM lineitem GROUP BY 1),
+        |est AS (SELECT CAST(sum(n_o * n_l) AS BIGINT) AS estimated_rows
+        |  FROM oc JOIN lc USING (k)),
+        |act AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT estimated_rows, actual_rows,
+        |  estimated_rows = actual_rows AS estimator_exact
+        |FROM est, act""".stripMargin),
+      "per-key histogram join-cardinality estimate audited against the actual join count"),
+
+    // q158 — grouped MODE: the most frequent price POINT (exact cents)
+    // per order priority, ties to the smallest value — the
+    // most-common-value statistic q96's profile doesn't carry, via two
+    // stacked aggs (value counts, then a max-struct fold per group: no
+    // window, no sort). The count rides along as evidence.
+    Q("q158_grouped_mode",
+      (s, d) => {
+        val vc = t(s, d, "orders")
+          .select(col("o_orderpriority").as("g"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .groupBy("g", "cents").agg(count(lit(1)).as("n"))
+        vc.groupBy("g")
+          .agg(max(struct(col("n"), (-col("cents")).as("nc"))).as("best"))
+          .select(col("g").as("o_orderpriority"),
+            (-col("best.nc") / 100.0).as("mode_price"),
+            col("best.n").as("n_occurrences"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH vc AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT g AS o_orderpriority, cents / 100.0 AS mode_price,
+        |  n AS n_occurrences
+        |FROM vc
+        |QUALIFY row_number() OVER (PARTITION BY g ORDER BY n DESC, cents) = 1
+        |ORDER BY o_orderpriority""".stripMargin),
+      "grouped mode via stacked aggs + max-struct fold (no window over the value table)"),
+
+    // q159 — SEASONALITY index: each calendar month's average order
+    // price vs the global average, as an exact cross-multiplied ratio
+    // in basis points (avg_m / avg_g = sum_m·n_g / (n_m·sum_g) —
+    // 10000 = on-trend). Long bounds: sums are cents (~1e9 at sf0.1),
+    // counts ~1e5 — products < 1e15, far inside int64; DECIMAL(38) is
+    // the stated escalation past ~1e18. One month agg + broadcast
+    // global row.
+    Q("q159_seasonality_index",
+      (s, d) => {
+        import graft.functions.IntMath
+        val o = t(s, d, "orders").select(
+          month(col("o_orderdate")).as("mon"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val m = o.groupBy("mon")
+          .agg(count(lit(1)).as("n_m"), sum("cents").as("sum_m"))
+        val g = o.agg(count(lit(1)).as("n_g"), sum("cents").as("sum_g"))
+        // the bp numerator sum_m·n_g·2·10^4 tops 1e20 at sf0.1 — past
+        // int64, so the ratio runs in DECIMAL(38) (the documented
+        // escalation; DuckDB's HUGEINT promotes automatically) and the
+        // exact integer result casts back to long.
+        m.crossJoin(broadcast(g))
+          .select(col("mon"), col("n_m"),
+            IntMath.halfUp(col("sum_m"), col("n_m"), 1L).as("avg_cents"),
+            IntMath.halfUp(
+              col("sum_m").cast("decimal(38,0)") * col("n_g"),
+              col("n_m").cast("decimal(38,0)") * col("sum_g"), 10000L)
+              .cast("long").as("season_bp"))
+          .orderBy("mon")
+      },
+      Some("""WITH o AS (SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT mon, CAST(count(*) AS BIGINT) AS n_m,
+        |    CAST(sum(cents) AS BIGINT) AS sum_m FROM o GROUP BY mon),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(cents) AS BIGINT) AS sum_g FROM o)
+        |SELECT mon, n_m,
+        |  (2 * sum_m * 1 + n_m) // (2 * n_m) AS avg_cents,
+        |  CAST((2 * sum_m::HUGEINT * n_g * 10000 + n_m::HUGEINT * sum_g)
+        |    // (2 * n_m::HUGEINT * sum_g) AS BIGINT) AS season_bp
+        |FROM m, g ORDER BY mon""".stripMargin),
+      "monthly seasonality index: cross-multiplied exact ratio vs global average"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

@@ -739,5 +739,101 @@ object AnalyticsQueries {
         |    AS cumulative_users
         |FROM grid g LEFT JOIN daily ON g.day = daily.day
         |ORDER BY g.day""".stripMargin),
-      "cumulative unique users via first-seen-day trick (no rolling count-distinct)"))
+      "cumulative unique users via first-seen-day trick (no rolling count-distinct)"),
+
+    // q161 — Markov TRANSITION matrix: P(next type | current type) for
+    // consecutive events INSIDE a session (q138's gap rule), in exact
+    // half-up basis points — each row of the matrix sums to ~10000, the
+    // one-step behavioral model behind next-action prediction and
+    // anomaly scoring. One user-keyed exchange serves the session fold
+    // and the lead; transition counts are map-side combined.
+    Q("q161_transition_matrix",
+      (s, d) => {
+        import graft.functions.IntMath
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("new_sess",
+            when(lag("ts", 1).over(w).isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))
+                > 1800L, 1L).otherwise(0L))
+          .withColumn("sid", sum("new_sess").over(wRun))
+          .withColumn("t_next", lead("event_type", 1).over(w))
+          .withColumn("s_next", lead("sid", 1).over(w))
+          .filter(col("s_next") === col("sid"))
+        val pair = e.groupBy(col("event_type").as("t_from"),
+          col("t_next").as("t_to")).agg(count(lit(1)).as("n"))
+        val from = pair.groupBy("t_from").agg(sum("n").as("n_from"))
+        pair.join(broadcast(from), "t_from")
+          .select(col("t_from"), col("t_to"), col("n"),
+            IntMath.bp(col("n"), col("n_from")).as("p_bp"))
+          .orderBy("t_from", "t_to")
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000
+        |        > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |t AS (SELECT event_type AS t_from, sid,
+        |    lead(event_type, 1) OVER w AS t_to, lead(sid, 1) OVER w AS s_next
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pair AS (SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n FROM t
+        |  WHERE s_next = sid GROUP BY 1, 2),
+        |f AS (SELECT t_from, CAST(sum(n) AS BIGINT) AS n_from FROM pair
+        |  GROUP BY 1)
+        |SELECT pair.t_from, t_to, n,
+        |  (2 * n * 10000 + n_from) // (2 * n_from) AS p_bp
+        |FROM pair JOIN f ON pair.t_from = f.t_from
+        |ORDER BY pair.t_from, t_to""".stripMargin),
+      "in-session Markov transition matrix in exact basis points (one user shuffle)"),
+
+    // q162 — ENGAGEMENT CADENCE: median and p90 inter-arrival gap per
+    // event type, over per-user consecutive-event gaps in integer
+    // seconds — the "how often do users do X" profile. The gaps come
+    // from one user-keyed lag; the percentiles from GroupedQuantile's
+    // distributed selection (thin-slice windows only). Gap identity
+    // carries (user_id, event_id) as the unique selection tiebreak.
+    Q("q162_cadence_percentiles",
+      (s, d) => {
+        import graft.operators.GroupedQuantile
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val gaps = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("gap_s", unix_timestamp(col("ts")) -
+            unix_timestamp(lag("ts", 1).over(w)))
+          .filter(col("gap_s").isNotNull)
+          .select(col("event_type").as("g"), col("gap_s").as("v"),
+            (col("user_id") * lit(10000000L) + col("event_id")).as("t"))
+        val n = gaps.groupBy("g").agg(count(lit(1)).as("n_gaps"))
+        val med = GroupedQuantile.kthSmallestLong(gaps, col("g"), col("v"),
+            col("t"), GroupedQuantile.lowerMedianRank)
+          .withColumnRenamed("kth_value", "median_gap_s")
+        val p90 = GroupedQuantile.kthSmallestLong(gaps, col("g"), col("v"),
+            col("t"), GroupedQuantile.pctRank(90))
+          .withColumnRenamed("kth_value", "p90_gap_s")
+        n.join(med, "g").join(p90, "g")
+          .select(col("g").as("event_type"), col("n_gaps"),
+            col("median_gap_s"), col("p90_gap_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH gaps AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 AS v,
+        |    user_id * 10000000 + event_id AS t
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+        |f AS (SELECT g, v, t FROM gaps WHERE v IS NOT NULL),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM f)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_gap_s,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90_gap_s
+        |FROM r GROUP BY g ORDER BY event_type""".stripMargin),
+      "per-type inter-arrival median/p90 via distributed selection (engagement cadence)"))
 }

@@ -575,6 +575,54 @@ object TextQueries {
         |  ((2 * sum(re) * 10000 + sum(ws)) // (2 * sum(ws))) / 10000.0
         |    AS fertility
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
-      "tokens-per-word fertility per language (exact bp ratio, one keyed agg)")
+      "tokens-per-word fertility per language (exact bp ratio, one keyed agg)"),
+
+    // q160 — AUTOCOMPLETE prefix index: for every 2..4-char prefix of
+    // the corpus vocabulary, the top-3 completions by frequency — the
+    // typeahead build step. Prefix explode is bounded (3 prefixes per
+    // term); per-prefix top-3 rides the native TopKPerKey heaps (a hot
+    // prefix ships <= 3 rows per partition, never its completion
+    // list); output cut to the 30 highest-volume prefixes.
+    Q("q160_prefix_index",
+      (s, d) => {
+        val cnt = Tables(s, d, "documents")
+          .select(explode(words(col("text"))).as("term"))
+          .filter(length(col("term")) >= 4)
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val pre = cnt.select(col("term"), col("cnt"),
+            explode(array((2 to 4).map(n =>
+              substring(col("term"), 1, n)): _*)).as("prefix"))
+        val top3 = graft.plans.TopK.perKey(pre, keyCols = Seq("prefix"),
+          orderCol = "cnt", desc = true, tiebreak = Seq("term"), k = 3)
+        val vol = pre.groupBy("prefix").agg(sum("cnt").as("n_tokens"))
+        val completions = top3.groupBy("prefix")
+          .agg(array_join(transform(array_sort(collect_list(struct(
+              (-col("cnt")).as("s1"), col("term").as("s2"),
+              concat_ws(":", col("term"), col("cnt")).as("p")))),
+            x => x.getField("p")), ",").as("completions"))
+        vol.join(completions, "prefix")
+          .orderBy(col("n_tokens").desc, col("prefix"))
+          .limit(30)
+      },
+      Some("""WITH w AS (SELECT
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(ws) AS term FROM w)
+        |  WHERE len(term) >= 4 GROUP BY term),
+        |pre AS (SELECT term, cnt, substring(term, 1, n.n) AS prefix
+        |  FROM cnt, generate_series(2, 4) AS n(n)),
+        |top3 AS (SELECT prefix, term, cnt FROM pre
+        |  QUALIFY row_number() OVER (PARTITION BY prefix
+        |    ORDER BY cnt DESC, term) <= 3),
+        |vol AS (SELECT prefix, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM pre GROUP BY prefix),
+        |c AS (SELECT prefix, string_agg(term || ':' || cnt, ','
+        |    ORDER BY cnt DESC, term) AS completions
+        |  FROM top3 GROUP BY prefix)
+        |SELECT vol.prefix, n_tokens, completions
+        |FROM vol JOIN c ON vol.prefix = c.prefix
+        |ORDER BY n_tokens DESC, vol.prefix LIMIT 30""".stripMargin),
+      "typeahead prefix index: top-3 completions per prefix via native heaps")
   )
 }

@@ -835,5 +835,50 @@ object AnalyticsQueries {
         |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_gap_s,
         |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END) AS p90_gap_s
         |FROM r GROUP BY g ORDER BY event_type""".stripMargin),
-      "per-type inter-arrival median/p90 via distributed selection (engagement cadence)"))
+      "per-type inter-arrival median/p90 via distributed selection (engagement cadence)"),
+
+    // q165 — DEBOUNCE / burst dedup: keep only the event that STARTS
+    // each (user, type) burst — bursts split on >1h gaps, the standard
+    // alert-throttling / re-crawl-window rule ("same signal within the
+    // window is a duplicate"). Exactly the q20 gap fold re-purposed as
+    // a time-scoped dedup: unlike q22's global exact dedup, the same
+    // key is legitimately NEW again once the window passes. One
+    // (user, type)-keyed window; emits kept rows + per-burst size.
+    Q("q165_debounce",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("new_burst",
+            when(lag("ts", 1).over(w).isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))
+                > 3600L, 1L).otherwise(0L))
+          .withColumn("burst", sum("new_burst").over(wRun))
+        e.groupBy("user_id", "event_type", "burst")
+          .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+            count(lit(1)).as("n_suppressed"))
+          .select(col("user_id"), col("event_type"),
+            col("first.event_id").as("kept_event_id"),
+            (col("n_suppressed") - 1L).as("n_suppressed"))
+          .orderBy("user_id", "event_type", "kept_event_id")
+      },
+      Some("""WITH g AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000
+        |        > 3600 THEN 1 ELSE 0 END AS new_burst
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+        |b AS (SELECT user_id, event_type, ts, event_id,
+        |    sum(new_burst) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS burst
+        |  FROM g)
+        |SELECT user_id, event_type,
+        |  first(event_id ORDER BY ts, event_id) AS kept_event_id,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+        |FROM b GROUP BY user_id, event_type, burst
+        |ORDER BY user_id, event_type, kept_event_id""".stripMargin),
+      "time-scoped burst dedup: keep each burst's first event, count suppressed"))
 }

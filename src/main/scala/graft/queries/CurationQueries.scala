@@ -774,6 +774,44 @@ object CurationQueries {
         |FROM o JOIN b ON o.g = b.g
         |WHERE o.v > b.p10 AND o.v < b.p90
         |GROUP BY o.g, b.p10, b.p90 ORDER BY o_orderpriority""".stripMargin),
-      "exact trimmed mean inside the [p10, p90] band (robust location, integer cents)")
+      "exact trimmed mean inside the [p10, p90] band (robust location, integer cents)"),
+
+    // q163 — LARGEST-REMAINDER apportionment: allocate an exact total
+    // sample budget (100 docs) across languages proportionally — floor
+    // shares first, then the leftover seats to the largest remainders
+    // (ties to lang asc) — the Hamilton-method integer allocation that
+    // hash-gate sampling (q52) cannot give when the total must be
+    // EXACT. All integer; the seat rank runs over the 5-row language
+    // table.
+    Q("q163_sample_apportionment",
+      (s, d) => {
+        val budget = 100L
+        val c = Tables(s, d, "documents").groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = c.agg(sum("n_docs").as("n_total"))
+        val sh = c.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"n_docs * $budget div n_total"))
+          .withColumn("rem", col("n_docs") * budget % col("n_total"))
+        val spare = sh.agg((lit(budget) - sum("base")).as("spare"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("lang"))
+        sh.crossJoin(broadcast(spare))
+          .withColumn("seat_rank", row_number().over(w))
+          .select(col("lang"), col("n_docs"),
+            (col("base") + when(col("seat_rank") <= col("spare"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        |sh AS (SELECT lang, n_docs, n_docs * 100 // n_total AS base,
+        |    n_docs * 100 % n_total AS rem FROM c, t),
+        |sp AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS spare FROM sh)
+        |SELECT lang, n_docs,
+        |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+        |    <= spare THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM sh, sp ORDER BY lang""".stripMargin),
+      "Hamilton largest-remainder allocation of an exact sample budget across languages")
   )
 }

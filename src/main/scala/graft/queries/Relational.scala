@@ -1017,6 +1017,92 @@ object Relational {
         |FROM m, g ORDER BY mon""".stripMargin),
       "monthly seasonality index: cross-multiplied exact ratio vs global average"),
 
+    // q164 — REFERENTIAL-INTEGRITY audit: orphan-foreign-key counts per
+    // relationship (lineitem→orders, orders→customer, customer→nation)
+    // — the constraint check a warehouse load gate runs, as LEFT ANTI
+    // probes. Each anti-join is keyed on the FK (dims broadcast where
+    // small); 3-row output.
+    Q("q164_referential_integrity",
+      (s, d) => {
+        def orphans(name: String, fact: DataFrame, fk: String,
+                    dim: DataFrame, pk: String) = {
+          val o = fact.join(dim.select(col(pk)), fact(fk) === col(pk),
+            "left_anti")
+          fact.agg(lit(name).as("relationship"),
+              count(lit(1)).as("n_fact_rows"))
+            .crossJoin(o.agg(count(lit(1)).as("n_orphans")))
+            .select(col("relationship"), col("n_fact_rows"), col("n_orphans"),
+              (col("n_orphans") === 0).as("fk_valid"))
+        }
+        orphans("customer->nation", t(s, d, "customer"), "c_nationkey",
+            t(s, d, "nation"), "n_nationkey")
+          .unionAll(orphans("lineitem->orders", t(s, d, "lineitem"),
+            "l_orderkey", t(s, d, "orders"), "o_orderkey"))
+          .unionAll(orphans("orders->customer", t(s, d, "orders"),
+            "o_custkey", t(s, d, "customer"), "c_custkey"))
+          .orderBy("relationship")
+      },
+      Some("""SELECT 'customer->nation' AS relationship,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_fact_rows,
+        |  CAST((SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation)) = 0 AS fk_valid
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS BIGINT),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) = 0
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) AS BIGINT),
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)) = 0
+        |ORDER BY relationship""".stripMargin),
+      "orphan-FK audit per relationship via left-anti probes (load-gate constraint check)"),
+
+    // q166 — extended WINDOW surface: percent_rank, cume_dist, and
+    // nth_value over the per-priority price order — the analytic
+    // functions q12/q49 don't cover. percent_rank = (rank−1)/(n−1) and
+    // cume_dist = peers≤/n are ratios of identical integers on both
+    // engines (same doubles bit-for-bit); the 2nd-highest price per
+    // group rides along via nth_value over the full frame. Output cut
+    // to each priority's top-20 rows by the same unique order.
+    Q("q166_window_surface",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("second_highest", nth_value(col("o_totalprice"), 2)
+            .over(wf))
+          .filter(col("rn") <= 20)
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rn AS INTEGER) AS rn, pr, cd, second_highest
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    round(percent_rank() OVER w, 6) AS pr,
+        |    round(cume_dist() OVER w, 6) AS cd,
+        |    nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND UNBOUNDED FOLLOWING) AS second_highest
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 20 ORDER BY o_orderpriority, rn""".stripMargin),
+      "percent_rank / cume_dist / nth_value analytic surface (identical integer ratios)"),
+
     // q41 — salted skew join: q11's fact-fact join rewritten with
     // explicit left-side salting (hash(l_linenumber) mod 8 sub-keys,
     // right side replicated 8x). Salting is a physical rewrite only, so

@@ -880,5 +880,34 @@ object AnalyticsQueries {
         |  CAST(count(*) - 1 AS BIGINT) AS n_suppressed
         |FROM b GROUP BY user_id, event_type, burst
         |ORDER BY user_id, event_type, kept_event_id""".stripMargin),
-      "time-scoped burst dedup: keep each burst's first event, count suppressed"))
+      "time-scoped burst dedup: keep each burst's first event, count suppressed"),
+
+    // q169 — RECENCY-WEIGHTED volume: per event type, activity weighted
+    // by exponential decay with a one-week half-life — the freshness
+    // score behind "what's hot NOW" rankings — computed WITHOUT floats:
+    // weight = 16 >> weeks_ago (16, 8, 4, 2, 1 for weeks 0..4, integer
+    // shift), so the weighted sum is exact on both engines. Weeks
+    // count back from the corpus max day (broadcast row).
+    Q("q169_recency_weighted_volume",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val mx = e.agg(max("day").as("d1"))
+        e.crossJoin(broadcast(mx))
+          .withColumn("weeks_ago",
+            least(lit(4), expr("datediff(d1, day) div 7")).cast("int"))
+          .withColumn("wt", expr("shiftright(16, weeks_ago)").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("wt").as("weighted_volume"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS d1 FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(16 >> least(4, date_diff('day', day, d1) // 7))
+        |    AS BIGINT) AS weighted_volume
+        |FROM e, mx GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "freshness score: integer-shift exponential decay, exact on both engines"))
 }

@@ -670,6 +670,64 @@ object DedupQueries {
         |SELECT a.source AS s_a, b.source AS s_b, count(*) AS n_shared_grams
         |FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY n_shared_grams DESC, s_a, s_b LIMIT 20""".stripMargin),
-      "source-pair shared-gram overlap matrix (bounded source-set explode, no self-join)")
+      "source-pair shared-gram overlap matrix (bounded source-set explode, no self-join)"),
+
+    // q167 — DEDUP THRESHOLD sensitivity: how many candidate pairs the
+    // q24 MinHash machinery verifies at Jaccard >= 0.3 / 0.5 / 0.7 /
+    // 0.9, from ONE candidate generation pass — the parameter-sweep
+    // report that decides the production threshold (too low = real
+    // content merged, too high = boilerplate survives). The exact
+    // verify runs once; the sweep is four filters over its output.
+    Q("q167_dedup_threshold_sweep",
+      (s, d) => {
+        val pairs = Dedup.minhashLsh(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, numPerm = 16, bands = 4,
+          thr = 0.0, maxBucket = 100)
+        val thrs = Seq(3000, 5000, 7000, 9000)
+        pairs.select(explode(array(thrs.map(t =>
+            struct(lit(t).as("thr_bp"),
+              when(col("jaccard") * 10000 >= t, 1L).otherwise(0L)
+                .as("hit"))): _*)).as("x"))
+          .groupBy(col("x.thr_bp").as("thr_bp"))
+          .agg(sum(col("x.hit")).as("n_pairs"))
+          .orderBy("thr_bp")
+      },
+      Some(s"""$gramCtes,
+        |$minhashCtes,
+        |pairs AS (SELECT round(shared / (na + nb - shared), 4) AS jaccard
+        |  FROM j)
+        |SELECT t.thr_bp, CAST(sum(CASE WHEN jaccard * 10000 >= t.thr_bp
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+        |FROM pairs, (VALUES (3000), (5000), (7000), (9000)) AS t(thr_bp)
+        |GROUP BY t.thr_bp ORDER BY t.thr_bp""".stripMargin),
+      "MinHash dedup threshold sweep: verified pair counts at 4 Jaccard cutoffs, one pass"),
+
+    // q168 — NORMALIZATION IDEMPOTENCE audit: normText applied twice
+    // must equal normText applied once, corpus-wide — the
+    // property-as-a-query that catches a non-idempotent cleaning rule
+    // (the classic "trim after collapse re-exposes whitespace" bug
+    // class) in production, where a unit test only covers its fixture.
+    // 1-row output: total, violations (0), all_idempotent.
+    Q("q168_norm_idempotence",
+      (s, d) => {
+        import graft.functions.TextFunctions.normText
+        Tables(s, d, "documents")
+          .select((normText(col("text")) =!=
+            normText(normText(col("text")))).cast("long").as("viol"))
+          .agg(count(lit(1)).as("n_docs"), sum("viol").as("n_violations"))
+          .select(col("n_docs"), col("n_violations"),
+            (col("n_violations") === 0).as("all_idempotent"))
+      },
+      Some("""WITH n1 AS (SELECT
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS a
+        |  FROM documents),
+        |n2 AS (SELECT a,
+        |    regexp_replace(lower(trim(a)), '\s+', ' ', 'g') AS b FROM n1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  sum(CASE WHEN a <> b THEN 1 ELSE 0 END) = 0 AS all_idempotent
+        |FROM n2""".stripMargin),
+      "corpus-wide idempotence proof of the normalization chain (property as a query)")
   )
 }

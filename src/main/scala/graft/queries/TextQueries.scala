@@ -623,6 +623,99 @@ object TextQueries {
         |SELECT vol.prefix, n_tokens, completions
         |FROM vol JOIN c ON vol.prefix = c.prefix
         |ORDER BY n_tokens DESC, vol.prefix LIMIT 30""".stripMargin),
-      "typeahead prefix index: top-3 completions per prefix via native heaps")
+      "typeahead prefix index: top-3 completions per prefix via native heaps"),
+
+    // q170 — VOCAB COVERAGE curve: what fraction of all token
+    // OCCURRENCES the top-10 / top-100 / top-1000 vocabulary entries
+    // cover, in exact basis points — the Zipf curve read as the
+    // vocab-size decision input (q105 scores docs against ONE vocab;
+    // this picks the vocab size). Ranks via Rank.globalRank over the
+    // negated counts (no single-partition window over the vocabulary),
+    // then three band sums in one agg pass.
+    Q("q170_vocab_coverage_curve",
+      (s, d) => {
+        import graft.functions.IntMath
+        val cnt = Tables(s, d, "documents")
+          .select(explode(words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .withColumn("neg", -col("cnt"))
+        val ranked = graft.operators.Rank.globalRank(cnt, "neg", "term")
+        val tot = ranked.agg(sum("cnt").as("total"),
+          count(lit(1)).as("vocab_size"))
+        val ks = Seq(10L, 100L, 1000L)
+        ranked.select(col("cnt"), col("global_rank"),
+            explode(array(ks.map(lit): _*)).as("k"))
+          .filter(col("global_rank") <= col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_terms"), sum("cnt").as("covered"))
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("n_terms"), col("vocab_size"),
+            IntMath.bp(col("covered"), col("total")).as("covered_bp"))
+          .orderBy("k")
+      },
+      Some("""WITH w AS (SELECT
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(ws) AS term FROM w)
+        |  WHERE len(term) > 0 GROUP BY term),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        |  FROM cnt),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS vocab_size FROM cnt)
+        |SELECT k.k, CAST(count(*) AS BIGINT) AS n_terms, tot.vocab_size,
+        |  CAST((2 * sum(cnt) * 10000 + total) // (2 * total) AS BIGINT)
+        |    AS covered_bp
+        |FROM r, (VALUES (10), (100), (1000)) AS k(k), tot
+        |WHERE rnk <= k.k
+        |GROUP BY k.k, tot.vocab_size, tot.total ORDER BY k.k""".stripMargin),
+      "Zipf coverage curve at vocab sizes 10/100/1000 (exact bp, distributed ranks)"),
+
+    // q171 — HEAPS-LAW growth point: distinct 3-gram vocabulary of the
+    // first corpus half vs what the second half ADDS — the
+    // diminishing-returns measurement behind "will more data still add
+    // content?" (the q125/q135 novelty signals aggregated to corpus
+    // level). Two gram aggs sharing one partitioning; 1-row output
+    // with the second half's marginal contribution in exact bp.
+    Q("q171_vocab_growth",
+      (s, d) => {
+        import graft.functions.IntMath
+        val g = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(graft.functions.TextFunctions
+            .distinctGrams(col("text"), 3)).as("gram"))
+        val firstSeen = g.groupBy("gram").agg(min("doc_id").as("fd"))
+        val mid = Tables(s, d, "documents")
+          .agg(expr("max(doc_id) div 2").as("mid"))
+        firstSeen.crossJoin(broadcast(mid))
+          .agg(count(lit(1)).as("total_grams"),
+            sum(when(col("fd") <= col("mid"), 1L).otherwise(0L))
+              .as("first_half_grams"),
+            sum(when(col("fd") > col("mid"), 1L).otherwise(0L))
+              .as("added_by_second_half"))
+          .select(col("total_grams"), col("first_half_grams"),
+            col("added_by_second_half"),
+            IntMath.bp(col("added_by_second_half"), col("total_grams"))
+              .as("growth_bp"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS grams
+        |  FROM w WHERE len(ws) >= 3),
+        |fs AS (SELECT gram, min(doc_id) AS fd
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM d) GROUP BY gram),
+        |mid AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS mid FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(sum(CASE WHEN fd <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_half_grams,
+        |  CAST(sum(CASE WHEN fd > mid THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS added_by_second_half,
+        |  CAST((2 * sum(CASE WHEN fd > mid THEN 1 ELSE 0 END) * 10000
+        |    + count(*)) // (2 * count(*)) AS BIGINT) AS growth_bp
+        |FROM fs, mid""".stripMargin),
+      "Heaps-law point: marginal gram vocabulary added by the second corpus half")
   )
 }

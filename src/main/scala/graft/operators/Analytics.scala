@@ -110,25 +110,6 @@ object Analytics {
         col("effective_to").isNull.as("is_current"))
   }
 
-  /** Time-series resample to a daily grid + last-observation-carried-
-    * forward: per key, every calendar day from the key's first to last
-    * active day; gap days (no events) carry the previous day's closing
-    * value. The missing-row repair every downstream rolling metric
-    * needs — a rolling average over a feed with holes silently shortens
-    * its denominator.
-    *
-    * Per (key, day): n_events = row count, close = value of the day's
-    * last event (ts desc, ordId desc — deterministic under ts ties).
-    * Grid days get n_events = 0, is_gap = true, value_locf = previous
-    * close.
-    *
-    * Scale shape: the daily rollup is ONE (key, day) shuffle (the
-    * row_number window and the aggregate share it); the grid explode is
-    * bounded by key-count x calendar span — independent of event volume,
-    * the whole point of resampling; the LOCF window partitions by key
-    * with calendar-bounded partitions. Nothing global, nothing on the
-    * driver.
-    */
   /** First/last-touch attribution: every conversion event is annotated
     * with the id of the user's FIRST touch event ever and the LAST
     * touch at-or-before the conversion (order (ts, ordId) — a touch in
@@ -155,6 +136,25 @@ object Analytics {
         col("v").as("value"), col("first_touch_id"), col("last_touch_id"))
   }
 
+  /** Time-series resample to a daily grid + last-observation-carried-
+    * forward: per key, every calendar day from the key's first to last
+    * active day; gap days (no events) carry the previous day's closing
+    * value. The missing-row repair every downstream rolling metric
+    * needs — a rolling average over a feed with holes silently shortens
+    * its denominator.
+    *
+    * Per (key, day): n_events = row count, close = value of the day's
+    * last event (ts desc, ordId desc — deterministic under ts ties).
+    * Grid days get n_events = 0, is_gap = true, value_locf = previous
+    * close.
+    *
+    * Scale shape: the daily rollup is ONE (key, day) shuffle (the
+    * row_number window and the aggregate share it); the grid explode is
+    * bounded by key-count x calendar span — independent of event volume,
+    * the whole point of resampling; the LOCF window partitions by key
+    * with calendar-bounded partitions. Nothing global, nothing on the
+    * driver.
+    */
   def gapFillLocf(df: DataFrame, key: Column, ts: Column, ordId: Column,
                   value: Column): DataFrame = {
     val base = df.select(key.as("k"), ts.as("ts"), ordId.as("oid"),

@@ -189,18 +189,6 @@ object Dedup {
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
 
-  /** Both directions of every in-bucket pair in ONE pass — for
-    * asymmetric metrics (containment). Emitting (a,b) AND (b,a) at the
-    * explode doubles the pair-agg input but avoids the alternative: a
-    * union of two aggregations over the same subtree, which runs the
-    * explode+count twice.
-    */
-  private def bucketPairsBoth(buckets: DataFrame): DataFrame =
-    buckets.select(explode(flatten(transform(col("docs"), x =>
-        transform(filter(col("docs"), y => y =!= x),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-
   /** N-gram Jaccard similar pairs (doc_a < doc_b, jaccard >= thr) over
     * DF-capped gram sets: grams appearing in more than `maxDf` documents
     * are removed from every set before pairing AND before the set sizes —
@@ -236,22 +224,33 @@ object Dedup {
     * detects documents CONTAINED in others (quotes, boilerplate
     * wrappers, subset pages), which symmetric Jaccard misses when the
     * containing doc is much larger. Emits BOTH directions of every
-    * overlapping pair that clears `thr`. Same DF-capped pair machinery
-    * as `ngramJaccard` (one gram shuffle, hot grams dropped), so the
-    * same linearity bound applies.
+    * overlapping pair that clears `thr` — but enumerates and aggregates
+    * each unordered pair ONCE (doc_a < doc_b, same machinery as
+    * `ngramJaccard`) and fans out to the two directions only after the
+    * shared-gram count is known: half the pair-explode volume and half
+    * the pair-agg shuffle of the emit-both-at-explode alternative. Same
+    * one-gram-shuffle / DF-cap linearity bound as `ngramJaccard`.
     */
   def containment(df: DataFrame, id: Column, text: Column,
                   n: Int, thr: Double, maxDf: Int): DataFrame = {
     val buckets = gramBuckets(gramSets(df, id, text, n), maxDf).cache()
     val sz = buckets.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val both = bucketPairsBoth(buckets)
+    val pairs = bucketPairs(buckets)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    both
-      .join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("shared").cast("double") / col("n_grams"), 4)
-          .as("containment"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_grams").as("na")),
+        "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")),
+        "doc_b")
+      .select(explode(array(
+        struct(col("doc_a").as("doc_a"), col("doc_b").as("doc_b"),
+          round(col("shared").cast("double") / col("na"), 4)
+            .as("containment")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          round(col("shared").cast("double") / col("nb"), 4)
+            .as("containment")))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.containment"))
       .filter(col("containment") >= thr)
   }
 
@@ -743,9 +742,13 @@ object Dedup {
       .join(t.select(col("doc_id").as("doc_a"), col("pre").as("pa")), "doc_a")
       .join(t.select(col("doc_id").as("doc_b"), col("pre").as("pb")), "doc_b")
       .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      // Two empty prefixes are identical by definition: sim = 10000 bp.
+      // Without the guard the m=0 denominator yields NULL (Spark) vs a
+      // division error (DuckDB) — a divergent edge in the contract.
       .withColumn("edit_sim_bp",
-        lit(10000L) - graft.functions.IntMath.halfUp(
-          col("edit_dist"), m.cast("long"), 10000L))
+        when(m === 0, lit(10000L)).otherwise(
+          lit(10000L) - graft.functions.IntMath.halfUp(
+            col("edit_dist"), m.cast("long"), 10000L)))
       .drop("pa", "pb")
   }
 }

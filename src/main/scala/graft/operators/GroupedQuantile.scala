@@ -45,9 +45,12 @@ object GroupedQuantile {
       .withColumn("r", rankOf(col("n")))
     val b = base.join(broadcast(stats.select("g", "lo", "hi")), "g")
       .withColumn("bkt", when(col("hi") === col("lo"), lit(0))
+        // Cast BEFORE subtracting: (v - lo) as raw longs overflows when
+        // the domain spans more than Long range; double subtraction
+        // keeps bucket monotonicity (rounding preserves order).
         .otherwise(least(lit(buckets - 1),
-          floor((col("v") - col("lo")).cast("double") /
-            (col("hi") - col("lo")).cast("double") * buckets)))
+          floor((col("v").cast("double") - col("lo").cast("double")) /
+            (col("hi").cast("double") - col("lo").cast("double")) * buckets)))
         .cast("int"))
       .drop("lo", "hi")
     val bc = b.groupBy("g", "bkt").agg(count(lit(1)).as("c"))

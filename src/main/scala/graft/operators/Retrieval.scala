@@ -73,6 +73,24 @@ object Retrieval {
           .as("rrf_score"))
   }
 
+  /** `rrfFuse` variant that CARRIES payload columns through the fusion:
+    * inputs are (id, rank, payload…) frames; output keeps every payload
+    * column from both sides plus rank_a / rank_b / rrf_score. Use this
+    * for corpus-sized full-list fusion — one key-keyed full-outer join
+    * (one shuffle per side), with no post-fuse payload re-join and thus
+    * no lazy re-derivation of the rankers.
+    */
+  def rrfFuseCarry(a: DataFrame, aId: String, aRank: String,
+                   b: DataFrame, bId: String, bRank: String,
+                   k: Int = 60): DataFrame = {
+    val l = a.withColumnRenamed(aId, "id").withColumnRenamed(aRank, "rank_a")
+    val r = b.withColumnRenamed(bId, "id").withColumnRenamed(bRank, "rank_b")
+    l.join(r, Seq("id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(intDiv(lit(1000000L), lit(k.toLong) + col("rank_a")), lit(0L)) +
+          coalesce(intDiv(lit(1000000L), lit(k.toLong) + col("rank_b")), lit(0L)))
+  }
+
   /** Ranks the top `n` rows of `df` by (`score` desc, `tie` asc) —
     * TakeOrdered prunes to n rows BEFORE the single-partition
     * row_number window, so the global window only ever sees n rows.

@@ -478,7 +478,7 @@ object Similarity {
       aggregate(a, lit(0.0), (acc, x) => acc + x * x)
     val lut = cents.select(col("c_lbl").as("bucket"), col("cv"))
       .join(qbuckets, col("bucket") === col("qbucket")).drop("qbucket")
-      .crossJoin(rcb.select(col("c_lbl").as("r_lbl"), col("cv").as("rv")))
+      .crossJoin(broadcast(rcb.select(col("c_lbl").as("r_lbl"), col("cv").as("rv"))))
       .crossJoin(broadcast(qrow.select(col("qv"))))
       .select(col("bucket"), col("r_lbl"), array((0 until numSub).map { m =>
         val recon = zip_with(

@@ -107,6 +107,77 @@ object Pipeline {
     transform(spark, views, conf)
   }
 
+  /** `run` under the reference DAG's operational contract (extract.py:
+    * 178-197): every task wrapped in bounded `Retry`. The retry of each
+    * stage is IDEMPOTENT:
+    *   - extract (lake append) is the one non-idempotent write, so each
+    *     batch attempt snapshots the lake file listing first and the
+    *     retry hook sweeps any paths a failed attempt left behind —
+    *     partial parquet parts AND stray partition dirs (which would
+    *     otherwise become phantom channels in `Lake.channels`) — before
+    *     re-running;
+    *   - warehouse load is truncate+reload (W2) and mart build is CTAS
+    *     overwrite (W5): re-running them is the operation itself.
+    * So a run that fails anywhere and retries produces the bit-identical
+    * mart of a failure-free run (PipelineSpec proves it with an injected
+    * mid-extract fault).
+    *
+    * @param taskProbe test seam (fault injection): invoked at the start
+    *                  of every attempt with the stage id, e.g.
+    *                  `extract#2`, `load`, `transform`. Production
+    *                  passes the default no-op.
+    */
+  def runWithRetries(spark: SparkSession,
+                     batches: Seq[(Timestamp, Seq[String])], conf: Config,
+                     attempts: Int = 3, delayMs: Long = 0L,
+                     taskProbe: String => Unit = _ => ()): DataFrame = {
+    deleteDir(spark, conf.lakePath)
+    spark.sql(s"DROP DATABASE IF EXISTS ${conf.database} CASCADE")
+    deleteDir(spark,
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/${conf.database}.db")
+    batches.zipWithIndex.foreach { case ((ts, jsons), i) =>
+      val keep = listPaths(spark, conf.lakePath)
+      Retry(s"extract#$i", attempts, delayMs,
+          onRetry = () => sweepExcept(spark, conf.lakePath, keep)) {
+        taskProbe(s"extract#$i")
+        extractBatch(spark, jsons, ts, conf)
+      }
+    }
+    val rawTables = Retry("load", attempts, delayMs) {
+      taskProbe("load"); loadWarehouse(spark, conf)
+    }
+    val views = registerStaging(spark, rawTables)
+    Retry("transform", attempts, delayMs) {
+      taskProbe("transform"); transform(spark, views, conf)
+    }
+  }
+
+  /** Every path (files AND directories) under `root`, recursively. */
+  private def listPaths(spark: SparkSession, root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        st.getPath.toString +: (if (st.isDirectory) walk(st.getPath) else Nil)
+      }
+    if (fs.exists(p)) walk(p).toSet else Set.empty
+  }
+
+  /** Delete every path under `root` not present in `keep` — deepest
+    * first, so a failed attempt's partition dirs go with their files.
+    */
+  private def sweepExcept(spark: SparkSession, root: String,
+                          keep: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listPaths(spark, root).diff(keep).toSeq
+      .sortBy(-_.length)
+      .foreach { s =>
+        val path = new org.apache.hadoop.fs.Path(s)
+        if (fs.exists(path)) { fs.delete(path, true); () }
+      }
+  }
+
   /** The 5-minute variant as a REAL incremental pipeline (SURVEY §3.3 /
     * optimized_extract.py:117-141): JSON response files dropped into
     * `jsonDir` become one micro-batch each (wholetext file source) —

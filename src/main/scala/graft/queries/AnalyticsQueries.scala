@@ -796,8 +796,9 @@ object AnalyticsQueries {
     // event type, over per-user consecutive-event gaps in integer
     // seconds — the "how often do users do X" profile. The gaps come
     // from one user-keyed lag; the percentiles from GroupedQuantile's
-    // distributed selection (thin-slice windows only). Gap identity
-    // carries (user_id, event_id) as the unique selection tiebreak.
+    // distributed selection (thin-slice windows only). The globally
+    // unique event_id is the selection tiebreak (no composite-key
+    // collision or overflow risk).
     Q("q162_cadence_percentiles",
       (s, d) => {
         import graft.operators.GroupedQuantile
@@ -809,7 +810,7 @@ object AnalyticsQueries {
             unix_timestamp(lag("ts", 1).over(w)))
           .filter(col("gap_s").isNotNull)
           .select(col("event_type").as("g"), col("gap_s").as("v"),
-            (col("user_id") * lit(10000000L) + col("event_id")).as("t"))
+            col("event_id").as("t"))
         val n = gaps.groupBy("g").agg(count(lit(1)).as("n_gaps"))
         val med = GroupedQuantile.kthSmallestLong(gaps, col("g"), col("v"),
             col("t"), GroupedQuantile.lowerMedianRank)
@@ -824,7 +825,7 @@ object AnalyticsQueries {
       },
       Some("""WITH gaps AS (SELECT event_type AS g,
         |    epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 AS v,
-        |    user_id * 10000000 + event_id AS t
+        |    event_id AS t
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
         |f AS (SELECT g, v, t FROM gaps WHERE v IS NOT NULL),

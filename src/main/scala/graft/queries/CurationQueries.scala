@@ -568,9 +568,8 @@ object CurationQueries {
         val tr = Rank.globalRank(tokc, "neg", "doc_id")
           .select(col("doc_id"), col("n_tokens"),
             col("global_rank").as("tok_rank"))
-        Retrieval.rrfFuse(nr, "doc_id", "nov_rank", tr, "doc_id", "tok_rank")
-          .join(nr.select(col("doc_id").as("id"), col("novelty_bp")), Seq("id"), "left")
-          .join(tr.select(col("doc_id").as("id"), col("n_tokens")), Seq("id"), "left")
+        Retrieval.rrfFuseCarry(nr, "doc_id", "nov_rank",
+            tr, "doc_id", "tok_rank")
           .select(col("id").as("doc_id"), col("novelty_bp"), col("n_tokens"),
             col("rank_a").as("nov_rank"), col("rank_b").as("tok_rank"),
             col("rrf_score"))

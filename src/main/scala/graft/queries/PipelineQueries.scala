@@ -336,6 +336,169 @@ object PipelineQueries {
         |ORDER BY view_id, click_id""".stripMargin),
       "stream-stream interval join across micro-batches, oracle-compared to batch"),
 
+    // q172 — the PRODUCTION shape of q95: the SAME interval join run
+    // with a minutes-scale watermark delay (30 min), the configuration
+    // a real deployment uses — join state is continuously evicted as
+    // the watermark advances instead of accumulating for the stream's
+    // lifetime (q95's cover-everything delay exists only for oracle
+    // determinism on an arbitrarily-split feed). Equality with the
+    // batch oracle holds because this feed arrives in EVENT-TIME ORDER:
+    // each side is split into 4 time-span chunk files processed
+    // oldest-first (mod-time ordered, one per micro-batch), so after
+    // chunk k the watermark sits at maxTs(k) - delay < minTs(k+1) —
+    // (a) no arriving row is ever watermark-late, and (b) a buffered
+    // view is evicted only once v_ts + gap < watermark, by which point
+    // every click that could match it (c_ts <= v_ts + gap) has already
+    // arrived and joined. The q80 bargain, applied to the join:
+    // bounded state, provably-complete output on an in-watermark feed.
+    // IntervalJoinSpec asserts the eviction itself (numRowsRemoved > 0,
+    // final state < total buffered) on the same shape.
+    Q("q172_stream_join_bounded",
+      (s, d) => {
+        val qname = s"graft_q172_sink_${streamSinkRuns.incrementAndGet()}"
+        // state partitions sized to key cardinality, as in q95
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+        val ev = Tables(s, d, "events")
+        // Write `df` as 4 event-time-span chunk files with strictly
+        // increasing modification times: the file source (latestFirst =
+        // false) processes oldest-mod-time first, so arrival order ==
+        // event-time order — the premise of the bounded-delay proof.
+        def writeOrdered(df: org.apache.spark.sql.DataFrame, tsCol: String,
+                         dir: String): Unit = {
+          val dirF = new java.io.File(dir)
+          org.apache.commons.io.FileUtils.deleteQuietly(dirF)
+          dirF.mkdirs()
+          val mm = df.agg(min(unix_micros(col(tsCol))).as("lo"),
+            max(unix_micros(col(tsCol))).as("hi")).head()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val span = (hi - lo) / 4 + 1
+          val tmp = graft.util.TmpDirs.perProcess("graft_q172_tmp")
+          (0 until 4).foreach { k =>
+            df.filter(unix_micros(col(tsCol)) >= lo + k * span &&
+                unix_micros(col(tsCol)) < lo + (k + 1) * span)
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).foreach { part =>
+                val dst = new java.io.File(dirF, f"chunk$k%02d.parquet")
+                java.nio.file.Files.move(part.toPath, dst.toPath,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                // deterministic arrival order even under same-ms writes
+                dst.setLastModified(1700000000000L + k * 60000L)
+              }
+          }
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        }
+        val feedV = graft.util.TmpDirs.perProcess("graft_q172_views")
+        val feedC = graft.util.TmpDirs.perProcess("graft_q172_clicks")
+        writeOrdered(ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("v_ts")), "v_ts", feedV)
+        writeOrdered(ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("c_ts")), "c_ts", feedC)
+        val vs = s.readStream.schema(s.read.parquet(feedV).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedV)
+        val cs = s.readStream.schema(s.read.parquet(feedC).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedC)
+        val joined = graft.streaming.IntervalJoin
+          .within(vs, "v_ts", cs, "c_ts", "user_id",
+            gap = "2 hours", delay = "30 minutes")
+          .select(col("l.user_id").as("user_id"), col("view_id"),
+            col("click_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        val query = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname).orderBy("view_id", "click_id")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY view_id, click_id""".stripMargin),
+      "bounded-state stream-stream join: 30-min watermark on a time-ordered feed, oracle-equal"),
+
+    // q173 — S1 through a REAL Spark source: the YouTube extract read
+    // via spark.read.format("graft-youtube") (DataSourceV2, one
+    // InputPartition per fetch unit, transport executed executor-side —
+    // sources/YoutubeSource.scala) instead of the driver-side
+    // Ingest.parseResponses seam. The fixture transport replays the
+    // same SyntheticChannels responses (one file per channel × batch),
+    // so the DuckDB oracle replays the flatten/drop/key-derivation
+    // pipeline over `customer` at the RAW level — counts still strings,
+    // publishedAt still ISO text — proving the source + declarative
+    // parse produce byte-identical extract rows. Batch wall-clock tags
+    // derive from the unit name (the production analogue: one batch
+    // per crawl run).
+    Q("q173_dsv2_extract",
+      (s, d) => {
+        val dir = new java.io.File(
+          graft.util.TmpDirs.perProcess("graft_q173_fixtures"))
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        dir.mkdirs()
+        val chans = SyntheticChannels.channels(s, d)
+        (1 to SyntheticChannels.nBatches).foreach { b =>
+          chans.foreach { c =>
+            java.nio.file.Files.writeString(
+              new java.io.File(dir, f"b$b%02d_c${c.k}%02d.json").toPath,
+              SyntheticChannels.json(c, b))
+          }
+        }
+        val raw = s.read.format("graft-youtube")
+          .option("path", dir.getPath).load()
+        val items = raw
+          .select(
+            regexp_extract(col("unit"), "b(\\d+)_c\\d+\\.json$", 1)
+              .cast("int").as("batch"),
+            from_json(col("value"), graft.model.Schemas.channelResponse)
+              .as("r"))
+          .select(col("batch"), explode(col("r.items")).as("item"))
+          .select(col("batch"), col("item.*"))
+        Flatten.loopdict(items)
+          .withColumn("timestamp",
+            expr("TIMESTAMP '2026-01-01 12:00:00' + (batch - 1) * INTERVAL '1' DAY"))
+          .drop(graft.ingest.Ingest.dropCols: _*)
+          .select(
+            graft.ingest.Ingest.channelKey(col("title")).as("channel_key"),
+            col("title"), col("customUrl"), col("publishedAt"), col("url"),
+            col("country"), col("viewCount"), col("subscriberCount"),
+            col("videoCount"), col("madeForKids"), col("timestamp"))
+          .orderBy("title", "timestamp")
+      },
+      Some("""WITH chan AS (
+        |  SELECT c_custkey AS k, c_name, c_nationkey, c_acctbal,
+        |    replace(c_name, '#', ' ')
+        |      || CASE WHEN c_custkey = 2 THEN '-Kids/HD' ELSE '' END AS title
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 7),
+        |b AS (SELECT unnest(generate_series(1, 3)) AS batch)
+        |SELECT
+        |  array_to_string(string_split(
+        |    string_split(replace(title, '-', ' '), '/')[1], ' '), '_')
+        |    AS channel_key,
+        |  title,
+        |  '@' || lower(c_name) AS customUrl,
+        |  '2010-01-0' || CAST(k + 1 AS VARCHAR) || 'T00:00:00Z' AS publishedAt,
+        |  'https://img/' || CAST(k AS VARCHAR) || '/default.jpg' AS url,
+        |  CASE WHEN k = 3 THEN NULL
+        |       ELSE 'C' || CAST(c_nationkey AS VARCHAR) END AS country,
+        |  CASE WHEN k = 5 THEN 'N/A'
+        |       ELSE CAST(CAST(floor(c_acctbal * 100) AS BIGINT)
+        |         + 1000000 * batch AS VARCHAR) END AS viewCount,
+        |  CAST(k * 100 + batch AS VARCHAR) AS subscriberCount,
+        |  CAST(k * 10 + batch AS VARCHAR) AS videoCount,
+        |  c_acctbal > 0 AS madeForKids,
+        |  TIMESTAMP '2026-01-01 12:00:00' + INTERVAL (batch - 1) DAY AS "timestamp"
+        |FROM chan, b
+        |ORDER BY title, "timestamp"""".stripMargin),
+      "S1 as a DataSourceV2: graft-youtube source (executor-side pluggable transport), raw extract oracle"),
+
     // q101 — streaming INCREMENTAL AGGREGATE MAINTENANCE: the q99
     // algebraic-partials warehouse pattern driven by a real stream.
     // foreachBatch aggregates each micro-batch (3 single-file batches)
@@ -563,7 +726,7 @@ object PipelineQueries {
         def report(name: String, df: org.apache.spark.sql.DataFrame) = {
           val purged = df.join(broadcast(dels), Seq("user_id"), "left_semi")
           df.agg(lit(name).as("table_name"), count(lit(1)).as("rows_before"))
-            .crossJoin(purged.agg(count(lit(1)).as("rows_purged")))
+            .crossJoin(broadcast(purged.agg(count(lit(1)).as("rows_purged"))))
             .select(col("table_name"), col("rows_before"), col("rows_purged"),
               (col("rows_before") - col("rows_purged")).as("rows_after"))
         }

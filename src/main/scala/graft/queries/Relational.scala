@@ -1030,7 +1030,7 @@ object Relational {
             "left_anti")
           fact.agg(lit(name).as("relationship"),
               count(lit(1)).as("n_fact_rows"))
-            .crossJoin(o.agg(count(lit(1)).as("n_orphans")))
+            .crossJoin(broadcast(o.agg(count(lit(1)).as("n_orphans"))))
             .select(col("relationship"), col("n_fact_rows"), col("n_orphans"),
               (col("n_orphans") === 0).as("fk_valid"))
         }

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The S1 REST-API source as a REAL Spark source: a DataSourceV2
+  * `TableProvider` registered as `graft-youtube`, replacing the driver-
+  * side `Ingest.parseResponses` seam as the entry point for YouTube
+  * `channels().list` responses (reference: the live-API fetch at
+  * /root/reference/dags/extract.py:69-83).
+  *
+  * The TRANSPORT is the pluggable part: `listUnits` enumerates fetch
+  * units on the driver at plan time (one InputPartition each — a unit is
+  * a channel id / page in production, a fixture file here), and `fetch`
+  * runs INSIDE each partition's reader, i.e. on the executors — the
+  * shape that distributes a 10k-channel crawl across a cluster instead
+  * of serializing it through the driver. The sandbox has no network, so
+  * the default transport replays fixture files; a live deployment drops
+  * in an HTTP transport behind the same two methods (`transport` option
+  * = fully-qualified class name, zero-arg constructor).
+  *
+  * Rows are `(unit, value)` — provenance + the raw response document.
+  * Parsing stays declarative downstream (`from_json` with the explicit
+  * schema, then the P1-P7 flatten pipeline), so Catalyst sees through
+  * everything after the fetch.
+  */
+trait YoutubeTransport extends Serializable {
+  /** Enumerate fetch units (driver-side, metadata-cheap). */
+  def listUnits(options: Map[String, String]): Seq[String]
+
+  /** Fetch one unit's raw JSON document (executor-side). */
+  def fetch(unit: String, options: Map[String, String]): String
+}
+
+/** Fixture-backed transport: units are the `*.json` files under `path`
+  * (sorted by name for deterministic partition order). `path` must be
+  * visible to executors — shared storage on a real cluster.
+  */
+class FixtureTransport extends YoutubeTransport {
+  override def listUnits(options: Map[String, String]): Seq[String] = {
+    val dir = new java.io.File(options.getOrElse("path",
+      sys.error("graft-youtube: 'path' option is required by FixtureTransport")))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json")).map(_.getPath).sorted.toSeq
+  }
+
+  override def fetch(unit: String, options: Map[String, String]): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(unit)), java.nio.charset.StandardCharsets.UTF_8)
+}
+
+object YoutubeDataSource {
+  val SHORT_NAME = "graft-youtube"
+
+  /** One row per fetched unit: provenance + raw response document. */
+  val schema: StructType = StructType(Seq(
+    StructField("unit", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  def transportFor(options: Map[String, String]): YoutubeTransport =
+    Class.forName(options.getOrElse("transport", classOf[FixtureTransport].getName))
+      .getDeclaredConstructor().newInstance().asInstanceOf[YoutubeTransport]
+}
+
+class YoutubeDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = YoutubeDataSource.SHORT_NAME
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    YoutubeDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new YoutubeTable
+}
+
+class YoutubeTable extends Table with SupportsRead {
+  override def name(): String = YoutubeDataSource.SHORT_NAME
+  override def schema(): StructType = YoutubeDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+    new ScanBuilder { override def build(): Scan = new YoutubeScan(opts) }
+  }
+}
+
+final case class YoutubeInputPartition(unit: String) extends InputPartition
+
+class YoutubeScan(options: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = YoutubeDataSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    YoutubeDataSource.transportFor(options).listUnits(options)
+      .map(YoutubeInputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new YoutubeReaderFactory(options)
+}
+
+class YoutubeReaderFactory(options: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val unit = p.asInstanceOf[YoutubeInputPartition].unit
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          val doc = YoutubeDataSource.transportFor(options).fetch(unit, options)
+          row = InternalRow(UTF8String.fromString(unit), UTF8String.fromString(doc))
+          emitted = true
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -56,6 +56,60 @@ class PipelineSpec extends SparkSpec {
     assert(views.exists(_.endsWith("_stg")))
   }
 
+  test("retry after an injected mid-extract fault yields the identical mart") {
+    // Baseline: failure-free run.
+    val want = runWith("retry_base", csv = false)
+      .collect().map(_.toString).sorted
+    // Faulted run: batch 1's first extract attempt leaves a PARTIAL
+    // lake write behind — a stray parquet part inside a phantom
+    // channel partition — then dies. The retry hook must sweep it
+    // (file AND dir) before the re-attempt, or the phantom channel
+    // becomes a warehouse table and the mart diverges.
+    val lake = scratch("pipe_lake_retry_flaky")
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probe: String => Unit = {
+      case "extract#1" if !failed.getAndSet(true) =>
+        val junkDir = new java.io.File(s"$lake/channel_key=PHANTOM")
+        junkDir.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(junkDir, "part-junk.parquet").toPath, "partial")
+        sys.error("injected extract fault")
+      case _ => ()
+    }
+    val mart = Pipeline.runWithRetries(spark, batches,
+      Pipeline.Config(lakePath = lake, database = "ytanalytics_retry_flaky"),
+      attempts = 3, taskProbe = probe)
+    assert(failed.get(), "fault was never injected")
+    assert(mart.collect().map(_.toString).sorted === want)
+    // the phantom partition must not have survived into the warehouse
+    val tables = spark.sql("SHOW TABLES IN ytanalytics_retry_flaky")
+      .collect().map(_.getString(1))
+    assert(!tables.exists(_.toLowerCase.contains("phantom")), tables.toSeq)
+  }
+
+  test("retries are bounded: attempts exhausted rethrows the last failure") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry("always-fails", attempts = 3) { calls += 1; sys.error(s"boom $calls") }
+    }
+    assert(calls === 3)
+    assert(e.getMessage === "boom 3")
+  }
+
+  test("catchup=false runs only the latest pending batch (extract.py:196)") {
+    def ts(d: Int) = SyntheticChannels.batchTs(d)
+    val pending = Seq(ts(1) -> "a", ts(2) -> "b", ts(3) -> "c")
+    // no prior run, no catchup: latest only — the reference's choice
+    assert(Retry.selectBatches(pending, None, catchup = false) ===
+      Seq(ts(3) -> "c"))
+    // catchup replays the full missed backlog after lastRun
+    assert(Retry.selectBatches(pending, Some(ts(1)), catchup = true) ===
+      Seq(ts(2) -> "b", ts(3) -> "c"))
+    // nothing pending after lastRun: both modes are a no-op
+    assert(Retry.selectBatches(pending, Some(ts(3)), catchup = false) === Nil)
+    assert(Retry.selectBatches(pending, Some(ts(3)), catchup = true) === Nil)
+  }
+
   test("streaming extract (5-min variant) fills the same lake as batch extract") {
     import org.apache.spark.sql.streaming.Trigger
     val jsonDir = scratch("stream_json"); val cp = scratch("stream_cp")

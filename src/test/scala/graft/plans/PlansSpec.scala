@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SimpleMode
+import graft.{SparkSpec, SparkEntry}
+
+/** Executable plan contracts: the "must hold" properties PLANS.md states
+  * for the headline queries, asserted against the actual physical plans
+  * so a plan regression (lost pushdown, lost broadcast, lost map-side
+  * combine) fails the build instead of shipping silently. Substring
+  * checks are deliberately coarse — they pin the plan SHAPE (which
+  * operator/exchange kinds appear), not the volatile details (ids,
+  * partition counts, AQE re-sizing).
+  */
+class PlansSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    // default 100-char metadata truncation would cut PushedFilters
+    // mid-list and make the contracts vacuously fail
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+    finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
+  private def occurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q01: segment predicates pushed to every scan; shuffle-free until the sort") {
+    val p = plan("q01_mart_cast_union")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,"),
+      "segment filter not pushed to the parquet scan")
+    // the ONLY exchange is the determinism sort's rangepartitioning —
+    // a hashpartitioning exchange here would mean the union shuffles
+    assert(occurrences(p, "Exchange hashpartitioning") === 0,
+      s"unexpected hash exchange in a cast-project union:\n$p")
+  }
+
+  test("q04: filter pushdown + column pruning reach the lineitem scan") {
+    val p = plan("q04_filter_pushdown")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate lower bound not pushed")
+    assert(p.contains("GreaterThan(l_discount"), "discount filter not pushed")
+    // pruning: the 16-column lineitem scan must read only the 5 involved
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      "uninvolved columns not pruned from ReadSchema")
+  }
+
+  test("q09: map-side partial aggregation before a single group exchange") {
+    val p = plan("q09_agg_pricing_summary")
+    assert(p.contains("partial_sum"), "no map-side combine (partial_sum missing)")
+    assert(p.contains("partial_avg"), "no map-side combine (partial_avg missing)")
+    assert(occurrences(p, "Exchange hashpartitioning") === 1,
+      s"expected exactly one group exchange:\n$p")
+  }
+
+  test("q10: dims behind BroadcastExchange; fact never shuffled before the agg") {
+    val p = plan("q10_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), "dim joins are not broadcast joins")
+    assert(occurrences(p, "BroadcastExchange") >= 2,
+      "expected both dims behind BroadcastExchange")
+    assert(occurrences(p, "Exchange hashpartitioning") === 1,
+      s"fact side shuffled before the aggregate:\n$p")
+  }
+
+  test("q151: star dim chain broadcast; filters pushed; one group exchange") {
+    val p = plan("q151_star_join_revenue")
+    assert(occurrences(p, "BroadcastExchange") >= 3,
+      "region->nation->customer chain not fully behind BroadcastExchange")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date filter not pushed to the orders scan")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region filter not pushed to the region scan")
+    // at sf0.001 even the fact join broadcasts, so the only hash
+    // exchange tolerated is the revenue aggregate's
+    assert(occurrences(p, "Exchange hashpartitioning") <= 1,
+      s"unexpected extra shuffles in the star join:\n$p")
+  }
+}

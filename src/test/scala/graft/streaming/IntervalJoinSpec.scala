@@ -47,4 +47,63 @@ class IntervalJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 10L, 20L), (1L, 11L, 21L)))
   }
+
+  /** The q172 production shape: a minutes-scale watermark on a feed
+    * whose chunk files arrive in event-time order must (a) still emit
+    * the complete batch-equal match set and (b) actually EVICT buffered
+    * state once the watermark passes v_ts + gap — the property that
+    * bounds state on an infinite stream. Chunk 2 sits 4 h after chunk 1,
+    * far beyond gap (1 h) + delay (10 min), so chunk 1's rows must be
+    * gone from the state store by the final progress report.
+    */
+  test("bounded delay on a time-ordered feed: complete output, state evicted") {
+    import spark.implicits._
+    def writeChunk(rows: org.apache.spark.sql.DataFrame, dir: String,
+                   k: Int): Unit = {
+      val tmp = scratch(s"ij_b_tmp_$k")
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dirF = new java.io.File(dir); dirF.mkdirs()
+      new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { part =>
+          val dst = new java.io.File(dirF, f"chunk$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1700000000000L + k * 60000L)
+        }
+    }
+    val vDir = scratch("ij_b_views"); val cDir = scratch("ij_b_clicks")
+    // chunk 0: morning; chunk 1: 4h later — crosses gap+delay horizon
+    writeChunk(Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 11L, ts("2024-01-01 10:05:00")))
+      .toDF("user_id", "view_id", "v_ts"), vDir, 0)
+    writeChunk(Seq((1L, 12L, ts("2024-01-01 14:30:00")))
+      .toDF("user_id", "view_id", "v_ts"), vDir, 1)
+    writeChunk(Seq((1L, 20L, ts("2024-01-01 10:20:00")))
+      .toDF("user_id", "click_id", "c_ts"), cDir, 0)
+    writeChunk(Seq((1L, 21L, ts("2024-01-01 14:45:00")))
+      .toDF("user_id", "click_id", "c_ts"), cDir, 1)
+    val vSchema = spark.read.parquet(vDir).schema
+    val cSchema = spark.read.parquet(cDir).schema
+    val vs = spark.readStream.schema(vSchema)
+      .option("maxFilesPerTrigger", "1").parquet(vDir)
+    val cs = spark.readStream.schema(cSchema)
+      .option("maxFilesPerTrigger", "1").parquet(cDir)
+    val q = IntervalJoin.within(vs, "v_ts", cs, "c_ts", "user_id",
+        gap = "1 hour", delay = "10 minutes")
+      .select(col("l.user_id").as("user_id"), col("view_id"), col("click_id"))
+      .writeStream.format("memory").queryName("ij_bounded_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ij_bounded_sink")
+      .orderBy("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // complete batch-equal match set despite the 10-min delay
+    assert(got.toSeq === Seq((1L, 10L, 20L), (1L, 12L, 21L)))
+    val sops = q.recentProgress.toSeq.flatMap(_.stateOperators)
+    val removed = sops.map(_.numRowsRemoved).sum
+    val finalRows = q.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(removed > 0, s"expected state eviction, progress: $sops")
+    // 5 rows entered the join state; the final store must hold fewer
+    assert(finalRows < 5, s"state not bounded: $finalRows rows retained")
+  }
 }

@@ -254,6 +254,79 @@ object Dedup {
       .filter(col("containment") >= thr)
   }
 
+  /** PREFIX-FILTERED set-similarity join (the PPJoin/AllPairs candidate
+    * strategy, Xiao et al. / Bayardo et al.) over n-GRAM sets: the
+    * LOSSLESS alternative to `ngramJaccard`'s DF cap. Order each
+    * document's distinct gram set by global document frequency
+    * ascending (rarest first, gram as tiebreak); for Jaccard >= thr
+    * only the first |x| - ceil(thr·|x|) + 1 grams — the PREFIX — can
+    * witness a qualifying pair, so only prefixes are indexed. Hot
+    * (boilerplate) grams sit at the END of every ordering and almost
+    * never enter a prefix: they prune themselves, instead of the cap
+    * discarding them (and their pairs) outright. Candidates sharing a
+    * prefix gram are verified by exact Jaccard over the full sets.
+    *
+    * Scale shape: one DF aggregation (map-side combined), one doc-keyed
+    * window for the (df, gram) rank (set size rides along from the
+    * gram array — no second window), prefix postings via the same
+    * bounded-list bucket
+    * machinery (maxPost caps a pathological prefix posting; at sane
+    * thresholds prefixes hold only rare grams, so the cap is slack,
+    * not a filter), pair verification keyed on doc ids. No self-join
+    * of the gram table, no all-pairs anywhere.
+    *
+    * Output: doc_a < doc_b, n_a, n_b, shared, jaccard (4dp, threshold
+    * on the rounded value) — EXACT Jaccard pairs at `thr`, no cap
+    * distortion.
+    */
+  def prefixJaccard(df: DataFrame, id: Column, text: Column, n: Int,
+                    thr: Double, maxPost: Int): DataFrame = {
+    // Grams hashed per-gram to longs at the source (the q23/q24
+    // xxhash64 bargain, P[collision] ≈ G²/2⁶⁵): every downstream
+    // stage — df counts, rank ordering (df asc, hash as tiebreak),
+    // postings, verify intersect — moves 8-byte longs, not ~25-byte
+    // strings. Cached for the query's duration: THREE branches (df
+    // counts, rank join, verify) read it, and a dedup campaign at
+    // scale materializes its gram table once for the same reason
+    // (released by the runner's clearCache).
+    val grams = gramSets(df, id, text, n)
+      .select(col("doc_id"),
+        transform(col("grams"), g => xxhash64(g)).as("grams"))
+      .cache()
+    val tok = grams.select(col("doc_id"),
+      size(col("grams")).cast("long").as("sz"),
+      explode(col("grams")).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)
+    val ranked = tok.join(dfreq, "token")
+      .withColumn("rn", row_number().over(wDoc))
+    // prefix length = |x| - ceil(thr·|x|) + 1. thr is carried as exact
+    // basis points (math.round, never thr*10000 cast — 0.6*10000 is
+    // 5999.999… in IEEE) and the ceil is pure long arithmetic.
+    val thrBp = math.round(thr * 10000)
+    val need = graft.functions.IntMath.intDiv(
+      lit(thrBp) * col("sz") + lit(9999L), lit(10000L))
+    val prefix = ranked.filter(col("rn") <= col("sz") - need + 1)
+    val cand = bucketPairs(
+      prefix.groupBy(col("token"))
+        .agg(graft.functions.BoundedLongList(col("doc_id"), maxPost).as("docs"))
+        .filter(col("docs").isNotNull)
+        .select(sort_array(col("docs")).as("docs")))
+      .distinct()
+    val sets = grams.select(col("doc_id"), array_sort(col("grams")).as("toks"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ta")).cast("long").as("n_a"),
+        size(col("tb")).cast("long").as("n_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("shared"))
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= thr)
+  }
+
   /** MinHash + LSH near-dup pairs, verified by exact Jaccard over the
     * full gram sets. numPerm permutations split into `bands` bands;
     * band-buckets larger than `maxBucket` docs are discarded before

@@ -154,6 +154,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF ANN served from a PERSISTED bucket-partitioned index — the
+    * 100 TB serving layout: the build writes (vec_id, v) PARTITIONED BY
+    * the assigned coarse bucket, and the probe reads back through a
+    * bucket filter that Spark resolves as a PartitionFilter — the
+    * non-probed buckets are pruned at the FILE level (no IO at all,
+    * not merely no compute), which is what makes a billion-vector
+    * index servable: each query touches nprobe/k_clusters of the
+    * storage. Same quantizer, assignment and tiebreaks as `ivfTopK`,
+    * so the result equals the in-memory probe bit-for-bit. The nprobe
+    * bucket labels are collected driver-side — bounded by nprobe, the
+    * broadcast-small bargain.
+    */
+  def ivfTopKPartitioned(df: DataFrame, id: Column, vec: Column,
+                         label: Column, queryId: Long, k: Int, nprobe: Int,
+                         buildSamplePerMille: Int, buildSampleSeed: Int,
+                         indexDir: String): DataFrame = {
+    ArrayCosine.register(df.sparkSession)
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+    val trainSet =
+      if (buildSamplePerMille == 1000) e
+      else e.filter(graft.functions.TextFunctions
+        .hash60(col("vec_id").cast("string"), buildSampleSeed)
+        % 1000 < buildSamplePerMille)
+    val cents = centroidsWide(trainSet)
+    val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    // BUILD: the index at rest — one bucket directory per coarse cell
+    assignToNearest(e.drop("lbl"), cents)
+      .filter(col("vec_id") =!= queryId)
+      .write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+    // PROBE: nprobe labels (driver-bounded), partition-pruned read-back
+    val probes = nearestBuckets(cents, qv, nprobe)
+      .collect().map(_.get(0)).toSeq
+    df.sparkSession.read.parquet(indexDir)
+      .filter(col("bucket").isin(probes: _*))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Wide per-label centroids (c_lbl, cv) from a (v, lbl) training set —
     * the IVF coarse-quantizer build, rounded 6dp so every engine agrees
     * on the quantizer bit-for-bit.

@@ -728,6 +728,38 @@ object DedupQueries {
         |    AS n_violations,
         |  sum(CASE WHEN a <> b THEN 1 ELSE 0 END) = 0 AS all_idempotent
         |FROM n2""".stripMargin),
-      "corpus-wide idempotence proof of the normalization chain (property as a query)")
+      "corpus-wide idempotence proof of the normalization chain (property as a query)"),
+
+    // q174 — PREFIX-FILTERED set-similarity join (PPJoin/AllPairs
+    // candidate strategy) over 3-gram sets: q23's Jaccard join with
+    // the DF cap REMOVED — only each doc's rare-gram PREFIX under the
+    // global df order is indexed (hot boilerplate grams sort last and
+    // prune themselves), candidates verified by exact Jaccard over the
+    // full gram sets. The oracle is the direct CAP-FREE all-pairs
+    // exact Jaccard at the threshold: equality proves the prefix
+    // filter dropped nothing — the lossless counterpart to q23's
+    // accepted cap distortion. maxPost is set above the corpus doc
+    // count, i.e. provably slack — pure lossless mode.
+    Q("q174_prefix_jaccard",
+      (s, d) => Dedup.prefixJaccard(Tables(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, thr = 0.6, maxPost = 1000000)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$gramCtes,
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(shared AS BIGINT) AS shared,
+        |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4)
+        |    AS jaccard
+        |FROM p JOIN sz sa ON doc_a = sa.doc_id
+        |       JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4)
+        |  >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "prefix-filtered gram-set similarity join: lossless PPJoin-style candidates (q23 without the cap)")
   )
 }

@@ -365,6 +365,9 @@ object PipelineQueries {
         // increasing modification times: the file source (latestFirst =
         // false) processes oldest-mod-time first, so arrival order ==
         // event-time order — the premise of the bounded-delay proof.
+        // ONE partitioned write job per side (chunk = time-span bucket),
+        // then the parts are renamed into the feed dir with pinned
+        // mtimes — not 4 sequential filtered writes.
         def writeOrdered(df: org.apache.spark.sql.DataFrame, tsCol: String,
                          dir: String): Unit = {
           val dirF = new java.io.File(dir)
@@ -375,17 +378,20 @@ object PipelineQueries {
           val (lo, hi) = (mm.getLong(0), mm.getLong(1))
           val span = (hi - lo) / 4 + 1
           val tmp = graft.util.TmpDirs.perProcess("graft_q172_tmp")
+          df.withColumn("chunk",
+              ((unix_micros(col(tsCol)) - lo) / span).cast("int"))
+            .repartition(col("chunk"))
+            .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
           (0 until 4).foreach { k =>
-            df.filter(unix_micros(col(tsCol)) >= lo + k * span &&
-                unix_micros(col(tsCol)) < lo + (k + 1) * span)
-              .coalesce(1).write.mode("overwrite").parquet(tmp)
-            new java.io.File(tmp).listFiles()
-              .filter(_.getName.endsWith(".parquet")).foreach { part =>
-                val dst = new java.io.File(dirF, f"chunk$k%02d.parquet")
+            val partDir = new java.io.File(tmp, s"chunk=$k")
+            Option(partDir.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+              .zipWithIndex.foreach { case (part, i) =>
+                val dst = new java.io.File(dirF, f"chunk$k%02d-$i%d.parquet")
                 java.nio.file.Files.move(part.toPath, dst.toPath,
                   java.nio.file.StandardCopyOption.REPLACE_EXISTING)
                 // deterministic arrival order even under same-ms writes
-                dst.setLastModified(1700000000000L + k * 60000L)
+                dst.setLastModified(1700000000000L + k * 60000L + i)
               }
           }
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))

@@ -785,6 +785,38 @@ object SimilarityQueries {
         |SELECT method, n_scanned, tot.n_corpus,
         |  (2 * n_scanned * 10000 + n_corpus) // (2 * n_corpus) AS scan_bp
         |FROM m, tot ORDER BY method""".stripMargin),
-      "ANN scan-cost table: candidates scored per method, exact bp of corpus")
+      "ANN scan-cost table: candidates scored per method, exact bp of corpus"),
+
+    // q175 — IVF ANN from a PERSISTED bucket-PARTITIONED index: the
+    // build writes the assigned corpus partitioned by coarse bucket
+    // (the serving layout), the probe READS BACK through a bucket
+    // filter Spark resolves as a PartitionFilter — non-probed buckets
+    // are pruned at the FILE level, no IO. Result must equal the
+    // in-memory IVF probe (same quantizer/assignment/tiebreaks as
+    // q38/q75), which is exactly what the oracle replays — storage
+    // layout is an execution detail the answer cannot see.
+    Q("q175_ann_ivf_partitioned",
+      (s, d) => Similarity.ivfTopKPartitioned(Tables(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), col("label"), queryId = 7L,
+        k = 10, nprobe = 2, buildSamplePerMille = 1000,
+        buildSampleSeed = 0,
+        indexDir = graft.util.TmpDirs.perProcess("graft_q175_ivf")),
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
+        |c AS (SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim),
+        |cw AS (SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM c GROUP BY lbl),
+        |a AS (SELECT vec_id, v, c_lbl,
+        |    round(list_cosine_similarity(v, cv), 4) AS sim
+        |  FROM e, cw
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_lbl) = 1),
+        |qv AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |qb AS (SELECT c_lbl AS qbucket FROM cw, qv
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY round(list_cosine_similarity(cv, qv), 4) DESC, c_lbl) <= 2)
+        |SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |FROM a JOIN qb ON a.c_lbl = qb.qbucket, qv WHERE vec_id <> 7
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+      "IVF ANN over a persisted bucket-partitioned index (file-level partition pruning)")
   )
 }

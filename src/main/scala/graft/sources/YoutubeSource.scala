@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,6 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Parsing stays declarative downstream (`from_json` with the explicit
   * schema, then the P1-P7 flatten pipeline), so Catalyst sees through
   * everything after the fetch.
+  *
+  * Also a MICRO_BATCH_READ stream: `spark.readStream.format("graft-
+  * youtube")` polls `listUnits` per trigger and drains only the units
+  * beyond the checkpointed offset — the reference's 5-minute polling
+  * DAG (optimized_extract.py:117-141) as a Structured Streaming source
+  * with exactly-once pickup (see `YoutubeMicroBatchStream`).
   */
 trait YoutubeTransport extends Serializable {
   /** Enumerate fetch units (driver-side, metadata-cheap). */
@@ -85,7 +92,8 @@ class YoutubeTable extends Table with SupportsRead {
   override def name(): String = YoutubeDataSource.SHORT_NAME
   override def schema(): StructType = YoutubeDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asCaseSensitiveMap().asScala.toMap
@@ -105,6 +113,55 @@ class YoutubeScan(options: Map[String, String]) extends Scan with Batch {
 
   override def createReaderFactory(): PartitionReaderFactory =
     new YoutubeReaderFactory(options)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new YoutubeMicroBatchStream(options)
+}
+
+/** Offset = count of units consumed from the transport's stable-sorted
+  * unit list. Valid because the listing is APPEND-ONLY in sort order
+  * within a run (a poll appending new response pages / fixture files);
+  * already-consumed prefixes never reorder. This is the reference's
+  * 5-minute polling loop (optimized_extract.py:117-141) as a Spark
+  * micro-batch source: each trigger drains the units that appeared
+  * since the last committed offset, exactly-once via the checkpoint.
+  */
+final case class YoutubeOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+class YoutubeMicroBatchStream(options: Map[String, String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private def units: Seq[String] =
+    YoutubeDataSource.transportFor(options).listUnits(options)
+
+  // Trigger.AvailableNow contract: pin the backlog end at query start
+  // so the drain terminates even while new units keep appearing.
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(units.size)
+
+  override def initialOffset(): Offset = YoutubeOffset(0)
+  // SupportsAdmissionControl route: the engine calls the 2-arg form
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    YoutubeOffset(availableNowTarget.getOrElse(units.size))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def deserializeOffset(json: String): Offset =
+    YoutubeOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[YoutubeOffset].n,
+      end.asInstanceOf[YoutubeOffset].n)
+    units.slice(s, e).map(YoutubeInputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new YoutubeReaderFactory(options)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class YoutubeReaderFactory(options: Map[String, String])

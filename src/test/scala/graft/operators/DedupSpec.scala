@@ -245,4 +245,36 @@ class DedupSpec extends SparkSpec {
     // both truncate to the same 120-char prefix → distance 0, sim 10000
     assert(got(3L) === ((0L, 10000L)))
   }
+
+  test("prefixJaccard is lossless: equals brute-force gram Jaccard at the threshold") {
+    import spark.implicits._
+    // boilerplate tail ("copyright acme corp") shared by every doc —
+    // under the DF-cap strategy those hot grams need the cap; under
+    // prefix filtering they sort last in every doc's rare-first order
+    // and prune themselves, losing nothing
+    val texts = Map(
+      1L -> "alpha beta gamma delta copyright acme corp",
+      2L -> "alpha beta gamma delta epsilon copyright acme corp",
+      3L -> "one two three four copyright acme corp",
+      4L -> "one two three four copyright acme corp", // dup of 3 → J=1
+      5L -> "something else entirely copyright acme corp")
+    val d = docs(texts.toSeq.sortBy(_._1): _*)
+    val got = Dedup.prefixJaccard(d, col("doc_id"), col("text"),
+        n = 3, thr = 0.35, maxPost = 1000)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // brute force over all pairs of exact 3-gram sets at thr=0.35
+    def grams(s: String) =
+      s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = grams(texts(a)); sb = grams(texts(b))
+      j = math.rint(sa.intersect(sb).size.toDouble /
+        sa.union(sb).size * 10000) / 10000
+      if j >= 0.35
+    } yield (a, b, j)).toSeq.sorted
+    assert(want.nonEmpty && want.exists(_._3 < 1.0),
+      s"fixture must exercise a non-trivial near-dup pair: $want")
+    assert(got === want)
+  }
 }

@@ -203,4 +203,26 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("ivfTopKPartitioned == ivfTopK, and the probe scan is partition-pruned") {
+    val idx = scratch("ivf_part_idx")
+    val part = Similarity.ivfTopKPartitioned(emb, col("vec_id"),
+      col("embedding"), col("label"), queryId = 0L, k = 10, nprobe = 2,
+      buildSamplePerMille = 1000, buildSampleSeed = 0, indexDir = idx)
+    val mem = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      col("label"), queryId = 0L, k = 10, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // storage layout is an execution detail: identical answer
+    assert(rows(part) === rows(mem))
+    // the bucket filter must reach the scan as a PARTITION filter
+    // (file-level pruning), not a data filter
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe not partition-pruned:\n$plan")
+    // and the index at rest is one directory per coarse bucket
+    val bucketDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+  }
 }

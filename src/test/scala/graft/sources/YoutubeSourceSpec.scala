@@ -37,6 +37,36 @@ class YoutubeSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions === 4)
   }
 
+  test("micro-batch stream: checkpointed polls consume only new units, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = new java.io.File(scratch("yt_src_stream")); dir.mkdirs()
+    val ckpt = scratch("yt_src_stream_ckpt")
+    val out = scratch("yt_src_stream_out")
+    def addFiles(range: Range): Unit = range.foreach { i =>
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, f"resp$i%02d.json").toPath, s"""{"doc":$i}""")
+    }
+    // durable sink + shared checkpoint: the restart resumes from the
+    // committed offset (a memory sink cannot recover from checkpoint)
+    def drain(): Unit =
+      spark.readStream.format("graft-youtube")
+        .option("path", dir.getPath).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    addFiles(1 to 2)
+    drain()
+    assert(spark.read.parquet(out).count() === 2)
+    // poll 2: two NEW units appear; the restarted query must emit only
+    // those (offset = consumed-prefix length, restored from checkpoint)
+    addFiles(3 to 4)
+    drain()
+    val got = spark.read.parquet(out).orderBy("unit")
+      .collect().map(_.getString(1)).toSeq
+    assert(got === (1 to 4).map(i => s"""{"doc":$i}"""))
+  }
+
   test("transport option swaps the fetch implementation") {
     val df = spark.read.format("graft-youtube")
       .option("transport", classOf[CannedTransport].getName)

@@ -363,6 +363,37 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-FREE train/val/test split: the `trainValTestSplit` hash
+    * gate applied to the doc's near-dup CLUSTER ROOT instead of the doc
+    * itself, so every member of a near-dup cluster lands in the SAME
+    * split — the guard against eval contamination, where a paraphrase
+    * of a test document hides in train and silently inflates every
+    * benchmark it touches. Docs absent from `clusters` are singletons
+    * and key on their own id (identical to the plain split).
+    *
+    * `clusters` is any (doc_id, cluster_id) frame — e.g.
+    * `Dedup.dupClusters` output. Scale shape: one doc-keyed equi-join
+    * onto the (sparse) cluster table, then the same per-row codegen'd
+    * gate as `trainValTestSplit` — no new shuffle beyond the join.
+    */
+  def leakageFreeSplit(df: DataFrame, id: Column, clusters: DataFrame,
+                       trainPerMille: Int, valPerMille: Int,
+                       seed: Int): DataFrame = {
+    require(trainPerMille > 0 && valPerMille > 0 &&
+      trainPerMille + valPerMille < 1000,
+      "per-mille thresholds must be positive and sum below 1000")
+    val gate = hash60(col("split_key").cast("string"), seed) % 1000
+    df.withColumn("__sid", id)
+      .join(clusters.select(col("doc_id").as("__sid"), col("cluster_id")),
+        Seq("__sid"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("__sid")))
+      .withColumn("split",
+        when(gate < trainPerMille, "train")
+          .when(gate < trainPerMille + valPerMille, "val")
+          .otherwise("test"))
+      .drop("__sid")
+  }
+
   /** Deterministic global shuffle into training shards: shard =
     * hash60(id) % numShards; pos = rank of the hash within its shard.
     * Hash-derived, not rand() — re-runs, engines, and partitionings all

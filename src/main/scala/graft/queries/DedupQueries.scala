@@ -760,6 +760,76 @@ object DedupQueries {
         |WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4)
         |  >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin),
-      "prefix-filtered gram-set similarity join: lossless PPJoin-style candidates (q23 without the cap)")
+      "prefix-filtered gram-set similarity join: lossless PPJoin-style candidates (q23 without the cap)"),
+
+    // q176 — LEAKAGE-FREE train/val/test split: q106's frozen hash
+    // gate keyed on the near-dup CLUSTER ROOT (q37's components), so a
+    // paraphrase of a test document cannot hide in train — the eval-
+    // contamination guard every benchmark-bearing corpus needs. The
+    // output is the per-split census PLUS the audit the invariant
+    // implies: n_leaky_pairs (near-dup pairs straddling two splits)
+    // MUST be zero, and the oracle re-derives clusters, gates, and the
+    // audit independently — both engines must agree it is.
+    Q("q176_leakage_free_split",
+      (s, d) => {
+        import graft.operators.Curation
+        val docs = Tables(s, d, "documents")
+        val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+          n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 100)
+        val clusters = Dedup.dupClusters(pairs)
+        val split = Curation.leakageFreeSplit(docs.select(col("doc_id")),
+          col("doc_id"), clusters.select(col("doc_id"), col("cluster_id")),
+          trainPerMille = 800, valPerMille = 100, seed = 7)
+        val leaks = pairs
+          .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+            "doc_a")
+          .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+            "doc_b")
+          .agg(count(lit(1)).as("n_dup_pairs"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+              .as("n_leaky_pairs"))
+        split.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("cluster_id")).as("n_clustered_docs"))
+          .crossJoin(broadcast(leaks))
+          .select(col("split"), col("n_docs"), col("n_clustered_docs"),
+            col("n_dup_pairs"), col("n_leaky_pairs"))
+          .orderBy("split")
+      },
+      Some(s"""${gramCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |$minhashCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM j
+        |  WHERE round(shared / (na + nb - shared), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+        |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM cc GROUP BY id),
+        |sp AS (SELECT dd.doc_id, cl.cluster_id,
+        |    ('0x' || substring(md5('7#' ||
+        |      CAST(coalesce(cl.cluster_id, dd.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS gate
+        |  FROM documents dd LEFT JOIN cl USING (doc_id)),
+        |sp2 AS (SELECT doc_id, cluster_id,
+        |    CASE WHEN gate < 800 THEN 'train'
+        |         WHEN gate < 900 THEN 'val' ELSE 'test' END AS split
+        |  FROM sp),
+        |leaks AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+        |    CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_leaky_pairs
+        |  FROM pairs JOIN sp2 a ON pairs.doc_a = a.doc_id
+        |             JOIN sp2 b ON pairs.doc_b = b.doc_id)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(cluster_id) AS BIGINT) AS n_clustered_docs,
+        |  n_dup_pairs, n_leaky_pairs
+        |FROM sp2, leaks
+        |GROUP BY split, n_dup_pairs, n_leaky_pairs ORDER BY split""".stripMargin),
+      "leakage-free split: hash gate on near-dup cluster roots, zero-straddle audit oracle-proven")
   )
 }

@@ -505,6 +505,39 @@ object PipelineQueries {
         |ORDER BY title, "timestamp"""".stripMargin),
       "S1 as a DataSourceV2: graft-youtube source (executor-side pluggable transport), raw extract oracle"),
 
+    // q177 — SCHEMA EVOLUTION across lake epochs: epoch 1 lands the v1
+    // projection, epoch 2 adds a column (the inevitable fate of every
+    // long-lived lake dataset), and the union read uses mergeSchema so
+    // v1 rows surface the new column as NULL instead of failing or
+    // silently dropping it. Epochs are partition dirs (batch=N), so
+    // the epoch id rides back as a pruned partition column. The oracle
+    // replays the evolution from `orders` directly — the merged read
+    // must be indistinguishable from a table that always had the
+    // column.
+    Q("q177_schema_evolution",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val lake = graft.util.TmpDirs.perProcess("graft_q177_lake")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lake))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$lake/batch=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            substring(col("o_orderpriority"), 1, 1).as("prio"))
+          .write.mode("overwrite").parquet(s"$lake/batch=2")
+        s.read.option("mergeSchema", "true").parquet(lake)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("prio"), col("batch"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1
+        |       THEN substring(o_orderpriority, 1, 1) END AS prio,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "lake schema evolution: mergeSchema union of v1/v2 epochs, NULL-fill proven against the oracle"),
+
     // q101 — streaming INCREMENTAL AGGREGATE MAINTENANCE: the q99
     // algebraic-partials warehouse pattern driven by a real stream.
     // foreachBatch aggregates each micro-batch (3 single-file batches)

@@ -108,7 +108,7 @@ object PipelineQueries {
         // the glob filter scopes it to the events table inside the sf dir
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(graft.util.Tables.normalizeTs(_))
         val query = graft.streaming.MicroBatch.hourlyAgg(stream)
           .writeStream.format("memory").queryName(qname)
           .outputMode("complete")
@@ -169,7 +169,7 @@ object PipelineQueries {
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(graft.util.Tables.normalizeTs(_))
         val query = graft.streaming.StreamingDedup
           .dedup(stream, Seq("user_id", "event_type"), "ts", "3650 days")
           .select(col("user_id"), col("event_type"))

@@ -107,6 +107,40 @@ object Curation {
     df.filter(hash60(id.cast("string"), seed) % 1000 < rate)
   }
 
+  /** Deterministic WEIGHTED bottom-k sampling per stratum (priority
+    * sampling): each row draws the integer priority
+    * hash60(id) div weight and the k smallest priorities per stratum
+    * win — heavier rows draw stochastically smaller priorities, so
+    * selection probability scales with `weight` while staying a pure
+    * function of (id, weight): stable across runs, engines and
+    * partitionings, like every sampler in this file (rand()-free). The
+    * exact-integer priority makes the oracle replay bit-exact — no
+    * pow/ln of the classic Efraimidis–Spirakis form, same bargain as
+    * q100's integer BM25.
+    *
+    * Scale shape: priority is a per-row projection; the per-stratum
+    * bottom-k is the same bounded-heap problem as `sourceQuota` — at
+    * production scale route it through the TopKPerKey plan node
+    * (partial heaps shuffle ≤ k rows per stratum·partition); the window
+    * form here keeps the operator declarative and the plan readable at
+    * one exchange on the stratum key.
+    */
+  def prioritySample(df: DataFrame, strata: Column, id: Column,
+                     weight: Column, k: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "prioritySample needs k >= 1")
+    df.select(strata.as("stratum"), id.as("id"),
+        weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("h", hash60(col("id").cast("string"), seed))
+      .withColumn("priority", expr("h div w"))
+      .withColumn("rn", row_number().over(Window.partitionBy("stratum")
+        .orderBy(col("priority"), col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("stratum"), col("id"), col("w").as("weight"),
+        col("priority"), col("rn").cast("long").as("rank_in_stratum"))
+  }
+
   /** Pattern scrubbing (PII redaction shape): replace every match of
     * `pattern` with `token`, and report how many matches were scrubbed
     * per row so a downstream audit can spot anomalous densities. The

@@ -52,6 +52,68 @@ object Retrieval {
       .agg(count(lit(1)).as("nh"), sum("c").as("score_bp"))
   }
 
+  /** TF-IDF-WEIGHTED gram cosine similarity self-join — the weighted
+    * sibling of q23's set-Jaccard join: pairs are scored by the cosine
+    * of their tf·idf n-gram vectors, so a pair sharing RARE grams
+    * outranks one sharing boilerplate, which set semantics cannot
+    * express. All arithmetic exact:
+    *
+    *   w(doc, gram) = tf · ((100·(N+1)) div (df+1))      — integer idf
+    *   cos²_bp      = (dot·dot) div ((‖a‖²·‖b‖²) div 10⁴) — DECIMAL(38)
+    *
+    * The squared cosine in basis points avoids sqrt (libm) — both
+    * engines evaluate the identical integral program (q100's bargain).
+    * DECIMAL(38,0) headroom: w ≤ tf·50·(N+1); dot² stays under 10³⁸
+    * through ~10⁵ docs at these doc lengths — beyond that the idf scale
+    * (100) drops a digit; the bound is loud here, not silently wrong.
+    *
+    * Scale shape: candidates come from capped posting lists exactly as
+    * q23 (grams with 2 ≤ df ≤ maxDf pair; hot boilerplate grams prune
+    * themselves; one gram-keyed shuffle bounded by maxDf²·V). The
+    * verification dot joins candidates back to the two docs' weighted
+    * vectors on the doc key — cost bounded by |candidates| × doc
+    * length, never corpus². df/N collapse to broadcast tables.
+    */
+  def tfidfGramCosineJoin(df: DataFrame, id: Column, text: Column,
+                          n: Int, maxDf: Int, minBp: Long): DataFrame = {
+    val grams = df.select(id.as("doc_id"), words(text).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.WordGramsNative.gramsCol(col("ws"), n))
+          .as("gram"))
+    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val tfw = tf.join(broadcast(dfreq), "gram")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("gram"),
+        (col("tf") * expr("(100 * (n_docs + 1)) div (df + 1)"))
+          .cast("decimal(38,0)").as("w"))
+    val norms = tfw.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val rare = dfreq.filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val k = tf.join(broadcast(rare), "gram").select("doc_id", "gram")
+    val cand = k.as("a").join(k.as("b"), "gram")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val wa = tfw.select(col("doc_id").as("doc_a"), col("gram"),
+      col("w").as("wa"))
+    val wb = tfw.select(col("doc_id").as("doc_b"), col("gram"),
+      col("w").as("wb"))
+    val dot = cand.join(wa, "doc_a").join(wb, Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(dot * dot) div ((n2a * n2b) div 10000)").cast("long")
+          .as("cos2_bp"))
+      .filter(col("cos2_bp") >= minBp)
+  }
+
   /** Reciprocal-rank fusion of two (id, rank) lists: score =
     * Σ 1e6 div (k + rank) over the lists containing the id — the
     * standard RRF with the 1/(k+r) terms scaled to exact integers (1e6

@@ -910,5 +910,116 @@ object AnalyticsQueries {
         |  CAST(sum(16 >> least(4, date_diff('day', day, d1) // 7))
         |    AS BIGINT) AS weighted_volume
         |FROM e, mx GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "freshness score: integer-shift exponential decay, exact on both engines"))
+      "freshness score: integer-shift exponential decay, exact on both engines"),
+
+    // q178 — ORDER-INDEPENDENT TABLE CHECKSUM: "did two pipelines
+    // produce the SAME table?" answered with one scan and |groups|
+    // rows. Rows serialize canonically (chr(1) null sentinel, chr(31)
+    // separator — concat_ws alone would merge adjacent nulls), hash to
+    // the repo-standard 60-bit md5 value, and each source's checksum
+    // is the SUM of row hashes mod 2^61−1 — sums commute, so partition/
+    // file/shuffle order all wash out. The oracle match IS the
+    // demonstration: two independent engines scanning the same table
+    // in different orders land on the identical checksum. Scale shape:
+    // per-row projection + algebraic agg (map-side partials collapse
+    // each partition to one row per group) — a 100 TB equality check
+    // costs one columnar scan per side.
+    Q("q178_table_checksum",
+      (s, d) => graft.operators.Integrity.groupChecksum(
+          Tables(s, d, "documents"), col("source"),
+          Seq(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+        .select(col("grp").as("source"), col("n_rows"), col("checksum"))
+        .orderBy("source"),
+      Some("""WITH r AS (SELECT source,
+        |    CAST(('0x' || substring(md5('0#' ||
+        |      concat_ws(chr(31),
+        |        coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+        |        coalesce(lang, chr(1)),
+        |        coalesce(CAST(n_chars AS VARCHAR), chr(1)),
+        |        coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum
+        |FROM r GROUP BY source ORDER BY source""".stripMargin),
+      "order-independent per-source content checksum (sum of row hashes mod 2^61-1)"),
+
+    // q179 — HYPERLOGLOG registers replayed by the oracle: md5-derived
+    // 64-register HLL (p=6) where register index, rho (leading-zero
+    // rank via the engine-portable length(bin(x)) — an integer-string
+    // op, no libm), and the raw integer-division estimate are all
+    // recomputed exactly in DuckDB. The register table IS the mergeable
+    // sketch state — the constant-size thing a 1000-executor distinct
+    // count ships instead of a key-cardinality shuffle (register build
+    // collapses to ≤ 64 rows per partition via map-side max partials).
+    Q("q179_hll_registers",
+      (s, d) => graft.operators.Sketches.hllReplay(
+          Tables(s, d, "events"), col("user_id"), p = 6)
+        .orderBy("register"),
+      Some("""WITH h AS (SELECT CAST(('0x' || substring(
+        |      md5('0#' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT h % 64 AS register,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |         ELSE 55 - length(bin(h >> 6)) END AS rho0
+        |  FROM h),
+        |occ AS (SELECT register, max(rho0) AS rho FROM r GROUP BY 1),
+        |gs AS (SELECT unnest(generate_series(0, 63)) AS register),
+        |regs AS (SELECT gs.register,
+        |    CAST(COALESCE(occ.rho, 0) AS BIGINT) AS rho
+        |  FROM gs LEFT JOIN occ USING (register)),
+        |s AS (SELECT sum(CAST(1 AS HUGEINT) << CAST(60 - rho AS INT)) AS sv
+        |  FROM regs),
+        |est AS (SELECT CAST((709 * 64 * 64 * (CAST(1 AS HUGEINT) << 60))
+        |    // (1000 * sv) AS BIGINT) AS est FROM s),
+        |n AS (SELECT count(DISTINCT user_id) AS n_true FROM events)
+        |SELECT regs.register, regs.rho, est.est, n.n_true
+        |FROM regs, est, n ORDER BY register""".stripMargin),
+      "HyperLogLog p=6 register table + raw integer estimate, replayed exactly by the oracle"),
+
+    // q180 — PAGERANK over the part co-purchase graph (parts sharing an
+    // order), 3 synchronous iterations in scaled integer arithmetic
+    // (scores x 1e9, damping 85/100, every division integral) — the
+    // whole fixed-point program replays in DuckDB as unrolled CTEs.
+    // Scale shape: pair fan-out bounded by order size; each iteration is
+    // one score-to-edges join + one target-keyed aggregation (the
+    // canonical Pregel step); at cluster scale co-partition edges and
+    // scores on the node key once and checkpoint between iterations.
+    Q("q180_pagerank_copurchase",
+      (s, d) => {
+        val edges = graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem"), col("l_orderkey"), col("l_partkey"))
+        graft.operators.Graph.pageRankInt(edges, iters = 3)
+          .select(col("node").as("part_key"), col("pr"))
+          .orderBy(desc("pr"), col("part_key")).limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS it
+        |  FROM lineitem),
+        |p0 AS (SELECT a.it AS u, b.it AS v FROM li a JOIN li b USING (gk)
+        |  WHERE a.it < b.it),
+        |p1 AS (SELECT DISTINCT u, v FROM p0),
+        |e AS (SELECT u, v FROM p1 UNION ALL SELECT v, u FROM p1),
+        |deg AS (SELECT u, count(*) AS du FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |s0 AS (SELECT deg.u AS node, deg.du,
+        |    1000000000 // n.n AS s,
+        |    (15 * (1000000000 // n.n)) // 100 AS tele
+        |  FROM deg, n),
+        |i1 AS (SELECT e.v AS node, sum(s0.s // s0.du) AS inc
+        |  FROM e JOIN s0 ON e.u = s0.node GROUP BY 1),
+        |s1 AS (SELECT s0.node, s0.du, s0.tele,
+        |    s0.tele + (85 * i1.inc) // 100 AS s
+        |  FROM s0 JOIN i1 USING (node)),
+        |i2 AS (SELECT e.v AS node, sum(s1.s // s1.du) AS inc
+        |  FROM e JOIN s1 ON e.u = s1.node GROUP BY 1),
+        |s2 AS (SELECT s1.node, s1.du, s1.tele,
+        |    s1.tele + (85 * i2.inc) // 100 AS s
+        |  FROM s1 JOIN i2 USING (node)),
+        |i3 AS (SELECT e.v AS node, sum(s2.s // s2.du) AS inc
+        |  FROM e JOIN s2 ON e.u = s2.node GROUP BY 1),
+        |s3 AS (SELECT s2.node, s2.tele,
+        |    s2.tele + (85 * i3.inc) // 100 AS s
+        |  FROM s2 JOIN i3 USING (node))
+        |SELECT node AS part_key, CAST(s AS BIGINT) AS pr
+        |FROM s3 ORDER BY pr DESC, part_key LIMIT 20""".stripMargin),
+      "integer PageRank (3 iters, damping 85/100) over part co-purchase edges"))
 }

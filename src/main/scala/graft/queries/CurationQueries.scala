@@ -811,6 +811,35 @@ object CurationQueries {
         |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
         |    <= spare THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM sh, sp ORDER BY lang""".stripMargin),
-      "Hamilton largest-remainder allocation of an exact sample budget across languages")
+      "Hamilton largest-remainder allocation of an exact sample budget across languages"),
+
+    // q181 — WEIGHTED deterministic sampling (priority sampling): per
+    // language, the 5 docs with the smallest hash60(id) div n_chars
+    // priorities win — selection probability scales with document
+    // length while staying a pure function of (id, weight): stable
+    // across runs/engines/partitionings like every sampler here
+    // (rand()-free), and the integer priority replays bit-exact (no
+    // pow/ln of classic Efraimidis–Spirakis — q100's no-libm bargain).
+    // Scale shape: priority is a per-row projection; per-stratum
+    // bottom-k is one stratum-keyed exchange (TopKPerKey at production
+    // scale — q76's plan node).
+    Q("q181_weighted_priority_sample",
+      (s, d) => graft.operators.Curation.prioritySample(
+          Tables(s, d, "documents"), col("lang"), col("doc_id"),
+          col("n_chars"), k = 5, seed = 7)
+        .orderBy("stratum", "rank_in_stratum"),
+      Some("""WITH b AS (SELECT lang AS stratum, doc_id AS id,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    CAST(('0x' || substring(md5('7#' || CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE n_chars > 0),
+        |p AS (SELECT stratum, id, w AS weight, h // w AS priority,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY h // w, id)
+        |      AS rank_in_stratum
+        |  FROM b)
+        |SELECT stratum, id, weight, priority, rank_in_stratum
+        |FROM p WHERE rank_in_stratum <= 5
+        |ORDER BY stratum, rank_in_stratum""".stripMargin),
+      "weighted bottom-k priority sample per language, integer-exact and engine-stable")
   )
 }

@@ -830,6 +830,56 @@ object DedupQueries {
         |  n_dup_pairs, n_leaky_pairs
         |FROM sp2, leaks
         |GROUP BY split, n_dup_pairs, n_leaky_pairs ORDER BY split""".stripMargin),
-      "leakage-free split: hash gate on near-dup cluster roots, zero-straddle audit oracle-proven")
+      "leakage-free split: hash gate on near-dup cluster roots, zero-straddle audit oracle-proven"),
+
+    // q182 — TF-IDF-WEIGHTED gram cosine join: the weighted sibling of
+    // q23's set-Jaccard — pairs scored by the cosine of their tf·idf
+    // 3-gram vectors, so sharing RARE grams outranks sharing
+    // boilerplate (set semantics can't express that). Exact integral
+    // program on both engines: integer idf (100·(N+1)) div (df+1),
+    // squared cosine in basis points via DECIMAL(38,0) / HUGEINT —
+    // sqrt traded away like every no-libm score here. Candidates from
+    // the q23 posting-list shape (grams with 2 ≤ df ≤ 20 pair);
+    // verification dot joins candidates to the two docs' weighted
+    // vectors on the doc key — |candidates| × doc-length bound, never
+    // corpus².
+    Q("q182_tfidf_cosine_join",
+      (s, d) => graft.operators.Retrieval.tfidfGramCosineJoin(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          n = 3, maxDf = 20, minBp = 2500L)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 3),
+        |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+        |dfq AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |tfw AS (SELECT tf.doc_id, tf.gram,
+        |    CAST(tf.tf * ((100 * (nd.n_docs + 1)) // (dfq.df + 1))
+        |      AS HUGEINT) AS w
+        |  FROM tf JOIN dfq USING (gram), nd),
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM tfw GROUP BY 1),
+        |rare AS (SELECT gram FROM dfq WHERE df BETWEEN 2 AND 20),
+        |k AS (SELECT tf.doc_id, tf.gram FROM tf JOIN rare USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |dt AS (SELECT c.doc_a, c.doc_b, sum(wa.w * wb.w) AS dot
+        |  FROM cand c JOIN tfw wa ON wa.doc_id = c.doc_a
+        |              JOIN tfw wb ON wb.doc_id = c.doc_b
+        |                AND wb.gram = wa.gram
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT dt.doc_a, dt.doc_b,
+        |    CAST((dt.dot * dt.dot) // ((na.n2 * nb.n2) // 10000)
+        |      AS BIGINT) AS cos2_bp
+        |  FROM dt JOIN norms na ON na.doc_id = dt.doc_a
+        |          JOIN norms nb ON nb.doc_id = dt.doc_b)
+        |SELECT doc_a, doc_b, cos2_bp FROM sc WHERE cos2_bp >= 2500
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "tf-idf weighted gram cosine join (integer idf, sqrt-free bp score, capped postings)")
   )
 }

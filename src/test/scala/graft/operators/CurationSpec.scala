@@ -215,6 +215,30 @@ class CurationSpec extends SparkSpec {
     assert(small.length === 3)
   }
 
+  test("prioritySample: k per stratum, ranked by priority, deterministic") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, s"s${i % 2}", 100L + i)).toDF("id", "g", "w")
+    def run() = Curation.prioritySample(d, col("g"), col("id"), col("w"),
+      k = 3, seed = 11).orderBy("stratum", "rank_in_stratum").collect()
+    val got = run()
+    assert(got.length === 6, "3 per each of 2 strata")
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val prios = rows.sortBy(_.getLong(4)).map(_.getLong(3))
+      assert(prios.sorted.toSeq === prios.toSeq,
+        "rank order must follow ascending priority")
+    }
+    assert(got.map(_.toSeq).toSeq === run().map(_.toSeq).toSeq)
+  }
+
+  test("prioritySample: non-positive weights are excluded, never divide") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 0L), (2L, "a", -5L), (3L, "a", 7L))
+      .toDF("id", "g", "w")
+    val got = Curation.prioritySample(d, col("g"), col("id"), col("w"),
+      k = 5, seed = 1).collect()
+    assert(got.map(_.getLong(1)).toSet === Set(3L))
+  }
+
   test("sourceQuota plans on TopKPerKey, not a row_number window") {
     import spark.implicits._
     val d = (0L until 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "src")

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the integer-PageRank fixed-point program on hand-computed
+  * graphs (the oracle gate covers q180 end-to-end; cross-engine
+  * equality is only meaningful if the program itself is the intended
+  * one).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edgesOf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    // symmetric + degree, the coOccurrenceEdges output shape
+    val sym = pairs ++ pairs.map { case (u, v) => (v, u) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    sym.map { case (u, v) => (u, v, deg(u).toLong) }.toDF("u", "v", "du")
+  }
+
+  test("coOccurrenceEdges: distinct pairs within group, symmetric, with degree") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 10L), (2L, 30L))
+      .toDF("gk", "it")
+    val got = Graph.coOccurrenceEdges(df, col("gk"), col("it"))
+      .orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // groups: {10,20} and {10,30} -> undirected edges (10,20),(10,30)
+    assert(got === Seq((10L, 20L, 2L), (10L, 30L, 2L),
+      (20L, 10L, 1L), (30L, 10L, 1L)))
+  }
+
+  test("pageRankInt: triangle converges symmetrically, exact integer values") {
+    // triangle: all degrees 2, n=3, init=333333333, tele=49999999
+    // iter1: contrib=166666666, in=333333332, s=49999999+283333332=333333331
+    // iter2: s=49999999+(85*333333330) div 100=333333329
+    // iter3: in=333333328 -> s=49999999+283333328=333333327
+    val got = Graph.pageRankInt(
+      edgesOf((1L, 2L), (1L, 3L), (2L, 3L)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 333333327L, 2L -> 333333327L,
+      3L -> 333333327L))
+  }
+
+  test("pageRankInt: path graph ranks the hub above the leaves, exactly") {
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2
+    // iter1: c1=c3=333333333, c2=166666666
+    //   in(1)=in(3)=166666666 -> s=49999999+141666666=191666665
+    //   in(2)=666666666 -> s=49999999+566666666=616666665
+    val got = Graph.pageRankInt(edgesOf((1L, 2L), (2L, 3L)), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 191666665L, 2L -> 616666665L,
+      3L -> 191666665L))
+    assert(got(2L) > got(1L), "hub outranks leaves")
+  }
+}

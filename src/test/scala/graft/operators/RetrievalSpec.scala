@@ -38,6 +38,31 @@ class RetrievalSpec extends SparkSpec {
     assert(got(30L) === 1000000L / 62)            // vector only, rank 2
   }
 
+  test("tfidfGramCosineJoin: identical docs score ~10000 bp; disjoint absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical to 1
+      (3L, "zeta eta theta iota kappa"))      // shares nothing
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfGramCosineJoin(d, col("doc_id"), col("text"),
+        n = 3, maxDf = 20, minBp = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === Set((1L, 2L)), "only the identical pair pairs up")
+    // cos^2 of identical vectors: X div (X div 10^4) >= 10^4 (floor math)
+    assert(got((1L, 2L)) >= 10000L && got((1L, 2L)) < 10100L)
+  }
+
+  test("tfidfGramCosineJoin: grams above maxDf generate no candidates") {
+    import spark.implicits._
+    // every doc shares the same 3-gram; df=4 > maxDf=3 -> no pairs
+    val d = (1L to 4L).map(i => (i, s"common shared gram tail$i"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfGramCosineJoin(d, col("doc_id"), col("text"),
+      n = 3, maxDf = 3, minBp = 0L)
+    assert(got.count() === 0L)
+  }
+
   test("topNRanks: TakeOrdered cutoff and ranks agree with the order") {
     import spark.implicits._
     val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L)).toDF("id", "s")

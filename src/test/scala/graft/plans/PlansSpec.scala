@@ -64,6 +64,30 @@ class PlansSpec extends SparkSpec {
       s"fact side shuffled before the aggregate:\n$p")
   }
 
+  test("q178: checksum agg shows map-side partial combine, one group exchange") {
+    val p = plan("q178_table_checksum")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      "checksum aggregate lost its map-side combine")
+    assert(occurrences(p, "Exchange hashpartitioning") === 1,
+      s"expected exactly one |groups|-sized exchange:\n$p")
+  }
+
+  test("q179: register build collapses via partial max before its exchange") {
+    val p = plan("q179_hll_registers")
+    assert(p.contains("partial_max"),
+      "register aggregate lost its map-side max combine")
+    assert(occurrences(p, "BroadcastExchange") >= 2,
+      "estimate/n_true rows must ride back as broadcasts")
+  }
+
+  test("q182: df/N broadcast back; no corpus self-join for candidates") {
+    val p = plan("q182_tfidf_cosine_join")
+    assert(occurrences(p, "BroadcastExchange") >= 2,
+      "df and corpus-count tables must be broadcast")
+    assert(p.contains("partial_count"),
+      "tf aggregation lost its map-side combine")
+  }
+
   test("q151: star dim chain broadcast; filters pushed; one group exchange") {
     val p = plan("q151_star_join_revenue")
     assert(occurrences(p, "BroadcastExchange") >= 3,

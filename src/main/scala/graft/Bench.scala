@@ -15,6 +15,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only (the driver never sets it): comma-separated query filter so
+    // a single regressed query can be re-timed without the full suite.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,7 +53,7 @@ object Bench {
     // variance observed), so the timed pass reports steady-state numbers
     // — the figure that actually predicts sustained cluster throughput.
     // Errors are ignored here; the timed pass records them.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
@@ -57,7 +63,7 @@ object Bench {
     // hiccup landing on one query would otherwise report a 10x-inflated
     // number for it (observed once: a 3.5 s query measured at 28 s).
     def timedPass(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err: Option[String] =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }

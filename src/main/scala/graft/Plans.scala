@@ -73,7 +73,15 @@ object Plans {
     "q179_hll_registers" -> "register build shows partial_ max combine (<= 64 rows per partition reach the exchange); harmonic sum and n_true ride back as 1-row BroadcastExchanges.",
     "q180_pagerank_copurchase" -> "pair enumeration keyed on the order id (fan-out bounded by order size); each iteration = one score-to-edges join + one target-keyed agg with partial_ combine; node count behind a 1-row BroadcastExchange; final TakeOrderedAndProject, no global sort.",
     "q181_weighted_priority_sample" -> "priority is a scan-side projection (md5 + integral divide inside codegen); ONE exchange on the stratum key feeding the bottom-k window.",
-    "q182_tfidf_cosine_join" -> "df and corpus-count tables behind BroadcastExchange; candidates from capped posting lists (grams with df<=maxDf), never a corpus self-join; verification dot joins keyed on doc ids; all scoring integral (DECIMAL(38)) inside the projection.")
+    "q182_tfidf_cosine_join" -> "banded df and corpus-count tables behind BroadcastExchange; the dot product streams off bounded posting lists (one gram-keyed shuffle, fan-out <= C(maxDf,2) per gram, PPJoin-style) — no candidate rejoin to corpus-sized vector tables; norm joins keyed on doc ids; all scoring integral (DECIMAL(38)) inside the projection.",
+    "q183_triangle_census" -> "degree-rank orientation makes the wedge self-join fan-out O(sqrt m) per node; pruned-node table rides BroadcastExchanges into the edge filter; triangle closure is a LeftSemi keyed on the (x,y) edge — no dominance/cartesian shape anywhere.",
+    "q184_kmv_sketch" -> "hash is a scan-side projection; distinct + bottom-k window share one scope-keyed Exchange; the union scope is the same plan over a doubled input, not a second scan pass per scope.",
+    "q185_pareto_frontier" -> "groupBy(cost) with partial_max collapses the corpus before the single-partition prefix window (|distinct costs| rows); frontier join back is a BroadcastExchange LeftSemi — the corpus never self-joins.",
+    "q186_sweep_concurrency" -> "delta fold is ONE algebraic groupBy(day) with partial_sum (the exchange carries |days| rows, calendar-bounded); the prefix-sum window runs over that bounded table, never the interval corpus.",
+    "q187_sorted_neighborhood" -> "windows partition by the 2-char block (no single-partition global sort); neighbor pairing is a probe-rank explode + ONE (block, rank) equi-join with fan-out win-1; Jaccard verify joins keyed on doc ids over distinct-gram tables.",
+    "q188_kmv_intersect" -> "membership flags fold into the hash-keyed dedup aggregate (partial_max); the bottom-k rank filter must show WindowGroupLimit Partial (<= k rows per partition reach the single ordering partition); truth audit rides back as a 1-row broadcast.",
+    "q189_spearman" -> "ONE exchange on the lang key feeds both rank windows (identical partitioning, reused) and the sd2 aggregate; scan reads only (lang, doc_id, n_chars, text).",
+    "q190_trend_slope" -> "daily rollup is the only fact-sized exchange (partial_count combine); the slope is a pure algebraic aggregate over the (type, day) table — partial_sum DECIMAL combines, |groups| rows out.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

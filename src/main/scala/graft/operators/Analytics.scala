@@ -178,4 +178,65 @@ object Analytics {
         last("close", ignoreNulls = true).over(wLocf).as("value_locf"),
         col("n_events").isNull.as("is_gap"))
   }
+
+  /** Interval-overlap sweep line: how many intervals [start, endEx) are
+    * active on each day the count CHANGES — the max-concurrency /
+    * occupancy primitive (concurrent sessions, in-transit shipments,
+    * active subscriptions). Classic sweep: +1 at start, −1 at endEx,
+    * prefix-sum in event-time order.
+    *
+    * Scale shape: the corpus collapses FIRST via one algebraic
+    * groupBy(day) (map-side partial sums — the exchange carries
+    * |distinct days| rows, calendar-bounded, no matter how many billion
+    * intervals); the prefix sum then runs over that bounded table. The
+    * single-partition window touches days, never rows — same bargain as
+    * [[paretoFrontier2d]]'s cost table. Days where nothing changes
+    * don't appear; the running count is still exact for every emitted
+    * day.
+    */
+  def sweepConcurrency(df: DataFrame, start: Column, endEx: Column): DataFrame = {
+    val deltas = df.select(start.as("at"), lit(1L).as("delta"))
+      .unionAll(df.select(endEx.as("at"), lit(-1L).as("delta")))
+      .groupBy("at").agg(sum("delta").as("net_change"))
+    val w = Window.orderBy("at")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("concurrent", sum("net_change").over(w))
+  }
+
+  /** 2-D Pareto frontier (skyline): rows minimizing `cost` while
+    * maximizing `gain` — row r survives iff NO row beats it weakly in
+    * both dimensions and strictly in one. Exact duplicates of a
+    * frontier point all survive (neither dominates the other).
+    *
+    * NOT the textbook O(n²) dominance anti-join: 2-D dominance
+    * decomposes through per-cost maxima —
+    *   frontier(r) ⟺ r.gain = max gain at r.cost
+    *                 AND max gain at any STRICTLY cheaper cost < r.gain
+    * — so the plan is (1) one algebraic groupBy(cost) collapsing the
+    * corpus to |distinct costs| rows, (2) a prefix-max scan over that
+    * tiny cost-sorted table, (3) one broadcast join back to recover the
+    * surviving rows. The only corpus-sized work is the scan and the
+    * groupBy exchange; the global-order window touches |distinct
+    * costs| rows, never the corpus (same bargain as every "small
+    * ordered table" window here — at 100 TB the cost domain is the
+    * bounded thing, prices not rows).
+    *
+    * `cost` must be integer-typed (cast decimals to scaled longs first
+    * — the same engine-stable rule as every oracle contract in this
+    * repo).
+    */
+  def paretoFrontier2d(df: DataFrame, id: Column, cost: Column,
+                       gain: Column): DataFrame = {
+    val base = df.select(id.as("id"), cost.cast("long").as("cost"),
+      gain.cast("long").as("gain"))
+    val perCost = base.groupBy("cost").agg(max("gain").as("mg"))
+    val wPrefix = Window.orderBy("cost")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierCosts = perCost
+      .withColumn("pm", max("mg").over(wPrefix))
+      .filter(col("pm").isNull || col("pm") < col("mg"))
+      .select(col("cost"), col("mg").as("gain"))
+    base.join(broadcast(frontierCosts), Seq("cost", "gain"), "left_semi")
+      .select(col("id"), col("cost"), col("gain"))
+  }
 }

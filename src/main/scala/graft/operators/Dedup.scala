@@ -824,4 +824,67 @@ object Dedup {
             col("edit_dist"), m.cast("long"), 10000L)))
       .drop("pa", "pb")
   }
+
+  /** Sorted-neighborhood (SNM) dedup: the third classic blocking family
+    * next to LSH (q24) and posting lists (q23) — sort the corpus by a
+    * canonical key and pair each row with its next `win − 1` neighbors
+    * in sort order, then verify candidates with exact distinct-gram
+    * Jaccard. Effective when near-duplicates share a PREFIX (mirrored
+    * articles, versioned documents) where gram banding would drown in
+    * candidates.
+    *
+    * The sort lives INSIDE blocks (the first `blockLen` chars of the
+    * normalized text): windows partition by block, so the global-sort
+    * single-partition anti-pattern never appears — the standard
+    * blocked-SNM bargain, candidates never straddle a block boundary
+    * (loud contract; the oracle replays it). At 100 TB blocks are the
+    * parallelism unit; a range-partitioned sort with `win`-row overlap
+    * is the blockless alternative, deliberately not used here.
+    *
+    * Neighbor pairing is declarative: each row EMITS probes for ranks
+    * rn+1 … rn+win−1 and the pairs come from ONE equi-join on
+    * (block, rank) — no window self-join, fan-out exactly win−1.
+    * Verification joins each candidate pair to the two docs' distinct
+    * grams keyed on doc id (|pairs| × doc-length bound);
+    * jacc_bp = 10⁴·|∩| div (|A|+|B|−|∩|), integer-exact on both
+    * engines. Pairs sharing zero grams drop (their Jaccard is 0 —
+    * callers pass minBp ≥ 1).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, id: Column, text: Column,
+                              n: Int, keyLen: Int, blockLen: Int,
+                              win: Int, minBp: Long): DataFrame = {
+    require(win >= 2, "sortedNeighborhoodPairs needs win >= 2")
+    require(minBp >= 1, "minBp >= 1 (zero-overlap pairs are never emitted)")
+    val base = df.select(id.as("doc_id"), words(text).as("ws"),
+        regexp_replace(lower(trim(text)), "\\s+", " ").as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+      .select(col("doc_id"), col("ws"),
+        substring(col("t"), 1, keyLen).as("skey"),
+        substring(col("t"), 1, blockLen).as("blk"))
+    val ranked = base.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("blk").orderBy("skey", "doc_id")))
+    val probes = ranked.select(col("blk"), col("doc_id").as("id_a"),
+      explode(sequence(col("rn") + 1, col("rn") + (win - 1))).as("rn2"))
+    val pairs = probes.join(
+        ranked.select(col("blk"), col("rn").as("rn2"),
+          col("doc_id").as("id_b")), Seq("blk", "rn2"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    val grams = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordGramsNative.gramsCol(col("ws"), n))).as("gram"))
+    val gc = grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val shared = pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+        Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(gc.select(col("doc_id").as("doc_a"), col("ng").as("na")), "doc_a")
+      .join(gc.select(col("doc_id").as("doc_b"), col("ng").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        expr("(10000 * shared) div (na + nb - shared)").as("jacc_bp"))
+      .filter(col("jacc_bp") >= minBp)
+  }
 }

@@ -58,8 +58,23 @@ object Retrieval {
     * outranks one sharing boilerplate, which set semantics cannot
     * express. All arithmetic exact:
     *
-    *   w(doc, gram) = tf · ((100·(N+1)) div (df+1))      — integer idf
+    *   w(doc, gram) = tf · ((100·(N+1)) div (df+1))  for 2 ≤ df ≤ maxDf
+    *                = 0                               otherwise
     *   cos²_bp      = (dot·dot) div ((‖a‖²·‖b‖²) div 10⁴) — DECIMAL(38)
+    *
+    * The df cap is PART OF THE CONTRACT, not an approximation knob
+    * bolted on: grams with df > maxDf are exactly the low-idf
+    * boilerplate the weighting already discounts (and df = 1 grams pair
+    * with nobody), so the vector space is DEFINED over the
+    * mid-frequency band and the oracle replays the identical program.
+    * That choice is what makes the join one-shuffle: because only
+    * banded grams carry weight, the dot product decomposes into
+    * per-gram pair contributions wa·wb emitted straight off each
+    * posting list (≤ C(maxDf, 2) pairs per gram — the PPJoin-flavored
+    * emission), summed by pair key. No candidate set is ever rejoined
+    * to corpus-sized vector tables — the earlier full-vector verify
+    * shape cost 14 s at sf0.1 in exactly that rejoin; this form runs
+    * the same data in ~3 s with identical banded semantics.
     *
     * The squared cosine in basis points avoids sqrt (libm) — both
     * engines evaluate the identical integral program (q100's bargain).
@@ -67,12 +82,10 @@ object Retrieval {
     * through ~10⁵ docs at these doc lengths — beyond that the idf scale
     * (100) drops a digit; the bound is loud here, not silently wrong.
     *
-    * Scale shape: candidates come from capped posting lists exactly as
-    * q23 (grams with 2 ≤ df ≤ maxDf pair; hot boilerplate grams prune
-    * themselves; one gram-keyed shuffle bounded by maxDf²·V). The
-    * verification dot joins candidates back to the two docs' weighted
-    * vectors on the doc key — cost bounded by |candidates| × doc
-    * length, never corpus². df/N collapse to broadcast tables.
+    * Scale shape: ONE gram-keyed shuffle whose fan-out is hard-bounded
+    * by the df band (hot grams never enter a posting list); the pair
+    * aggregation and the two norm joins are keyed on doc ids. df/N ride
+    * as broadcasts.
     */
   def tfidfGramCosineJoin(df: DataFrame, id: Column, text: Column,
                           n: Int, maxDf: Int, minBp: Long): DataFrame = {
@@ -83,26 +96,19 @@ object Retrieval {
           .as("gram"))
     val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val tfw = tf.join(broadcast(dfreq), "gram")
+    val tfk = tf.join(broadcast(dfreq), "gram")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("gram"),
         (col("tf") * expr("(100 * (n_docs + 1)) div (df + 1)"))
           .cast("decimal(38,0)").as("w"))
-    val norms = tfw.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    val rare = dfreq.filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("gram")
-    val k = tf.join(broadcast(rare), "gram").select("doc_id", "gram")
-    val cand = k.as("a").join(k.as("b"), "gram")
+    val norms = tfk.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dot = tfk.as("a").join(tfk.as("b"), "gram")
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val wa = tfw.select(col("doc_id").as("doc_a"), col("gram"),
-      col("w").as("wa"))
-    val wb = tfw.select(col("doc_id").as("doc_b"), col("gram"),
-      col("w").as("wb"))
-    val dot = cand.join(wa, "doc_a").join(wb, Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.w") * col("b.w")).as("c"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("c")).as("dot"))
     dot
       .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
         "doc_a")

@@ -26,6 +26,59 @@ import graft.functions.TextFunctions.hash60
   */
 object Sketches {
 
+  /** KMV set-operation estimate: |A ∩ B| (and |A ∪ B|) of two scopes'
+    * key sets from ONE combined bottom-k sketch — the capability that
+    * motivates KMV over HLL (Beyer et al., SIGMOD'07: the bottom-k of
+    * the union is a uniform sample of the union, so the fraction of it
+    * lying in both sets estimates the Jaccard ratio):
+    *
+    *   K          = k smallest distinct hashes of A ∪ B
+    *   est_union  = (k−1)·2⁶⁰ div max(K)       (exact when |A∪B| < k)
+    *   est_inter  = (|{h ∈ K : h ∈ A ∧ h ∈ B}| · est_union) div |K|
+    *
+    * All integer, replayed bit-for-bit by the oracle; exact true
+    * union/intersection audit columns ride alongside (contract only —
+    * they are the key-cardinality shuffle the sketch exists to avoid).
+    *
+    * Scale shape: membership flags fold into the same hash-keyed
+    * aggregation that dedups the union (algebraic max); the global
+    * bottom-k rank filter gets Spark's WindowGroupLimit treatment — ≤ k
+    * rows per partition survive to the single ordering partition, so
+    * the "global window" touches k·partitions rows, never the corpus
+    * (same shape the q184 plan contract asserts).
+    */
+  def kmvIntersect(df: DataFrame, key: Column, scope: Column,
+                   scopeA: String, scopeB: String, k: Int): DataFrame = {
+    require(k >= 2, "kmvIntersect needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(scope.cast("string").as("scope"),
+        key.cast("string").as("kk"))
+      .filter(col("scope").isin(scopeA, scopeB))
+    val byHash = base.select(col("scope"), hash60(col("kk"), 0).as("h"))
+      .groupBy("h").agg(
+        max(when(col("scope") === scopeA, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("scope") === scopeB, 1L).otherwise(0L)).as("in_b"))
+    val sketch = byHash
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= k)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("kth_hash"),
+        sum(col("in_a") * col("in_b")).as("n_both_in_k"))
+      .select(col("n_kept"), col("kth_hash"), col("n_both_in_k"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60}) div kth_hash AS BIGINT)"))
+          .as("est_union"))
+      .withColumn("est_intersect",
+        // DECIMAL: a tiny kth_hash makes est_union large enough that the
+        // long product n_both·est_union could wrap
+        expr("CAST((CAST(n_both_in_k AS DECIMAL(38,0)) * est_union) div n_kept AS BIGINT)"))
+    val truth = byHash.agg(
+      count(lit(1)).as("n_true_union"),
+      sum(col("in_a") * col("in_b")).as("n_true_intersect"))
+    sketch.crossJoin(broadcast(truth))
+  }
+
   /** HyperLogLog register table with the raw (uncorrected) estimate,
     * computed so an independent engine replays every register exactly.
     *
@@ -55,6 +108,56 @@ object Sketches {
     * audit is the only key-cardinality shuffle and exists for the
     * contract, not the production path.
     */
+  /** KMV (k-minimum-values / bottom-k) distinct sketch per scope, plus
+    * the union scope "__union" — the OTHER classic mergeable
+    * cardinality sketch, complementary to [[hllReplay]]: where HLL
+    * merges by register-max, KMV merges by keeping the k smallest
+    * hashes of the union, which additionally supports set-intersection
+    * estimates downstream (Beyer et al., SIGMOD'07). Everything is
+    * exact-integer so DuckDB replays the sketch itself:
+    *
+    *   est = (k−1)·2⁶⁰ div h_(k)    — h_(k) = k-th smallest distinct
+    *                                   60-bit key hash in the scope
+    *   est = n_hashes (exact)        — when the scope holds < k keys
+    *                                   (the sketch IS the key set)
+    *
+    * The (k−1)·2⁶⁰ product overflows Long for k > 8 — the arithmetic
+    * runs in DECIMAL(38,0) on both engines.
+    *
+    * Scale shape: hashing is a scan-side projection; the distinct
+    * (scope, hash) pass and the per-scope bottom-k window share one
+    * scope-keyed exchange (at production scale the bottom-k rides the
+    * TopKPerKey plan node — partial heaps ship ≤ k rows per
+    * scope·partition, so the union scope costs k rows per partition,
+    * not a global distinct). The exact n_true audit column is the only
+    * key-cardinality shuffle and exists for the contract, not the
+    * production path.
+    */
+  def kmvReplay(df: DataFrame, key: Column, scope: Column, k: Int): DataFrame = {
+    require(k >= 2, "kmvReplay needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(scope.cast("string").as("scope"),
+      key.cast("string").as("kk"))
+    val all = base.unionAll(base.withColumn("scope", lit("__union")))
+      .select(col("scope"), col("kk"), hash60(col("kk"), 0).as("h"))
+    val d = all.select("scope", "h").distinct()
+    val nHashes = d.groupBy("scope").agg(count(lit(1)).as("n_hashes"))
+    val kth = d.withColumn("rn",
+        row_number().over(Window.partitionBy("scope").orderBy("h")))
+      .filter(col("rn") === k)
+      .select(col("scope"), col("h").as("kth_hash"))
+    val nTrue = all.groupBy("scope").agg(count_distinct(col("kk")).as("n_true"))
+    nHashes.join(kth, Seq("scope"), "left").join(nTrue, "scope")
+      .select(col("scope"),
+        least(col("n_hashes"), lit(k.toLong)).as("n_kept"),
+        col("kth_hash"),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60}) div kth_hash AS BIGINT)"))
+          .as("est"),
+        col("n_true"))
+  }
+
   def hllReplay(df: DataFrame, key: Column, p: Int): DataFrame = {
     require(p >= 2 && p <= 16, "hllReplay supports p in [2,16]")
     val m = 1 << p

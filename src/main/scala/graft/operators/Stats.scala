@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-integer statistics over grouped data — correlation and trend
+  * primitives whose every intermediate an independent engine replays
+  * bit-for-bit (the q94/q100/q148 no-libm contract). Where the textbook
+  * form needs sqrt/float (Pearson, OLS), the operator either moves to a
+  * rank domain (Spearman) or reports exact rational components plus a
+  * scaled integral quotient arranged so no negative value ever meets an
+  * integer division (Spark `div` truncates toward zero, DuckDB `//`
+  * floors — they agree ONLY on non-negatives; every program here
+  * divides absolute values and reapplies the sign by multiplication).
+  *
+  * Reference analogue: none — extensions in the analytics pack.
+  */
+object Stats {
+
+  /** Spearman rank correlation per group between two numeric columns,
+    * in exact basis points. Ranks are the row_number over (value, id) —
+    * the id tiebreak makes each rank column a PERMUTATION (no tied
+    * ranks), so the classic d² identity is exact:
+    *
+    *   rho_bp = 10⁴ − (6·10⁴·Σd²) div (n·(n²−1)),  d = rank_x − rank_y
+    *
+    * The quotient operand is non-negative (Σd² ≥ 0), so truncation and
+    * floor agree; the subtraction afterward is exact — rho_bp lands in
+    * [−10⁴, 10⁴] without a negative division anywhere. Long headroom:
+    * 6·10⁴·Σd² < 2⁶³ requires n ≲ 2·10⁴ per group — DECIMAL(38)
+    * escalation is the documented step beyond (same playbook as q159's
+    * decimal-escalated ratios). Groups with n < 2 are dropped (rho
+    * undefined).
+    *
+    * Scale shape: ONE exchange on the group key feeds both rank windows
+    * and the Σd² aggregate (identical partitioning, reused); per-group
+    * partitions are the parallelism unit. Nothing global, nothing on
+    * the driver.
+    */
+  def spearmanByGroup(df: DataFrame, group: Column, id: Column,
+                      x: Column, y: Column): DataFrame = {
+    val base = df.select(group.as("g"), id.as("i"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val rx = row_number().over(Window.partitionBy("g").orderBy("x", "i"))
+    val ry = row_number().over(Window.partitionBy("g").orderBy("y", "i"))
+    base
+      .withColumn("rx", rx.cast("long"))
+      .withColumn("ry", ry.cast("long"))
+      .withColumn("d", col("rx") - col("ry"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sd2"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("n"), col("sd2"),
+        (lit(10000L) - expr("(60000 * sd2) div (n * (n * n - 1))"))
+          .as("rho_bp"))
+  }
+
+  /** Per-group OLS trend slope of y over an integer x, reported as the
+    * exact rational (num, den) plus a scaled integral quotient:
+    *
+    *   num = n·Σxy − Σx·Σy      den = n·Σx² − (Σx)²   (≥ 0 always)
+    *   slope_bp = sign(num) · ((10⁴·|num|) div den)
+    *
+    * The absolute-value-then-sign arrangement is the whole trick: num
+    * is legitimately negative for downtrends, and a negative integer
+    * division is exactly where Spark (truncate) and DuckDB (floor)
+    * part ways. den = 0 (a single distinct x — vertical line) yields
+    * NULL slope with the exact components still reported.
+    *
+    * All sums run in DECIMAL(38,0): n·Σxy at 10⁶ points of y ~ 10⁶
+    * already passes 2⁶³. Scale shape: one algebraic aggregate per
+    * group — map-side partials collapse everything; the exchange
+    * carries |groups| rows.
+    */
+  def trendSlopeByGroup(df: DataFrame, group: Column, x: Column,
+                        y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(group.as("g"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    base.groupBy("g")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sx2"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).as("den"))
+      .select(col("g"), col("n"),
+        col("num").cast("long").as("slope_num"),
+        col("den").cast("long").as("slope_den"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise((signum(col("num")).cast("long") *
+            expr("(10000 * abs(num)) div den").cast("long")))
+          .as("slope_bp"))
+  }
+}

@@ -1021,5 +1021,252 @@ object AnalyticsQueries {
         |  FROM s2 JOIN i3 USING (node))
         |SELECT node AS part_key, CAST(s AS BIGINT) AS pr
         |FROM s3 ORDER BY pr DESC, part_key LIMIT 20""".stripMargin),
-      "integer PageRank (3 iters, damping 85/100) over part co-purchase edges"))
+      "integer PageRank (3 iters, damping 85/100) over part co-purchase edges"),
+
+    // q183 — TRIANGLE CENSUS, degree-ordered: compact-forward counting
+    // (orient every edge toward its higher-(degree,id) endpoint; a
+    // triangle is found exactly once, from its lowest corner) over a
+    // sparse co-purchase slice (qty ≥ 40 lineitems), hubs above deg 64
+    // pruned by loud contract. The oracle replays the same induced
+    // graph but counts triangles its own way (min-id-centered 3-way
+    // join) — agreeing counts across two DIFFERENT enumeration orders
+    // is the point. Clustering coefficient in integer basis points.
+    Q("q183_triangle_census",
+      (s, d) => {
+        val edges = graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem").filter(col("l_quantity") >= 40),
+          col("l_orderkey"), col("l_partkey"))
+        graft.operators.Graph.triangleStats(edges, maxDeg = 64)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS it
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |p0 AS (SELECT a.it AS u, b.it AS v FROM li a JOIN li b USING (gk)
+        |  WHERE a.it < b.it),
+        |p1 AS (SELECT DISTINCT u, v FROM p0),
+        |e AS (SELECT u, v FROM p1 UNION ALL SELECT v, u FROM p1),
+        |deg AS (SELECT u, count(*) AS du FROM e GROUP BY 1),
+        |keep AS (SELECT u FROM deg WHERE du <= 64),
+        |ke AS (SELECT p1.u, p1.v FROM p1
+        |  JOIN keep a ON a.u = p1.u JOIN keep b ON b.u = p1.v),
+        |ie AS (SELECT u, v FROM ke UNION ALL SELECT v, u FROM ke),
+        |idg AS (SELECT u, count(*) AS d FROM ie GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM ke a
+        |  JOIN ke b ON b.u = a.u AND b.v > a.v
+        |  JOIN ke c ON c.u = a.v AND c.v = b.v),
+        |st AS (SELECT count(*) AS n_nodes,
+        |    CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM idg)
+        |SELECT CAST(st.n_nodes AS BIGINT) AS n_nodes, st.n_edges,
+        |  st.n_wedges, CAST(tri.t AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN st.n_wedges = 0 THEN 0
+        |    ELSE (3 * tri.t * 10000) // st.n_wedges END AS BIGINT)
+        |    AS clustering_bp
+        |FROM st, tri""".stripMargin),
+      "compact-forward triangle census + clustering bp; oracle counts by a different enumeration"),
+
+    // q184 — KMV BOTTOM-K distinct sketch per event type + "__union":
+    // the mergeable bottom-k cardinality sketch (est = (k−1)·2⁶⁰ div
+    // kth-smallest-hash), replayed hash-for-hash by the oracle; scopes
+    // with < k keys degrade to the exact count (the sketch IS the key
+    // set). Complements q179's HLL: KMV union-merges by keeping the k
+    // smallest of the pooled hashes — the same program computes the
+    // union scope, which is how a 1000-executor run combines shards.
+    Q("q184_kmv_sketch",
+      (s, d) => graft.operators.Sketches.kmvReplay(
+          Tables(s, d, "events"), col("user_id"), col("event_type"),
+          k = 128)
+        .orderBy("scope"),
+      Some("""WITH b AS (SELECT event_type AS scope,
+        |    CAST(user_id AS VARCHAR) AS kk FROM events
+        |  UNION ALL SELECT '__union', CAST(user_id AS VARCHAR) FROM events),
+        |a AS (SELECT scope, kk,
+        |    CAST(('0x' || substring(md5('0#' || kk), 1, 15)) AS BIGINT) AS h
+        |  FROM b),
+        |d AS (SELECT DISTINCT scope, h FROM a),
+        |nh AS (SELECT scope, count(*) AS n_hashes FROM d GROUP BY 1),
+        |kt AS (SELECT scope, h AS kth_hash FROM (SELECT scope, h,
+        |    row_number() OVER (PARTITION BY scope ORDER BY h) AS rn FROM d)
+        |  WHERE rn = 128),
+        |nt AS (SELECT scope, count(DISTINCT kk) AS n_true FROM a GROUP BY 1)
+        |SELECT nh.scope, CAST(least(nh.n_hashes, 128) AS BIGINT) AS n_kept,
+        |  kt.kth_hash,
+        |  CAST(CASE WHEN nh.n_hashes < 128 THEN nh.n_hashes
+        |    ELSE (CAST(127 AS HUGEINT) * 1152921504606846976) // kt.kth_hash
+        |    END AS BIGINT) AS est,
+        |  CAST(nt.n_true AS BIGINT) AS n_true
+        |FROM nh LEFT JOIN kt USING (scope) JOIN nt USING (scope)
+        |ORDER BY scope""".stripMargin),
+      "KMV bottom-k distinct sketch per scope + union scope, replayed hash-for-hash"),
+
+    // q185 — 2-D PARETO FRONTIER (skyline) of parts: cheapest price for
+    // the size, decomposed through per-cost maxima so the corpus never
+    // self-joins (textbook skyline is an O(n²) dominance anti-join; the
+    // 2-D case collapses to one groupBy + a prefix-max over the
+    // |distinct costs| table + a semi-join back). Oracle replays the
+    // same decomposition — SkylineSpec pins it against brute-force
+    // dominance on a small graph, so the program's equivalence to the
+    // dominance definition is tested, not assumed.
+    Q("q185_pareto_frontier",
+      (s, d) => graft.operators.Analytics.paretoFrontier2d(
+          Tables(s, d, "part"), col("p_partkey"),
+          round(col("p_retailprice") * 100, 0), col("p_size"))
+        .select(col("id").as("part_key"), col("cost").as("price_cents"),
+          col("gain").as("size"))
+        .orderBy("price_cents", "part_key"),
+      Some("""WITH b AS (SELECT p_partkey AS id,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cost,
+        |    CAST(p_size AS BIGINT) AS gain FROM part),
+        |pc AS (SELECT cost, max(gain) AS mg FROM b GROUP BY 1),
+        |fr AS (SELECT cost, mg FROM (SELECT cost, mg,
+        |    max(mg) OVER (ORDER BY cost
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pc) WHERE pm IS NULL OR pm < mg)
+        |SELECT b.id AS part_key, b.cost AS price_cents, b.gain AS size
+        |FROM b JOIN fr ON b.cost = fr.cost AND b.gain = fr.mg
+        |ORDER BY price_cents, part_key""".stripMargin),
+      "2-D skyline via per-cost maxima + prefix max — no dominance self-join"),
+
+    // q186 — INTERVAL-OVERLAP SWEEP LINE: how many order lines are
+    // pending shipment ([order date, ship date)) on each day the count
+    // changes. +1/−1 deltas collapse via ONE algebraic groupBy(day)
+    // before the prefix sum runs over the calendar-bounded day table —
+    // a billion intervals cost one exchange of |days| rows. The classic
+    // occupancy/max-concurrency primitive (concurrent sessions, active
+    // subscriptions) over the TPC-H order lifecycle.
+    Q("q186_sweep_concurrency",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d0"))
+        val l = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            to_date(col("l_shipdate")).as("d1"))
+        graft.operators.Analytics.sweepConcurrency(
+            o.join(l, "o_orderkey"), col("d0"), col("d1"))
+          .select(col("at").as("day"), col("net_change"),
+            col("concurrent").as("pending"))
+          .orderBy("day")
+      },
+      Some("""WITH iv AS (SELECT CAST(o.o_orderdate AS DATE) AS d0,
+        |    CAST(l.l_shipdate AS DATE) AS d1
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |d AS (SELECT d0 AS day, 1 AS delta FROM iv
+        |  UNION ALL SELECT d1, -1 FROM iv),
+        |g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net_change
+        |  FROM d GROUP BY 1)
+        |SELECT day, net_change,
+        |  CAST(sum(net_change) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pending
+        |FROM g ORDER BY day""".stripMargin),
+      "sweep-line pending-shipment occupancy: algebraic delta fold + prefix sum over days"),
+
+    // q188 — KMV INTERSECTION estimate from ONE combined sketch: the
+    // set-operation capability HLL lacks — the bottom-k of A ∪ B is a
+    // uniform sample of the union, so the fraction of it lying in both
+    // scopes estimates |A ∩ B| (Beyer et al., SIGMOD'07), all in
+    // replayed integer arithmetic with exact audit columns alongside.
+    // Scopes: viewers vs purchasers (user sets of two event types).
+    Q("q188_kmv_intersect",
+      (s, d) => graft.operators.Sketches.kmvIntersect(
+          Tables(s, d, "events"), col("user_id"), col("event_type"),
+          scopeA = "view", scopeB = "purchase", k = 64),
+      Some("""WITH b AS (SELECT event_type AS scope,
+        |    CAST(user_id AS VARCHAR) AS kk FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |hh AS (SELECT
+        |    CAST(('0x' || substring(md5('0#' || kk), 1, 15)) AS BIGINT) AS h,
+        |    max(CASE WHEN scope = 'view' THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN scope = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        |  FROM b GROUP BY 1),
+        |r AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn
+        |  FROM hh),
+        |sk AS (SELECT count(*) AS n_kept,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth_hash,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both_in_k
+        |  FROM r WHERE rn <= 64),
+        |e AS (SELECT n_kept, kth_hash, n_both_in_k,
+        |    CASE WHEN n_kept < 64 THEN n_kept
+        |      ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976)
+        |        // kth_hash AS BIGINT) END AS est_union
+        |  FROM sk),
+        |t AS (SELECT count(*) AS n_true_union,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_true_intersect FROM hh)
+        |SELECT e.n_kept, e.kth_hash, e.n_both_in_k, e.est_union,
+        |  CAST((CAST(e.n_both_in_k AS HUGEINT) * e.est_union) // e.n_kept
+        |    AS BIGINT) AS est_intersect,
+        |  t.n_true_union, t.n_true_intersect
+        |FROM e, t""".stripMargin),
+      "KMV |A intersect B| from one combined bottom-k sketch, integer-replayed"),
+
+    // q189 — SPEARMAN rank correlation per language between document
+    // length (chars) and token count, in exact basis points: ranks are
+    // row_number over (value, doc_id) — the id tiebreak makes each rank
+    // a permutation, so the classic d² identity is exact and rho_bp =
+    // 10⁴ − (6·10⁴·Σd²) div (n(n²−1)) with a NON-NEGATIVE division
+    // operand (Spark truncates, DuckDB floors — they agree only there;
+    // the possibly-negative rho comes from the subtraction, which is
+    // exact). Where Pearson needs sqrt, the rank domain needs nothing.
+    Q("q189_spearman",
+      (s, d) => graft.operators.Stats.spearmanByGroup(
+          Tables(s, d, "documents").filter(col("text").isNotNull),
+          col("lang"), col("doc_id"), col("n_chars"),
+          size(graft.functions.TextFunctions.words(col("text"))))
+        .select(col("g").as("lang"), col("n"), col("sd2"), col("rho_bp"))
+        .orderBy("lang"),
+      Some("""WITH b AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS BIGINT) AS y
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY x, doc_id)
+        |      AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY y, doc_id)
+        |      AS BIGINT) AS ry
+        |  FROM b),
+        |a AS (SELECT lang, count(*) AS n,
+        |    CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2
+        |  FROM r GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n, sd2,
+        |  CAST(10000 - (60000 * sd2) // (n * (n * n - 1)) AS BIGINT)
+        |    AS rho_bp
+        |FROM a WHERE n >= 2 ORDER BY lang""".stripMargin),
+      "Spearman rho per language in exact bp — permutation ranks, no negative division"),
+
+    // q190 — OLS TREND SLOPE of daily event volume per type, as the
+    // exact rational (num, den) plus sign·((10⁴·|num|) div den) — the
+    // abs-then-sign arrangement dodges the one place integer engines
+    // disagree (negative division: truncate vs floor). x is the epoch
+    // day number (OLS slope is shift-invariant); sums run in
+    // DECIMAL(38) before the final casts.
+    Q("q190_trend_slope",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+          .agg(count(lit(1)).as("y"))
+        graft.operators.Stats.trendSlopeByGroup(daily,
+            col("event_type"), col("x"), col("y"))
+          .select(col("g").as("event_type"), col("n"), col("slope_num"),
+            col("slope_den"), col("slope_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sx2
+        |  FROM daily GROUP BY 1),
+        |c AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+        |    n * sx2 - sx * sx AS den FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(num AS BIGINT) AS slope_num, CAST(den AS BIGINT) AS slope_den,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |      ((10000 * abs(num)) // den) AS BIGINT) END AS slope_bp
+        |FROM c ORDER BY event_type""".stripMargin),
+      "exact OLS slope per event type — rational components + sign-safe scaled quotient"))
 }

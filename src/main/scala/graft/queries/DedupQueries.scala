@@ -834,15 +834,15 @@ object DedupQueries {
 
     // q182 — TF-IDF-WEIGHTED gram cosine join: the weighted sibling of
     // q23's set-Jaccard — pairs scored by the cosine of their tf·idf
-    // 3-gram vectors, so sharing RARE grams outranks sharing
-    // boilerplate (set semantics can't express that). Exact integral
-    // program on both engines: integer idf (100·(N+1)) div (df+1),
-    // squared cosine in basis points via DECIMAL(38,0) / HUGEINT —
-    // sqrt traded away like every no-libm score here. Candidates from
-    // the q23 posting-list shape (grams with 2 ≤ df ≤ 20 pair);
-    // verification dot joins candidates to the two docs' weighted
-    // vectors on the doc key — |candidates| × doc-length bound, never
-    // corpus².
+    // 3-gram vectors over the MID-FREQUENCY BAND (2 ≤ df ≤ 20; hot
+    // grams carry zero weight BY CONTRACT — they are the low-idf
+    // boilerplate the weighting discounts anyway, and banding is what
+    // lets the dot product stream straight off bounded posting lists in
+    // one gram-keyed shuffle, PPJoin-style, instead of rejoining
+    // candidates to corpus-sized vector tables). Exact integral program
+    // on both engines: integer idf (100·(N+1)) div (df+1), squared
+    // cosine in basis points via DECIMAL(38,0) / HUGEINT — sqrt traded
+    // away like every no-libm score here.
     Q("q182_tfidf_cosine_join",
       (s, d) => graft.operators.Retrieval.tfidfGramCosineJoin(
           Tables(s, d, "documents"), col("doc_id"), col("text"),
@@ -857,21 +857,18 @@ object DedupQueries {
         |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
         |  FROM w WHERE len(ws) >= 3),
         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
-        |dfq AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1),
+        |dfq AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 20),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
-        |tfw AS (SELECT tf.doc_id, tf.gram,
+        |tfk AS (SELECT tf.doc_id, tf.gram,
         |    CAST(tf.tf * ((100 * (nd.n_docs + 1)) // (dfq.df + 1))
         |      AS HUGEINT) AS w
         |  FROM tf JOIN dfq USING (gram), nd),
-        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM tfw GROUP BY 1),
-        |rare AS (SELECT gram FROM dfq WHERE df BETWEEN 2 AND 20),
-        |k AS (SELECT tf.doc_id, tf.gram FROM tf JOIN rare USING (gram)),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        |dt AS (SELECT c.doc_a, c.doc_b, sum(wa.w * wb.w) AS dot
-        |  FROM cand c JOIN tfw wa ON wa.doc_id = c.doc_a
-        |              JOIN tfw wb ON wb.doc_id = c.doc_b
-        |                AND wb.gram = wa.gram
+        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM tfk GROUP BY 1),
+        |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.w * b.w) AS dot
+        |  FROM tfk a JOIN tfk b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |sc AS (SELECT dt.doc_a, dt.doc_b,
         |    CAST((dt.dot * dt.dot) // ((na.n2 * nb.n2) // 10000)
@@ -880,6 +877,58 @@ object DedupQueries {
         |          JOIN norms nb ON nb.doc_id = dt.doc_b)
         |SELECT doc_a, doc_b, cos2_bp FROM sc WHERE cos2_bp >= 2500
         |ORDER BY doc_a, doc_b""".stripMargin),
-      "tf-idf weighted gram cosine join (integer idf, sqrt-free bp score, capped postings)")
+      "banded tf-idf gram cosine join — one-shuffle PPJoin-style pair emission, integer-exact"),
+
+    // q187 — SORTED-NEIGHBORHOOD dedup (SNM): the third classic
+    // blocking family next to LSH (q24) and posting lists (q23) — sort
+    // within 2-char blocks by a 24-char normalized-prefix key, pair
+    // each doc with its next 5 neighbors in sort order (declarative:
+    // probe-rank explode + ONE (block, rank) equi-join, no window
+    // self-join), verify with exact distinct-gram Jaccard in bp.
+    // Catches prefix-sharing near-dups (mirrored/versioned docs) that
+    // gram banding drowns in candidates for.
+    Q("q187_sorted_neighborhood",
+      (s, d) => graft.operators.Dedup.sortedNeighborhoodPairs(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          n = 3, keyLen = 24, blockLen = 2, win = 6, minBp = 2000L)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH b AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents
+        |  WHERE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    IS NOT NULL
+        |    AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      > 0),
+        |rk AS (SELECT doc_id, substring(t, 1, 2) AS blk,
+        |    row_number() OVER (PARTITION BY substring(t, 1, 2)
+        |      ORDER BY substring(t, 1, 24), doc_id) AS rn
+        |  FROM b),
+        |pr AS (SELECT blk, doc_id AS id_a,
+        |    unnest(generate_series(rn + 1, rn + 5)) AS rn2
+        |  FROM rk),
+        |pairs AS (SELECT least(pr.id_a, rk.doc_id) AS doc_a,
+        |    greatest(pr.id_a, rk.doc_id) AS doc_b
+        |  FROM pr JOIN rk ON rk.blk = pr.blk AND rk.rn = pr.rn2),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM b WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |gc AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |sh AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+        |  FROM pairs p JOIN g ga ON ga.doc_id = p.doc_a
+        |               JOIN g gb ON gb.doc_id = p.doc_b
+        |                 AND gb.gram = ga.gram
+        |  GROUP BY 1, 2),
+        |j AS (SELECT sh.doc_a, sh.doc_b, sh.shared,
+        |    (10000 * sh.shared) // (ca.ng + cb.ng - sh.shared) AS jacc_bp
+        |  FROM sh JOIN gc ca ON ca.doc_id = sh.doc_a
+        |          JOIN gc cb ON cb.doc_id = sh.doc_b)
+        |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(jacc_bp AS BIGINT) AS jacc_bp
+        |FROM j WHERE jacc_bp >= 2000 ORDER BY doc_a, doc_b""".stripMargin),
+      "sorted-neighborhood blocking + exact gram-Jaccard verify, window-free pairing")
   )
 }

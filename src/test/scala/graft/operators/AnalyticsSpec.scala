@@ -137,4 +137,47 @@ class AnalyticsSpec extends SparkSpec {
       .select("value_locf").as[Double].collect().toSeq
     assert(got === Seq(8.0))
   }
+
+  test("paretoFrontier2d: matches brute-force dominance on a seeded cloud") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val got = Analytics.paretoFrontier2d(
+        pts.toDF("id", "cost", "gain"),
+        col("id"), col("cost"), col("gain"))
+      .collect().map(_.getLong(0)).toSet
+    // brute force: r survives iff nothing beats it weakly in both dims
+    // and strictly in one
+    val want = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    assert(got === want)
+  }
+
+  test("sweepConcurrency: overlapping intervals stack; empty interval nets zero") {
+    import spark.implicits._
+    // [1,4), [2,3), [5,5) (empty), [2,6)
+    val d = Seq((1L, 4L), (2L, 3L), (5L, 5L), (2L, 6L)).toDF("s", "e")
+    val got = Analytics.sweepConcurrency(d, col("s"), col("e"))
+      .orderBy("at").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // day1: +1 -> 1; day2: +2 -> 3; day3: -1 -> 2; day4: -1 -> 1;
+    // day5: +1-1 -> net 0, still 1; day6: -1 -> 0
+    assert(got === Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, -1L, 2L),
+      (4L, -1L, 1L), (5L, 0L, 1L), (6L, -1L, 0L)))
+  }
+
+  test("paretoFrontier2d: duplicate frontier points all survive") {
+    import spark.implicits._
+    val d = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 10L, 4L), (4L, 20L, 9L))
+      .toDF("id", "cost", "gain")
+    val got = Analytics.paretoFrontier2d(d, col("id"), col("cost"),
+      col("gain")).collect().map(_.getLong(0)).toSet
+    // 3 is dominated by 1/2 (same cost, less gain); 4 gains more at a
+    // higher cost -> frontier; 1 and 2 tie exactly -> both kept
+    assert(got === Set(1L, 2L, 4L))
+  }
 }

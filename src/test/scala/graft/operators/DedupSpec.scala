@@ -277,4 +277,41 @@ class DedupSpec extends SparkSpec {
       s"fixture must exercise a non-trivial near-dup pair: $want")
     assert(got === want)
   }
+
+  test("sortedNeighborhoodPairs: prefix-sorted neighbors pair; far rows don't") {
+    import spark.implicits._
+    // docs 1/2 share a prefix and 80%+ of grams -> adjacent in sort
+    // order, verified; doc 3 shares the 2-char block but nothing else;
+    // doc 4 lives in a different block entirely
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta theta"),
+      (3L, "almost nothing in common here at all"),
+      (4L, "zulu oscar november completely different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(d, col("doc_id"), col("text"),
+        n = 3, keyLen = 24, blockLen = 2, win = 6, minBp = 2000L)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // grams(1) = 5, grams(2) = 5, shared = 4 -> 10000*4 div 6 = 6666
+    assert(got === Seq((1L, 2L, 6666L)))
+  }
+
+  test("sortedNeighborhoodPairs: window bound limits pairing distance") {
+    import spark.implicits._
+    // five docs in one block, sort order = doc_id (identical prefix key
+    // would tie — vary the 24-char key tail); win=2 pairs only adjacent
+    // ranks, so 1-3 never pairs even though their Jaccard is high
+    val mk = (i: Long, tail: String) => (i, s"aa b$i $tail")
+    val d = Seq(
+      mk(1L, "common gram run one two three four"),
+      mk(2L, "unrelated filler text completely else"),
+      mk(3L, "common gram run one two three four"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(d, col("doc_id"), col("text"),
+        n = 3, keyLen = 24, blockLen = 2, win = 2, minBp = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((1L, 3L)),
+      "rank distance 2 must not pair under win=2")
+  }
 }

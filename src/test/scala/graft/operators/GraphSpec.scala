@@ -53,4 +53,35 @@ class GraphSpec extends SparkSpec {
       3L -> 191666665L))
     assert(got(2L) > got(1L), "hub outranks leaves")
   }
+
+  test("triangleStats: K4 has 4 triangles, 12 wedges, clustering 10000") {
+    // K4: every pair adjacent -> C(4,3)=4 triangles; wedges = 4*C(3,2)=12;
+    // clustering = 3*4/12 = 1.0 -> 10000 bp
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)
+    val got = Graph.triangleStats(edgesOf(k4: _*), maxDeg = 10).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ((4L, 6L, 12L, 4L, 10000L)))
+  }
+
+  test("triangleStats: hub pruning removes the hub's triangles only") {
+    // triangle 1-2-3 plus hub 9 connected to all of 1,2,3 (deg 3);
+    // with maxDeg=2 the hub drops, leaving exactly the base triangle
+    val got = Graph.triangleStats(
+      edgesOf((1L, 2L), (1L, 3L), (2L, 3L), (9L, 1L), (9L, 2L), (9L, 3L)),
+      maxDeg = 2).collect().head
+    assert(got.getLong(3) === 0L,
+      "nodes 1,2,3 have degree 3 with the hub attached -> all pruned")
+    val keepAll = Graph.triangleStats(
+      edgesOf((1L, 2L), (1L, 3L), (2L, 3L), (9L, 1L), (9L, 2L), (9L, 3L)),
+      maxDeg = 3).collect().head
+    assert(keepAll.getLong(3) === 4L, "K4 shape: 4 triangles with the hub")
+  }
+
+  test("triangleStats: triangle-free bipartite graph counts zero") {
+    // C4 cycle: 4 wedges, 0 triangles, clustering 0
+    val got = Graph.triangleStats(
+      edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), maxDeg = 10)
+      .collect().head
+    assert((got.getLong(2), got.getLong(3), got.getLong(4)) === ((4L, 0L, 0L)))
+  }
 }

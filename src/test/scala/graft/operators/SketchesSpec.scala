@@ -43,4 +43,62 @@ class SketchesSpec extends SparkSpec {
         s"register $r of the union is not the max of the parts")
     }
   }
+
+  private def scoped(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toDF("scope", "k")
+  }
+
+  test("kmvReplay: under-k scope is exact; union pools the scopes") {
+    val got = Sketches.kmvReplay(
+      scoped("a" -> "x", "a" -> "y", "a" -> "x", "b" -> "y", "b" -> "z"),
+      col("k"), col("scope"), k = 128)
+      .orderBy("scope").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("__union", "a", "b"))
+    // all scopes hold < 128 keys -> est is the exact distinct count and
+    // kth_hash is null
+    assert(got.map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+      === Seq((3L, 3L, 3L), (2L, 2L, 2L), (2L, 2L, 2L)))
+    assert(got.forall(_.isNullAt(2)), "kth_hash null when scope has < k keys")
+  }
+
+  test("kmvReplay: at-k scope estimates from the kth smallest hash") {
+    val rows = (1 to 40).map(i => ("s", s"key$i"))
+    val got = Sketches.kmvReplay(scoped(rows: _*), col("k"), col("scope"),
+      k = 8).filter(col("scope") === "s").collect().head
+    assert(got.getLong(1) === 8L, "n_kept capped at k")
+    val kth = got.getLong(2)
+    assert(kth > 0L)
+    val expectEst = ((BigInt(7) * (BigInt(1) << 60)) / kth).toLong
+    assert(got.getLong(3) === expectEst, "est = (k-1)*2^60 div kth_hash")
+    assert(got.getLong(4) === 40L)
+    // unbiasedness sanity at tiny scale: estimate within 3x of truth
+    assert(got.getLong(3) > 13L && got.getLong(3) < 120L,
+      s"est=${got.getLong(3)} wildly off 40")
+  }
+
+  test("kmvIntersect: under-k sketch is exact for union AND intersection") {
+    val rows = Seq("a" -> "x", "a" -> "y", "a" -> "z",
+      "b" -> "y", "b" -> "z", "b" -> "w", "c" -> "ignored")
+    val got = Sketches.kmvIntersect(scoped(rows: _*), col("k"),
+      col("scope"), scopeA = "a", scopeB = "b", k = 64).collect().head
+    // union {x,y,z,w} = 4 < k -> exact; intersection {y,z} = 2
+    assert(got.getLong(0) === 4L, "n_kept = full union under k")
+    assert(got.getLong(2) === 2L, "both-flagged hashes in sketch")
+    assert(got.getLong(3) === 4L, "est_union exact under k")
+    assert(got.getLong(4) === 2L, "est_intersect = n_both*est/n_kept exact")
+    assert((got.getLong(5), got.getLong(6)) === ((4L, 2L)))
+  }
+
+  test("kmvIntersect: at-k the intersect estimate scales the union estimate") {
+    val rows = (1 to 60).map(i => ("a", s"k$i")) ++
+      (31 to 90).map(i => ("b", s"k$i"))
+    val got = Sketches.kmvIntersect(scoped(rows: _*), col("k"),
+      col("scope"), "a", "b", k = 16).collect().head
+    assert(got.getLong(0) === 16L)
+    val expect = (BigInt(got.getLong(2)) * got.getLong(3) / 16).toLong
+    assert(got.getLong(4) === expect,
+      "est_intersect = (n_both_in_k * est_union) div k")
+    assert((got.getLong(5), got.getLong(6)) === ((90L, 30L)))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the exact-integer correlation/trend programs on hand-computed
+  * inputs (the oracle gate covers q189/q190 end-to-end; these verify the
+  * programs are the INTENDED ones, sign conventions included).
+  */
+class StatsSpec extends SparkSpec {
+
+  private def xy(rows: (String, Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("g", "i", "x", "y")
+  }
+
+  test("spearmanByGroup: perfect monotone 10000, perfect reverse -10000") {
+    val d = xy(
+      ("up", 1L, 10L, 100L), ("up", 2L, 20L, 200L), ("up", 3L, 30L, 300L),
+      ("dn", 1L, 10L, 300L), ("dn", 2L, 20L, 200L), ("dn", 3L, 30L, 100L))
+    val got = Stats.spearmanByGroup(d, col("g"), col("i"), col("x"),
+      col("y")).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("up" -> 10000L, "dn" -> -10000L))
+  }
+
+  test("spearmanByGroup: one transposition, hand value") {
+    // ranks x = 1,2,3,4; ranks y = 2,1,3,4 -> sd2 = 1+1 = 2
+    // rho_bp = 10000 - 120000 div (4*15) = 10000 - 2000 = 8000
+    val d = xy(("g", 1L, 1L, 20L), ("g", 2L, 2L, 10L),
+      ("g", 3L, 3L, 30L), ("g", 4L, 4L, 40L))
+    val got = Stats.spearmanByGroup(d, col("g"), col("i"), col("x"),
+      col("y")).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((4L, 2L, 8000L)))
+  }
+
+  test("spearmanByGroup: value ties break by id deterministically") {
+    // x ties everywhere -> rank x follows id order; y strictly follows
+    // id too -> d = 0, rho = 10000 regardless of the tied values
+    val d = xy(("g", 1L, 5L, 10L), ("g", 2L, 5L, 20L), ("g", 3L, 5L, 30L))
+    val got = Stats.spearmanByGroup(d, col("g"), col("i"), col("x"),
+      col("y")).collect().head
+    assert(got.getLong(3) === 10000L)
+  }
+
+  private def gxy(rows: (String, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("g", "x", "y")
+  }
+
+  test("trendSlopeByGroup: exact positive and negative slopes, sign-safe") {
+    // up: y = 5x + 1 on x=0..3 -> slope exactly 5 -> 50000 bp
+    // dn: y = -3x + 9        -> slope exactly -3 -> -30000 bp
+    val d = gxy(
+      ("up", 0L, 1L), ("up", 1L, 6L), ("up", 2L, 11L), ("up", 3L, 16L),
+      ("dn", 0L, 9L), ("dn", 1L, 6L), ("dn", 2L, 3L), ("dn", 3L, 0L))
+    val got = Stats.trendSlopeByGroup(d, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // n=4, sx=6, sx2=14 -> den = 4*14-36 = 20
+    assert(got("up") === ((100L, 20L, 50000L)))
+    assert(got("dn") === ((-60L, 20L, -30000L)))
+  }
+
+  test("trendSlopeByGroup: truncation goes toward zero for negatives") {
+    // y = (1, 0) on x = (0, 3): num = 2*(0*1+3*0) - 3*1 = -3, den = 2*9-9 = 9
+    // slope = -1/3 -> -(30000 div 9) = -3333 (NOT floor's -3334)
+    val d = gxy(("g", 0L, 1L), ("g", 3L, 0L))
+    val got = Stats.trendSlopeByGroup(d, col("g"), col("x"), col("y"))
+      .collect().head
+    assert((got.getLong(2), got.getLong(3), got.getLong(4))
+      === ((-3L, 9L, -3333L)))
+  }
+
+  test("trendSlopeByGroup: single distinct x reports NULL slope, exact parts") {
+    val d = gxy(("g", 2L, 1L), ("g", 2L, 5L))
+    val got = Stats.trendSlopeByGroup(d, col("g"), col("x"), col("y"))
+      .collect().head
+    assert(got.getLong(3) === 0L, "den = 0")
+    assert(got.isNullAt(4), "slope undefined on a vertical line")
+  }
+}

@@ -81,7 +81,8 @@ object Plans {
     "q187_sorted_neighborhood" -> "windows partition by the 2-char block (no single-partition global sort); neighbor pairing is a probe-rank explode + ONE (block, rank) equi-join with fan-out win-1; Jaccard verify joins keyed on doc ids over distinct-gram tables.",
     "q188_kmv_intersect" -> "membership flags fold into the hash-keyed dedup aggregate (partial_max); the bottom-k rank filter must show WindowGroupLimit Partial (<= k rows per partition reach the single ordering partition); truth audit rides back as a 1-row broadcast.",
     "q189_spearman" -> "ONE exchange on the lang key feeds both rank windows (identical partitioning, reused) and the sd2 aggregate; scan reads only (lang, doc_id, n_chars, text).",
-    "q190_trend_slope" -> "daily rollup is the only fact-sized exchange (partial_count combine); the slope is a pure algebraic aggregate over the (type, day) table — partial_sum DECIMAL combines, |groups| rows out.")
+    "q190_trend_slope" -> "daily rollup is the only fact-sized exchange (partial_count combine); the slope is a pure algebraic aggregate over the (type, day) table — partial_sum DECIMAL combines, |groups| rows out.",
+    "q191_mutual_nn_margin" -> "ONE scored pass (corpus scan x BroadcastExchange of the query copy, fused codegen cosine) feeds rank-1 extraction AND neighborhood sums through the TopKPerKey node (<= k+1 rows per query-partition shuffled); mutuality is a self-join keyed on the (src,dst) pair — the M x N scored space never shuffles.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -635,4 +635,57 @@ object Similarity {
       .orderBy(col("qcos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Mutual nearest neighbors with MARGIN scoring — the bitext/parallel-
+    * pair mining shape (Artetxe & Schwenk, ACL'19): a pair qualifies
+    * when each vector is the other's top-1 neighbor, and its margin
+    * divides the pair cosine by the mean of the two k-NN neighborhood
+    * cosines — "close in absolute terms AND closer than everything
+    * around you", which kills hub vectors that are near everything.
+    *
+    *   margin_bp = (2·k·cu(x,y)·10⁴) div (Sx + Sy)
+    *
+    * with cu = round(cos·10⁴) (the 4-dp contract integerized) and
+    * Sx = Σ cu over x's k nearest others. The quotient runs on the
+    * integer domain; pairs where cu ≤ 0 or Sx + Sy ≤ 0 are dropped by
+    * loud contract (mutual top-1 pairs with non-positive cosine are
+    * degenerate; keeping the division non-negative is the engine-
+    * agreement rule every Stats program follows).
+    *
+    * Scale shape: ONE scored pass (corpus scan × broadcast corpus — the
+    * knnJoin shape) feeds both the rank-1 extraction and the
+    * neighborhood sums; per-query top-k runs on the TopKPerKey node
+    * (≤ k+1 rows per query·partition shuffle); mutuality is a self-join
+    * keyed on the (src, dst) pair. Exact by construction at this size —
+    * at 100 TB the same downstream runs over ANN lists (q38/q67)
+    * instead of the exact scored pass.
+    */
+  def mutualNnMargin(df: DataFrame, id: Column, vec: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "mutualNnMargin needs k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
+    val topk = knnJoin(e, col("vec_id"), col("v"), e, col("vec_id"),
+        col("v"), k + 1)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .withColumn("cu", round(col("cos_sim") * 10000).cast("long"))
+    val sums = topk.groupBy("query_id").agg(sum("cu").as("s"))
+    val top1 = topk.filter(col("rn") === 1)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("cos_sim"), col("cu"))
+    val mutual = top1.as("x").join(
+        top1.select(col("src").as("dst"), col("dst").as("src")).as("y"),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+    mutual
+      .join(sums.select(col("query_id").as("src"), col("s").as("sx")), "src")
+      .join(sums.select(col("query_id").as("dst"), col("s").as("sy")), "dst")
+      .filter(col("cu") > 0 && (col("sx") + col("sy")) > 0)
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        col("cos_sim"),
+        expr(s"(2 * $k * cu * 10000) div (sx + sy)").as("margin_bp"))
+  }
 }

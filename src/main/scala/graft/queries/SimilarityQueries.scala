@@ -817,6 +817,48 @@ object SimilarityQueries {
         |SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
         |FROM a JOIN qb ON a.c_lbl = qb.qbucket, qv WHERE vec_id <> 7
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
-      "IVF ANN over a persisted bucket-partitioned index (file-level partition pruning)")
+      "IVF ANN over a persisted bucket-partitioned index (file-level partition pruning)"),
+
+    // q191 — MUTUAL NEAREST NEIGHBORS with margin scoring, the
+    // bitext/parallel-pair mining shape (Artetxe & Schwenk, ACL'19): a
+    // pair qualifies when each vector is the other's top-1, and the
+    // margin divides the pair cosine by the mean of the two 4-NN
+    // neighborhood cosines — "close, AND closer than everything around
+    // you", which kills hub vectors near everything. Margin runs on the
+    // integerized 4-dp cosines so the quotient replays exactly (the
+    // non-negative-division rule). One scored pass feeds ranks, sums,
+    // and mutuality; at 100 TB the same downstream consumes ANN lists
+    // (q38/q67) instead of the exact pass.
+    Q("q191_mutual_nn_margin",
+      (s, d) => graft.operators.Similarity.mutualNnMargin(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          k = 4)
+        .orderBy("vec_a", "vec_b"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    round(list_cosine_similarity(b.v, a.v), 4) AS cos_sim
+        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM s),
+        |tk AS (SELECT * FROM r WHERE rn <= 4),
+        |sm AS (SELECT query_id, CAST(sum(cu) AS BIGINT) AS sv
+        |  FROM tk GROUP BY 1),
+        |t1 AS (SELECT query_id AS src, vec_id AS dst, cos_sim, cu
+        |  FROM tk WHERE rn = 1),
+        |mu AS (SELECT x.src, x.dst, x.cos_sim, x.cu FROM t1 x
+        |  JOIN t1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst)
+        |SELECT mu.src AS vec_a, mu.dst AS vec_b, mu.cos_sim,
+        |  CAST((2 * 4 * mu.cu * 10000) // (sx.sv + sy.sv) AS BIGINT)
+        |    AS margin_bp
+        |FROM mu JOIN sm sx ON sx.query_id = mu.src
+        |        JOIN sm sy ON sy.query_id = mu.dst
+        |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      "mutual top-1 pairs + integer margin over 4-NN neighborhood sums (pair-mining shape)")
   )
 }

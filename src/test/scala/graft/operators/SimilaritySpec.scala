@@ -225,4 +225,24 @@ class SimilaritySpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(bucketDirs.nonEmpty)
   }
+
+  test("mutualNnMargin: mutual pairs only, hand-computed integer margins") {
+    import spark.implicits._
+    // 1≡2 and 3≡4 (two identical clusters on orthogonal axes); 5 leans
+    // toward cluster {3,4} but is nobody's top-1 -> excluded, yet it
+    // inflates the neighborhoods it enters:
+    //   S1 = S2 = cu(1.0) + cu(0.6) = 16000; S3 = S4 = 10000 + 8000
+    //   margin(1,2) = (2·2·10000·10⁴) div 32000 = 12500
+    //   margin(3,4) = 4·10⁸ div 36000            = 11111
+    val d = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.0, 1.0)),
+      (5L, Array(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mutualNnMargin(d, col("vec_id"), col("embedding"),
+        k = 2).orderBy("vec_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 2L, 1.0, 12500L), (3L, 4L, 1.0, 11111L)))
+  }
 }

@@ -82,7 +82,8 @@ object Plans {
     "q188_kmv_intersect" -> "membership flags fold into the hash-keyed dedup aggregate (partial_max); the bottom-k rank filter must show WindowGroupLimit Partial (<= k rows per partition reach the single ordering partition); truth audit rides back as a 1-row broadcast.",
     "q189_spearman" -> "ONE exchange on the lang key feeds both rank windows (identical partitioning, reused) and the sd2 aggregate; scan reads only (lang, doc_id, n_chars, text).",
     "q190_trend_slope" -> "daily rollup is the only fact-sized exchange (partial_count combine); the slope is a pure algebraic aggregate over the (type, day) table — partial_sum DECIMAL combines, |groups| rows out.",
-    "q191_mutual_nn_margin" -> "ONE scored pass (corpus scan x BroadcastExchange of the query copy, fused codegen cosine) feeds rank-1 extraction AND neighborhood sums through the TopKPerKey node (<= k+1 rows per query-partition shuffled); mutuality is a self-join keyed on the (src,dst) pair — the M x N scored space never shuffles.")
+    "q191_mutual_nn_margin" -> "ONE scored pass (corpus scan x BroadcastExchange of the query copy, fused codegen cosine) feeds rank-1 extraction AND neighborhood sums through the TopKPerKey node (<= k+1 rows per query-partition shuffled); mutuality is a self-join keyed on the (src,dst) pair — the M x N scored space never shuffles.",
+    "q192_degree_distribution" -> "degree table folds to <= 64 bitlen buckets in one tiny groupBy; the log-log slope is an algebraic fold of that bucket table; histogram rows carry the slope via a 1-row broadcast — everything after the pair build is constant-size.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

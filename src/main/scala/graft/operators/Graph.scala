@@ -41,6 +41,39 @@ object Graph {
     sym.join(deg, "u")
   }
 
+  /** Degree distribution in power-of-two bins with an integer power-law
+    * slope probe — the "is this graph scale-free enough to need skew
+    * handling" diagnostic a pipeline runs BEFORE choosing between the
+    * broadcast/salting strategies (q41) and plain keyed joins. Bins are
+    * bitlen(degree) (integer log₂ via the engine-portable
+    * length(bin(x)) — q179's trick), counts likewise compressed through
+    * bitlen, and the log-log slope comes from
+    * [[Stats.trendSlopeByGroup]] — exact rational + sign-safe bp, no
+    * libm anywhere.
+    *
+    * Scale shape: degree table → one projection + one tiny groupBy
+    * (≤ 64 bitlen buckets); the slope is an algebraic fold of that
+    * bucket table; histogram rows carry the slope as a broadcast
+    * constant.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u"), col("du")).distinct()
+    val hist = deg
+      .select(length(bin(col("du"))).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_nodes"))
+    val slope = Stats.trendSlopeByGroup(
+        hist.select(lit("all").as("g"), col("bucket").as("x"),
+          length(bin(col("n_nodes"))).cast("long").as("y")),
+        col("g"), col("x"), col("y"))
+      .select(col("slope_num"), col("slope_den"), col("slope_bp"))
+    hist
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, CAST(bucket AS INT) - 1) AS BIGINT)").as("lo"),
+        expr("CAST(shiftleft(1L, CAST(bucket AS INT)) - 1 AS BIGINT)").as("hi"),
+        col("n_nodes"))
+      .crossJoin(broadcast(slope))
+  }
+
   /** PageRank over a symmetric edge list, `iters` synchronous
     * iterations, damping 85/100, all in scaled integer arithmetic
     * (scores scaled by 1e9; every division integral, so both engines

@@ -1268,5 +1268,51 @@ object AnalyticsQueries {
         |    ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
         |      ((10000 * abs(num)) // den) AS BIGINT) END AS slope_bp
         |FROM c ORDER BY event_type""".stripMargin),
-      "exact OLS slope per event type — rational components + sign-safe scaled quotient"))
+      "exact OLS slope per event type — rational components + sign-safe scaled quotient"),
+
+    // q192 — DEGREE DISTRIBUTION of the sparse co-purchase graph in
+    // power-of-two bins plus an integer log-log slope probe: the
+    // "is this graph scale-free enough to need skew handling"
+    // diagnostic run BEFORE choosing between salting (q41) and plain
+    // keyed joins. Integer log₂ via length(bin(x)) on both axes
+    // (q179's trick) feeds q190's sign-safe OLS program — a
+    // composition of two already-verified exact programs, no libm.
+    Q("q192_degree_distribution",
+      (s, d) => {
+        val edges = graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem").filter(col("l_quantity") >= 40),
+          col("l_orderkey"), col("l_partkey"))
+        graft.operators.Graph.degreeDistribution(edges).orderBy("bucket")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS it
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |p0 AS (SELECT a.it AS u, b.it AS v FROM li a JOIN li b USING (gk)
+        |  WHERE a.it < b.it),
+        |p1 AS (SELECT DISTINCT u, v FROM p0),
+        |e AS (SELECT u, v FROM p1 UNION ALL SELECT v, u FROM p1),
+        |deg AS (SELECT u, count(*) AS du FROM e GROUP BY 1),
+        |hist AS (SELECT CAST(length(bin(du)) AS BIGINT) AS bucket,
+        |    count(*) AS n_nodes
+        |  FROM deg GROUP BY 1),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CAST(bucket AS HUGEINT)) AS sx,
+        |    sum(CAST(length(bin(n_nodes)) AS HUGEINT)) AS sy,
+        |    sum(CAST(bucket AS HUGEINT) * length(bin(n_nodes))) AS sxy,
+        |    sum(CAST(bucket AS HUGEINT) * bucket) AS sx2
+        |  FROM hist),
+        |c AS (SELECT n * sxy - sx * sy AS num, n * sx2 - sx * sx AS den
+        |  FROM a),
+        |sl AS (SELECT CAST(num AS BIGINT) AS slope_num,
+        |    CAST(den AS BIGINT) AS slope_den,
+        |    CASE WHEN den = 0 THEN NULL
+        |      ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |        ((10000 * abs(num)) // den) AS BIGINT) END AS slope_bp
+        |  FROM c)
+        |SELECT hist.bucket,
+        |  CAST(1::BIGINT << CAST(bucket - 1 AS INT) AS BIGINT) AS lo,
+        |  CAST((1::BIGINT << CAST(bucket AS INT)) - 1 AS BIGINT) AS hi,
+        |  CAST(hist.n_nodes AS BIGINT) AS n_nodes,
+        |  sl.slope_num, sl.slope_den, sl.slope_bp
+        |FROM hist, sl ORDER BY bucket""".stripMargin),
+      "power-of-two degree histogram + integer log-log slope — the skew diagnostic"))
 }

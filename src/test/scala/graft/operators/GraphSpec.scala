@@ -77,6 +77,19 @@ class GraphSpec extends SparkSpec {
     assert(keepAll.getLong(3) === 4L, "K4 shape: 4 triangles with the hub")
   }
 
+  test("degreeDistribution: star graph bins by bitlen, slope exactly -1") {
+    // S4 star: center degree 4 (bucket 3 = [4,7]), 4 leaves degree 1
+    // (bucket 1 = [1,1]); log-log points (1, bitlen(4)=3), (3, bitlen(1)=1)
+    // -> slope exactly -1 -> -10000 bp
+    val got = Graph.degreeDistribution(
+      edgesOf((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6))).toSeq
+    assert(got === Seq((1L, 1L, 1L, 4L, -10000L),
+      (3L, 4L, 7L, 1L, -10000L)))
+  }
+
   test("triangleStats: triangle-free bipartite graph counts zero") {
     // C4 cycle: 4 wedges, 0 triangles, clustering 0
     val got = Graph.triangleStats(

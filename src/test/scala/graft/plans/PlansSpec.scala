@@ -80,6 +80,41 @@ class PlansSpec extends SparkSpec {
       "estimate/n_true rows must ride back as broadcasts")
   }
 
+  test("q183: triangle closure is a LeftSemi; stats fold via partial_sum") {
+    val p = plan("q183_triangle_census")
+    assert(occurrences(p, "LeftSemi") === 1,
+      s"wedge closure must be ONE semi-join on the (x,y) edge:\n$p")
+    assert(p.contains("partial_sum"),
+      "wedge/edge stats lost their map-side combine")
+  }
+
+  test("q185: per-cost partial_max before the prefix window; semi-join back") {
+    val p = plan("q185_pareto_frontier")
+    assert(p.contains("partial_max"),
+      "per-cost max lost its map-side combine — corpus reaches the window")
+    assert(p.contains("LeftSemi"),
+      "frontier recovery must be a semi-join, not a full join")
+    assert(occurrences(p, "Exchange SinglePartition") === 1,
+      s"prefix-max window must run once over the collapsed cost table:\n$p")
+  }
+
+  test("q186: delta fold collapses before the day window") {
+    val p = plan("q186_sweep_concurrency")
+    assert(p.contains("partial_sum"),
+      "day-delta aggregate lost its map-side combine")
+    assert(occurrences(p, "Exchange hashpartitioning") === 1,
+      s"exactly one day-keyed exchange expected before the prefix sum:\n$p")
+  }
+
+  test("q191: scored pass rides TopKPerKey with a broadcast query side") {
+    val p = plan("q191_mutual_nn_margin")
+    assert(p.contains("TopKPerKey"),
+      "per-query top-k must run on the TopKPerKey node")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "query copy must broadcast against the corpus scan")
+  }
+
   test("q182: df/N broadcast back; no corpus self-join for candidates") {
     val p = plan("q182_tfidf_cosine_join")
     assert(occurrences(p, "BroadcastExchange") >= 2,

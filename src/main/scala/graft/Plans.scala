@@ -83,7 +83,9 @@ object Plans {
     "q189_spearman" -> "ONE exchange on the lang key feeds both rank windows (identical partitioning, reused) and the sd2 aggregate; scan reads only (lang, doc_id, n_chars, text).",
     "q190_trend_slope" -> "daily rollup is the only fact-sized exchange (partial_count combine); the slope is a pure algebraic aggregate over the (type, day) table — partial_sum DECIMAL combines, |groups| rows out.",
     "q191_mutual_nn_margin" -> "ONE scored pass (corpus scan x BroadcastExchange of the query copy, fused codegen cosine) feeds rank-1 extraction AND neighborhood sums through the TopKPerKey node (<= k+1 rows per query-partition shuffled); mutuality is a self-join keyed on the (src,dst) pair — the M x N scored space never shuffles.",
-    "q192_degree_distribution" -> "degree table folds to <= 64 bitlen buckets in one tiny groupBy; the log-log slope is an algebraic fold of that bucket table; histogram rows carry the slope via a 1-row broadcast — everything after the pair build is constant-size.")
+    "q192_degree_distribution" -> "degree table folds to <= 64 bitlen buckets in one tiny groupBy; the log-log slope is an algebraic fold of that bucket table; histogram rows carry the slope via a 1-row broadcast — everything after the pair build is constant-size.",
+    "q193_greedy_coverage" -> "per-round work is an anti-join against the cached covered-gram set + one per-source count with partial combine; only the argmax row reaches the driver (LIMIT 1 per round); the distinct gram table builds once and is cached across rounds.",
+    "q194_hard_negatives" -> "same single scored pass as q191 (TopKPerKey + broadcast query copy); mutuality is a LeftSemi on the (anchor,positive) pair; rank-2 probe joins on the anchor id.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -450,4 +450,61 @@ object Curation {
         Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))))
       .drop("h")
   }
+
+  /** GREEDY COVERAGE source selection — the submodular facility-
+    * location greedy behind coverage-driven data selection: each round
+    * picks the source adding the most NOT-YET-COVERED distinct n-grams
+    * (ties by source name), the classic (1 − 1/e)-approximation to
+    * max-coverage. The answer "which `rounds` sources buy the most
+    * vocabulary" is what a curation pipeline asks before allocating a
+    * token budget across crawls.
+    *
+    * Greedy is INHERENTLY sequential in rounds; each round's work is
+    * fully distributed (an anti-join against covered grams + one
+    * per-source count) and only the single argmax ROW lands on the
+    * driver — the same bounded-driver-data bargain as a broadcast
+    * join, paid `rounds` times. Covered grams accumulate in a cached
+    * union whose size is bounded by the vocabulary, not the corpus.
+    * Marginal counts are disjoint by construction, so the running
+    * coverage total is their prefix sum — no recount.
+    *
+    * Output: one row per round — (round, source, marginal_new_grams,
+    * covered_total).
+    */
+  def greedyCoverage(df: DataFrame, source: Column, text: Column,
+                     n: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "greedyCoverage needs rounds >= 1")
+    val spark = df.sparkSession
+    val g = df.select(source.cast("string").as("src"), words(text).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("src"),
+        explode(graft.functions.WordGramsNative.gramsCol(col("ws"), n))
+          .as("gram"))
+      .distinct()
+      .cache()
+    var covered: DataFrame = null
+    var picks = Vector.empty[(Int, String, Long, Long)]
+    var total = 0L
+    for (r <- 1 to rounds) {
+      val remaining =
+        if (covered == null) g else g.join(covered, Seq("gram"), "left_anti")
+      val top = remaining.groupBy("src")
+        .agg(count(lit(1)).as("marginal"))
+        .orderBy(col("marginal").desc, col("src"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (src, marginal) = (top.head.getString(0), top.head.getLong(1))
+        total += marginal
+        picks :+= ((r, src, marginal, total))
+        val newCov = g.filter(col("src") === src).select("gram")
+        covered =
+          (if (covered == null) newCov else covered.unionAll(newCov))
+            .distinct().cache()
+      }
+    }
+    import spark.implicits._
+    picks.toDF("round", "source", "marginal_new_grams", "covered_total")
+      .select(col("round").cast("long").as("round"), col("source"),
+        col("marginal_new_grams"), col("covered_total"))
+  }
 }

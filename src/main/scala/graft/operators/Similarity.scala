@@ -660,18 +660,27 @@ object Similarity {
     * at 100 TB the same downstream runs over ANN lists (q38/q67)
     * instead of the exact scored pass.
     */
-  def mutualNnMargin(df: DataFrame, id: Column, vec: Column,
-                     k: Int): DataFrame = {
-    require(k >= 1, "mutualNnMargin needs k >= 1")
+  /** Top-k OTHER neighbors per vector with rank and the integerized
+    * 4-dp cosine — the shared exact scored pass under mutualNnMargin
+    * and hardNegatives (one knnJoin through TopKPerKey; self excluded
+    * after the fact, hence k+1 in).
+    */
+  private def rankedNeighbors(df: DataFrame, id: Column, vec: Column,
+                              k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
-    val topk = knnJoin(e, col("vec_id"), col("v"), e, col("vec_id"),
-        col("v"), k + 1)
+    knnJoin(e, col("vec_id"), col("v"), e, col("vec_id"), col("v"), k + 1)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .withColumn("cu", round(col("cos_sim") * 10000).cast("long"))
+  }
+
+  def mutualNnMargin(df: DataFrame, id: Column, vec: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "mutualNnMargin needs k >= 1")
+    val topk = rankedNeighbors(df, id, vec, k)
     val sums = topk.groupBy("query_id").agg(sum("cu").as("s"))
     val top1 = topk.filter(col("rn") === 1)
       .select(col("query_id").as("src"), col("vec_id").as("dst"),
@@ -687,5 +696,42 @@ object Similarity {
       .select(col("src").as("vec_a"), col("dst").as("vec_b"),
         col("cos_sim"),
         expr(s"(2 * $k * cu * 10000) div (sx + sy)").as("margin_bp"))
+  }
+
+  /** Contrastive HARD-NEGATIVE mining: for every anchor that has a
+    * mutual-top-1 positive, emit the triplet (anchor, positive,
+    * hardest negative) where the negative is the anchor's best-scoring
+    * OTHER neighbor (rank 2 — by construction the highest cosine that
+    * is not the positive). The gap column is the contrastive margin the
+    * triplet trains against: gap_bp = cu(pos) − cu(neg), exact on the
+    * integerized 4-dp cosines (can be 0 when rounded scores tie — a
+    * curriculum filter is the caller's business, not ours).
+    *
+    * Both members of a mutual pair anchor a triplet, so one pair
+    * yields two rows — the standard symmetric-triplet expansion.
+    *
+    * Scale shape: the SAME single scored pass as [[mutualNnMargin]]
+    * (TopKPerKey, broadcast query copy); mutuality and the rank-2
+    * probe are joins keyed on ids. At 100 TB the pass swaps for ANN
+    * lists; the triplet assembly is unchanged.
+    */
+  def hardNegatives(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val topk = rankedNeighbors(df, id, vec, 2)
+    val top1 = topk.filter(col("rn") === 1)
+      .select(col("query_id").as("anchor_id"),
+        col("vec_id").as("positive_id"),
+        col("cos_sim").as("cos_pos"), col("cu").as("cu_pos"))
+    val mutual = top1.as("x").join(
+        top1.select(col("anchor_id").as("positive_id"),
+          col("positive_id").as("anchor_id")).as("y"),
+        Seq("anchor_id", "positive_id"), "left_semi")
+    val top2 = topk.filter(col("rn") === 2)
+      .select(col("query_id").as("anchor_id"),
+        col("vec_id").as("negative_id"),
+        col("cos_sim").as("cos_neg"), col("cu").as("cu_neg"))
+    mutual.join(top2, "anchor_id")
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+        col("cos_pos"), col("cos_neg"),
+        (col("cu_pos") - col("cu_neg")).as("gap_bp"))
   }
 }

@@ -840,6 +840,48 @@ object CurationQueries {
         |SELECT stratum, id, weight, priority, rank_in_stratum
         |FROM p WHERE rank_in_stratum <= 5
         |ORDER BY stratum, rank_in_stratum""".stripMargin),
-      "weighted bottom-k priority sample per language, integer-exact and engine-stable")
+      "weighted bottom-k priority sample per language, integer-exact and engine-stable"),
+
+    // q193 — GREEDY COVERAGE source selection: the submodular facility-
+    // location greedy behind coverage-driven data selection — 3 rounds,
+    // each picking the source that adds the most not-yet-covered
+    // distinct 3-grams (ties by name), the classic (1−1/e) max-coverage
+    // approximation. Rounds are inherently sequential; each round's
+    // work is distributed (anti-join vs covered + per-source count) and
+    // only the argmax ROW lands on the driver. The oracle unrolls the
+    // same three rounds as CTEs.
+    Q("q193_greedy_coverage",
+      (s, d) => graft.operators.Curation.greedyCoverage(
+          Tables(s, d, "documents"), col("source"), col("text"),
+          n = 3, rounds = 3)
+        .orderBy("round"),
+      Some("""WITH w AS (SELECT source AS src,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |g0 AS (SELECT src,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT src, gram FROM g0),
+        |c1 AS (SELECT src, count(*) AS m FROM g GROUP BY 1),
+        |p1 AS (SELECT src, m FROM c1 ORDER BY m DESC, src LIMIT 1),
+        |cov1 AS (SELECT DISTINCT g.gram FROM g JOIN p1 USING (src)),
+        |r2 AS (SELECT g.* FROM g ANTI JOIN cov1 USING (gram)),
+        |c2 AS (SELECT src, count(*) AS m FROM r2 GROUP BY 1),
+        |p2 AS (SELECT src, m FROM c2 ORDER BY m DESC, src LIMIT 1),
+        |cov2 AS (SELECT gram FROM cov1
+        |  UNION SELECT g.gram FROM g JOIN p2 USING (src)),
+        |r3 AS (SELECT g.* FROM g ANTI JOIN cov2 USING (gram)),
+        |c3 AS (SELECT src, count(*) AS m FROM r3 GROUP BY 1),
+        |p3 AS (SELECT src, m FROM c3 ORDER BY m DESC, src LIMIT 1),
+        |u AS (SELECT 1 AS round, src AS source, m FROM p1
+        |  UNION ALL SELECT 2, src, m FROM p2
+        |  UNION ALL SELECT 3, src, m FROM p3)
+        |SELECT CAST(round AS BIGINT) AS round, source,
+        |  CAST(m AS BIGINT) AS marginal_new_grams,
+        |  CAST(sum(m) OVER (ORDER BY round) AS BIGINT) AS covered_total
+        |FROM u ORDER BY round""".stripMargin),
+      "3-round submodular greedy max-coverage over source gram sets, oracle-unrolled")
   )
 }

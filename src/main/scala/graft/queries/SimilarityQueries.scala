@@ -859,6 +859,38 @@ object SimilarityQueries {
         |        JOIN sm sy ON sy.query_id = mu.dst
         |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
         |ORDER BY vec_a, vec_b""".stripMargin),
-      "mutual top-1 pairs + integer margin over 4-NN neighborhood sums (pair-mining shape)")
+      "mutual top-1 pairs + integer margin over 4-NN neighborhood sums (pair-mining shape)"),
+
+    // q194 — contrastive HARD-NEGATIVE triplets: every anchor with a
+    // mutual-top-1 positive gets its hardest negative (rank-2 neighbor
+    // — the best-scoring non-positive by construction) and the
+    // integer contrastive gap cu(pos) − cu(neg). Both pair members
+    // anchor a triplet (symmetric expansion). Same single scored pass
+    // as q191; the triplet assembly is id-keyed joins.
+    Q("q194_hard_negatives",
+      (s, d) => graft.operators.Similarity.hardNegatives(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"))
+        .orderBy("anchor_id"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    round(list_cosine_similarity(b.v, a.v), 4) AS cos_sim
+        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM s),
+        |t1 AS (SELECT query_id AS anchor_id, vec_id AS positive_id,
+        |    cos_sim AS cos_pos, cu AS cu_pos FROM r WHERE rn = 1),
+        |mu AS (SELECT x.* FROM t1 x JOIN t1 y
+        |  ON y.anchor_id = x.positive_id AND y.positive_id = x.anchor_id),
+        |t2 AS (SELECT query_id AS anchor_id, vec_id AS negative_id,
+        |    cos_sim AS cos_neg, cu AS cu_neg FROM r WHERE rn = 2)
+        |SELECT mu.anchor_id, mu.positive_id, t2.negative_id, mu.cos_pos,
+        |  t2.cos_neg, CAST(mu.cu_pos - t2.cu_neg AS BIGINT) AS gap_bp
+        |FROM mu JOIN t2 USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin),
+      "mutual-positive + rank-2 hard negative triplets with integer contrastive gap")
   )
 }

@@ -247,4 +247,21 @@ class CurationSpec extends SparkSpec {
     assert("TopKPerKey ".r.findAllIn(plan).size === 2, plan) // partial+final
     assert(!plan.contains("Window ["), plan)
   }
+
+  test("greedyCoverage: marginal gains shrink, ties break by source name") {
+    import spark.implicits._
+    // a: 5 grams; b: 5 grams, 3 shared with a -> marginal 2;
+    // c: 2 fresh grams -> marginal 2, tied with b -> b wins round 2
+    val d = Seq(
+      ("a", "w1 w2 w3 w4 w5 w6 w7"),
+      ("b", "w3 w4 w5 w6 w7 w8 w9"),
+      ("c", "x1 x2 x3 x4"))
+      .toDF("source", "text")
+    val got = Curation.greedyCoverage(d, col("source"), col("text"),
+        n = 3, rounds = 3).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((1L, "a", 5L, 5L), (2L, "b", 2L, 7L),
+      (3L, "c", 2L, 9L)))
+  }
 }

@@ -245,4 +245,22 @@ class SimilaritySpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(got === Seq((1L, 2L, 1.0, 12500L), (3L, 4L, 1.0, 11111L)))
   }
+
+  test("hardNegatives: rank-2 negative per mutual anchor, exact gaps") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.0, 1.0)),
+      (5L, Array(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(d, col("vec_id"), col("embedding"))
+      .orderBy("anchor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+    // v5 anchors nothing (not mutual); its cosine to each cluster is
+    // the hard negative score for that cluster's anchors
+    assert(got === Seq(
+      (1L, 2L, 5L, 1.0, 0.6, 4000L), (2L, 1L, 5L, 1.0, 0.6, 4000L),
+      (3L, 4L, 5L, 1.0, 0.8, 2000L), (4L, 3L, 5L, 1.0, 0.8, 2000L)))
+  }
 }

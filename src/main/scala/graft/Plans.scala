@@ -85,7 +85,9 @@ object Plans {
     "q191_mutual_nn_margin" -> "ONE scored pass (corpus scan x BroadcastExchange of the query copy, fused codegen cosine) feeds rank-1 extraction AND neighborhood sums through the TopKPerKey node (<= k+1 rows per query-partition shuffled); mutuality is a self-join keyed on the (src,dst) pair — the M x N scored space never shuffles.",
     "q192_degree_distribution" -> "degree table folds to <= 64 bitlen buckets in one tiny groupBy; the log-log slope is an algebraic fold of that bucket table; histogram rows carry the slope via a 1-row broadcast — everything after the pair build is constant-size.",
     "q193_greedy_coverage" -> "per-round work is an anti-join against the cached covered-gram set + one per-source count with partial combine; only the argmax row reaches the driver (LIMIT 1 per round); the distinct gram table builds once and is cached across rounds.",
-    "q194_hard_negatives" -> "same single scored pass as q191 (TopKPerKey + broadcast query copy); mutuality is a LeftSemi on the (anchor,positive) pair; rank-2 probe joins on the anchor id.")
+    "q194_hard_negatives" -> "same single scored pass as q191 (TopKPerKey + broadcast query copy); mutuality is a LeftSemi on the (anchor,positive) pair; rank-2 probe joins on the anchor id.",
+    "q195_conjunctive_retrieval" -> "term filter pushes into the token scan (isin); posting intersection is a rarest-first LeftSemi chain keyed on doc_id (every probe bounded by min(df)); df/N broadcast; TakeOrderedAndProject top-k — no global sort.",
+    "q196_capped_conversion" -> "first-touch agg and the conversion probe share the user key (one exchange, partitioning reused); output is two counts + a ratio via 1-row broadcast — no windows.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

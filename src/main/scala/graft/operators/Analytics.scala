@@ -179,6 +179,34 @@ object Analytics {
         col("n_events").isNull.as("is_gap"))
   }
 
+  /** Time-CAPPED conversion: of the users who performed `fromType`, how
+    * many performed `toType` strictly after their FIRST `fromType` and
+    * within `days` days of it — the windowed variant of the unbounded
+    * funnel ([[funnel]]), the number an attribution window actually
+    * reports. Boundary is inclusive (ts ≤ t0 + days), exact at
+    * microsecond granularity on both engines.
+    *
+    * Scale shape: first-touch table is one user-keyed aggregate; the
+    * conversion probe joins on the same user key (partitioning reused);
+    * the result is two counts and a ratio — constant-size output, no
+    * window functions at all.
+    */
+  def cappedConversion(df: DataFrame, user: Column, ts: Column,
+                       typ: Column, fromType: String, toType: String,
+                       days: Int): DataFrame = {
+    val base = df.select(user.as("u"), ts.as("ts"), typ.as("typ"))
+    val v = base.filter(col("typ") === fromType)
+      .groupBy("u").agg(min("ts").as("t0"))
+    val conv = base.filter(col("typ") === toType).join(v, "u")
+      .filter(col("ts") > col("t0") &&
+        col("ts") <= col("t0") + expr(s"INTERVAL $days DAYS"))
+      .select("u").distinct()
+    v.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n_converted"))))
+      .select(col("n_viewers"), col("n_converted"),
+        expr("(10000 * n_converted) div n_viewers").as("conversion_bp"))
+  }
+
   /** Interval-overlap sweep line: how many intervals [start, endEx) are
     * active on each day the count CHANGES — the max-concurrency /
     * occupancy primitive (concurrent sessions, in-transit shipments,

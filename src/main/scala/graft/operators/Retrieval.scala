@@ -120,6 +120,49 @@ object Retrieval {
       .filter(col("cos2_bp") >= minBp)
   }
 
+  /** CONJUNCTIVE (boolean-AND) retrieval with rarest-first posting
+    * intersection: documents containing ALL query terms, ranked by the
+    * summed integer tf·idf (q100/q182's rational idf — no libm). The
+    * posting lists are intersected starting from the RAREST term — the
+    * classic conjunctive-query optimization: every subsequent semi-join
+    * probes a candidate set already no larger than the smallest df, so
+    * intersection cost is bounded by min(df), not corpus size. The
+    * term→df table is `|terms|` rows; collecting it to order the chain
+    * is the same bounded-driver-data bargain as a broadcast join.
+    *
+    * Scale shape: the token explode is scanned ONCE into per-(doc,term)
+    * tf (terms filtered at the scan — the isin pushes down); the
+    * rarest-first chain is |terms|−1 semi-joins keyed on doc_id; the
+    * final score join touches only surviving candidates; df/N ride as
+    * broadcasts. Top-k via TakeOrderedAndProject.
+    */
+  def conjunctiveTopK(df: DataFrame, id: Column, text: Column,
+                      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "conjunctiveTopK needs at least one term")
+    val toks = df.select(id.as("doc_id"), explode(words(text)).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // |terms| rows to the driver, solely to fix the intersection order
+    val dfByTerm = dfreq.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ordered = terms.distinct.sortBy(t => (dfByTerm.getOrElse(t, 0L), t))
+    def postings(t: String) =
+      tf.filter(col("term") === t).select("doc_id")
+    val cand = ordered.tail.foldLeft(postings(ordered.head)) { (acc, t) =>
+      acc.join(postings(t), Seq("doc_id"), "left_semi")
+    }
+    tf.join(cand, Seq("doc_id"), "left_semi")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * expr("(100 * (n_docs + 1)) div (df + 1)"))
+        .cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of two (id, rank) lists: score =
     * Σ 1e6 div (k + rank) over the lists containing the id — the
     * standard RRF with the 1/(k+r) terms scaled to exact integers (1e6

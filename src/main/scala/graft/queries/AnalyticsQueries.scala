@@ -1314,5 +1314,30 @@ object AnalyticsQueries {
         |  CAST(hist.n_nodes AS BIGINT) AS n_nodes,
         |  sl.slope_num, sl.slope_den, sl.slope_bp
         |FROM hist, sl ORDER BY bucket""".stripMargin),
-      "power-of-two degree histogram + integer log-log slope — the skew diagnostic"))
+      "power-of-two degree histogram + integer log-log slope — the skew diagnostic"),
+
+    // q196 — TIME-CAPPED conversion: purchases strictly after the first
+    // view and within 7 days of it — the windowed funnel variant an
+    // attribution window actually reports (q91 is the unbounded
+    // ordering, q147 the latency percentiles; this is the bounded
+    // rate). First-touch agg + same-key probe join, constant-size out.
+    Q("q196_capped_conversion",
+      (s, d) => graft.operators.Analytics.cappedConversion(
+          Tables(s, d, "events"), col("user_id"), col("ts"),
+          col("event_type"), fromType = "view", toType = "purchase",
+          days = 7),
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT DISTINCT e.user_id FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t0
+        |    AND e.ts <= v.t0 + INTERVAL 7 DAY),
+        |a AS (SELECT count(*) AS n_viewers FROM v),
+        |b AS (SELECT count(*) AS n_converted FROM c)
+        |SELECT CAST(a.n_viewers AS BIGINT) AS n_viewers,
+        |  CAST(b.n_converted AS BIGINT) AS n_converted,
+        |  CAST((10000 * b.n_converted) // a.n_viewers AS BIGINT)
+        |    AS conversion_bp
+        |FROM a, b""".stripMargin),
+      "7-day capped view->purchase conversion rate, boundary-inclusive at micros"))
 }

@@ -716,6 +716,36 @@ object TextQueries {
         |  CAST((2 * sum(CASE WHEN fd > mid THEN 1 ELSE 0 END) * 10000
         |    + count(*)) // (2 * count(*)) AS BIGINT) AS growth_bp
         |FROM fs, mid""".stripMargin),
-      "Heaps-law point: marginal gram vocabulary added by the second corpus half")
+      "Heaps-law point: marginal gram vocabulary added by the second corpus half"),
+
+    // q195 — CONJUNCTIVE (boolean-AND) retrieval, rarest-first: docs
+    // containing ALL of {vector, stream, window}, ranked by summed
+    // integer tf·idf (q100's rational idf). The posting intersection
+    // chains semi-joins from the RAREST term — every probe is bounded
+    // by min(df), the classic conjunctive-query optimization; only the
+    // |terms|-row df table touches the driver (to fix the chain order).
+    // Complements q100 (disjunctive BM25) and q119 (the index build).
+    Q("q195_conjunctive_retrieval",
+      (s, d) => graft.operators.Retrieval.conjunctiveTopK(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          terms = Seq("vector", "stream", "window"), k = 20),
+      Some("""WITH t AS (SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |f AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |cand AS (SELECT doc_id FROM f GROUP BY 1
+        |  HAVING count(DISTINCT term) = 3),
+        |sc AS (SELECT f.doc_id,
+        |    CAST(sum(f.tf * ((100 * (nd.n_docs + 1)) // (dfq.df + 1)))
+        |      AS BIGINT) AS score
+        |  FROM f JOIN cand USING (doc_id) JOIN dfq USING (term), nd
+        |  GROUP BY 1)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      "rarest-first conjunctive AND retrieval with integer tf-idf ranking")
   )
 }

@@ -157,6 +157,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cappedConversion: boundary inclusive, pre-view purchases don't count") {
+    import spark.implicits._
+    val d = Seq(
+      // u1: converts exactly at the 7-day boundary -> counts
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-08 00:00:00"), "purchase"),
+      // u2: converts one second past the cap -> does not count
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-08 00:00:01"), "purchase"),
+      // u3: purchase BEFORE the first view -> does not count
+      (3L, ts("2024-01-05 00:00:00"), "purchase"),
+      (3L, ts("2024-01-06 00:00:00"), "view"),
+      // u4: viewer, never converts
+      (4L, ts("2024-01-02 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Analytics.cappedConversion(d, col("user_id"), col("ts"),
+      col("event_type"), "view", "purchase", days = 7).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2))
+      === ((4L, 1L, 2500L)))
+  }
+
   test("sweepConcurrency: overlapping intervals stack; empty interval nets zero") {
     import spark.implicits._
     // [1,4), [2,3), [5,5) (empty), [2,6)

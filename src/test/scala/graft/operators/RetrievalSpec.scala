@@ -71,4 +71,28 @@ class RetrievalSpec extends SparkSpec {
     // 9 (id 2), 9 (id 3), 5 (id 1); id 4 cut
     assert(got === Map(2L -> 1, 3L -> 2, 1L -> 3))
   }
+
+  test("conjunctiveTopK: AND semantics, integer tf-idf ranking") {
+    import spark.implicits._
+    // docs: 1 has both terms (ant x2, bee x1); 2 has both once; 3 has
+    // only ant; 4 neither. N=4; df(ant)=3, df(bee)=2.
+    // idf(ant) = (100*5) div 4 = 125; idf(bee) = 500 div 3 = 166
+    // score(1) = 2*125 + 1*166 = 416; score(2) = 125 + 166 = 291
+    val d = Seq(
+      (1L, "ant ant bee"), (2L, "ant bee moth"),
+      (3L, "ant moth moth"), (4L, "moth moth moth"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.conjunctiveTopK(d, col("doc_id"), col("text"),
+        Seq("ant", "bee"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 416L), (2L, 291L)))
+  }
+
+  test("conjunctiveTopK: a term matching nothing empties the result") {
+    import spark.implicits._
+    val d = Seq((1L, "ant bee")).toDF("doc_id", "text")
+    val got = Retrieval.conjunctiveTopK(d, col("doc_id"), col("text"),
+      Seq("ant", "unicorn"), k = 10).collect()
+    assert(got.isEmpty)
+  }
 }

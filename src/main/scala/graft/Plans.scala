@@ -87,7 +87,10 @@ object Plans {
     "q193_greedy_coverage" -> "per-round work is an anti-join against the cached covered-gram set + one per-source count with partial combine; only the argmax row reaches the driver (LIMIT 1 per round); the distinct gram table builds once and is cached across rounds.",
     "q194_hard_negatives" -> "same single scored pass as q191 (TopKPerKey + broadcast query copy); mutuality is a LeftSemi on the (anchor,positive) pair; rank-2 probe joins on the anchor id.",
     "q195_conjunctive_retrieval" -> "term filter pushes into the token scan (isin); posting intersection is a rarest-first LeftSemi chain keyed on doc_id (every probe bounded by min(df)); df/N broadcast; TakeOrderedAndProject top-k — no global sort.",
-    "q196_capped_conversion" -> "first-touch agg and the conversion probe share the user key (one exchange, partitioning reused); output is two counts + a ratio via 1-row broadcast — no windows.")
+    "q196_capped_conversion" -> "first-touch agg and the conversion probe share the user key (one exchange, partitioning reused); output is two counts + a ratio via 1-row broadcast — no windows.",
+    "q197_skipgram_pairs" -> "one user-keyed exchange for the rank window; pairing is a probe-rank explode + ONE (user, rank) equi-join (fan-out 2*win, no range self-join); the type matrix collapses via partial_count.",
+    "q198_jackknife_variance" -> "two algebraic passes by construction (S before squared deviations), both with map-side partials; the per-group (n, S) table rides back as a broadcast join on the group key.",
+    "q199_khop_frontiers" -> "per hop: one frontier-keyed join + distinct + LeftAnti against the cached visited set; only the hop-size scalar reaches the driver; result assembled from |hops| rows.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

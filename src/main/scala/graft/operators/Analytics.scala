@@ -179,6 +179,37 @@ object Analytics {
         col("n_events").isNull.as("is_gap"))
   }
 
+  /** SKIP-GRAM (center, context) pair extraction over per-user event
+    * sequences — the word2vec-style data-prep shape applied to
+    * behavioral streams: for every event, its neighbors within ±`win`
+    * SEQUENCE positions (ties ordered by (ts, ordId)) become context,
+    * and the output is the (center_type, context_type) co-occurrence
+    * matrix those pairs induce — the input a session-embedding trainer
+    * consumes.
+    *
+    * Pairing is window-free after the per-user rank: each event EMITS
+    * probe ranks rn±1…rn±win and ONE (user, rank) equi-join resolves
+    * them (the q187 trick) — fan-out exactly 2·win, no self-join range
+    * predicate, no window over pairs. Scale shape: one user-keyed
+    * exchange for the rank, one (user, rank)-keyed join, one tiny
+    * |types|² aggregate.
+    */
+  def skipGramPairs(df: DataFrame, user: Column, ts: Column, ordId: Column,
+                    typ: Column, win: Int): DataFrame = {
+    require(win >= 1, "skipGramPairs needs win >= 1")
+    val ranked = df.select(user.as("u"), ts.as("ts"), ordId.as("oid"),
+        typ.as("typ"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy("ts", "oid")))
+    val deltas = (-win to win).filter(_ != 0)
+    val probes = ranked.select(col("u"), col("typ").as("center_type"),
+      explode(array(deltas.map(d => col("rn") + d): _*)).as("rn2"))
+    probes.join(ranked.select(col("u"), col("rn").as("rn2"),
+        col("typ").as("context_type")), Seq("u", "rn2"))
+      .groupBy("center_type", "context_type")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Time-CAPPED conversion: of the users who performed `fromType`, how
     * many performed `toType` strictly after their FIRST `fromType` and
     * within `days` days of it — the windowed variant of the unbounded

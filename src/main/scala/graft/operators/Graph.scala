@@ -41,6 +41,46 @@ object Graph {
     sym.join(deg, "u")
   }
 
+  /** K-hop BFS frontier profile from a deterministic seed (the minimum
+    * node id — fixed by contract so both engines expand the same
+    * tree): frontier size and cumulative visited count per hop, the
+    * "how fast does influence spread" / neighborhood-growth curve that
+    * also calibrates whether a k-hop feature join is feasible (a
+    * frontier near |V| by hop 2 means it is not).
+    *
+    * BFS is inherently sequential in hops; each hop's expansion is one
+    * keyed join (frontier → neighbors) + one distinct + one anti-join
+    * against the visited set, all distributed; only the per-hop SIZE
+    * (a scalar) reaches the driver — q193's bounded-driver bargain.
+    * Visited/frontier sets are cached; at cluster scale you'd
+    * checkpoint them every few hops exactly like the PageRank scores.
+    *
+    * Output: (hop, frontier_size, cumulative_visited), hop 1..`hops`,
+    * cumulative including the seed.
+    */
+  def kHopFrontiers(edges: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1, "kHopFrontiers needs hops >= 1")
+    val spark = edges.sparkSession
+    val e = edges.select("u", "v")
+    var visited = e.agg(min(col("u")).as("node")).cache()
+    var frontier = visited
+    var rows = Vector.empty[(Long, Long, Long)]
+    var cum = 1L
+    for (h <- 1 to hops) {
+      val next = e.join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .cache()
+      val size = next.count()
+      cum += size
+      rows :+= ((h.toLong, size, cum))
+      visited = visited.unionAll(next).distinct().cache()
+      frontier = next
+    }
+    import spark.implicits._
+    rows.toDF("hop", "frontier_size", "cumulative_visited")
+  }
+
   /** Degree distribution in power-of-two bins with an integer power-law
     * slope probe — the "is this graph scale-free enough to need skew
     * handling" diagnostic a pipeline runs BEFORE choosing between the

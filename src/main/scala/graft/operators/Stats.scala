@@ -57,6 +57,46 @@ object Stats {
           .as("rho_bp"))
   }
 
+  /** JACKKNIFE (leave-one-out) variance of the group mean, as an exact
+    * rational — the error bar a daily-volume mean deserves, computed
+    * without a single float. Algebra: with S = Σx and n observations,
+    *
+    *   mean_i − mean = (S − n·x_i) / (n(n−1))
+    *   var_jack      = (n−1)/n · Σ(mean_i − mean)²
+    *                 = Σ(S − n·x_i)²  /  (n³(n−1))    ← num / den, exact
+    *
+    * Both components are non-negative, so the scaled quotient
+    * var_bp = (10⁴·num) div den is engine-agreement-safe. Reported as
+    * (num, den, var_bp); groups with n < 2 drop (variance undefined).
+    * Sums run in DECIMAL(38,0) — (S − n·x_i)² at n ~ 10⁴ daily counts
+    * ~ 10⁶ stays far inside 38 digits.
+    *
+    * TWO aggregation passes by construction (S must exist before
+    * (S − n·x_i)² can be summed) — but both are algebraic with map-side
+    * partials, and the second pass's S/n ride back as a broadcast join
+    * on the group key. Nothing global, nothing on the driver.
+    */
+  def jackknifeVarByGroup(df: DataFrame, group: Column,
+                          x: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(group.as("g"), x.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val firstPass = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("s"))
+      .filter(col("n") >= 2)
+    base.join(broadcast(firstPass), "g")
+      .select(col("g"), col("n"), col("s"),
+        (col("s") - col("n").cast(dec) * col("x")).as("d"))
+      .groupBy("g", "n", "s")
+      .agg(sum(col("d") * col("d")).as("num"))
+      .select(col("g"), col("n"),
+        col("num").cast("long").as("var_num"),
+        (col("n").cast(dec) * col("n") * col("n") * (col("n") - 1))
+          .cast("long").as("var_den"))
+      .withColumn("var_bp", expr(
+        "CAST((10000 * CAST(var_num AS DECIMAL(38,0))) div var_den AS BIGINT)"))
+  }
+
   /** Per-group OLS trend slope of y over an integer x, reported as the
     * exact rational (num, den) plus a scaled integral quotient:
     *

@@ -1339,5 +1339,105 @@ object AnalyticsQueries {
         |  CAST((10000 * b.n_converted) // a.n_viewers AS BIGINT)
         |    AS conversion_bp
         |FROM a, b""".stripMargin),
-      "7-day capped view->purchase conversion rate, boundary-inclusive at micros"))
+      "7-day capped view->purchase conversion rate, boundary-inclusive at micros"),
+
+    // q197 — SKIP-GRAM pair extraction over per-user event sequences:
+    // each event pairs with its neighbors within ±2 SEQUENCE positions
+    // (word2vec data prep on behavioral streams), reported as the
+    // (center, context) type co-occurrence matrix an embedding trainer
+    // consumes. Window-free pairing: probe-rank explode + one
+    // (user, rank) equi-join (the q187 trick), fan-out exactly 2·win.
+    Q("q197_skipgram_pairs",
+      (s, d) => graft.operators.Analytics.skipGramPairs(
+          Tables(s, d, "events"), col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), win = 2)
+        .orderBy("center_type", "context_type"),
+      Some("""WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, event_type AS center_type,
+        |    unnest([rn - 2, rn - 1, rn + 1, rn + 2]) AS rn2
+        |  FROM r)
+        |SELECT p.center_type, r2.event_type AS context_type,
+        |  count(*) AS n_pairs
+        |FROM p JOIN r r2 ON r2.user_id = p.user_id AND r2.rn = p.rn2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "skip-gram (center, context) type matrix over event sequences, window-free pairing"),
+
+    // q198 — JACKKNIFE variance of the daily event-volume mean per
+    // type, as an exact rational: var = Σ(S − n·xᵢ)² / (n³(n−1)) —
+    // leave-one-out resampling algebra collapsed to two algebraic
+    // passes (S first, then the squared deviations), every component
+    // non-negative so the scaled quotient is engine-agreement-safe.
+    // The error bar q190's trend slope deserves next to it.
+    Q("q198_jackknife_variance",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.Stats.jackknifeVarByGroup(daily,
+            col("event_type"), col("x"))
+          .select(col("g").as("event_type"), col("n"), col("var_num"),
+            col("var_den"), col("var_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |fp AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s
+        |  FROM daily GROUP BY 1 HAVING count(*) >= 2),
+        |sq AS (SELECT d.event_type, fp.n, fp.s,
+        |    sum((fp.s - fp.n * CAST(d.x AS HUGEINT))
+        |      * (fp.s - fp.n * CAST(d.x AS HUGEINT))) AS num
+        |  FROM daily d JOIN fp USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(num AS BIGINT) AS var_num,
+        |  CAST(CAST(n AS HUGEINT) * n * n * (n - 1) AS BIGINT) AS var_den,
+        |  CAST((10000 * num) // (CAST(n AS HUGEINT) * n * n * (n - 1))
+        |    AS BIGINT) AS var_bp
+        |FROM sq ORDER BY event_type""".stripMargin),
+      "exact-rational jackknife variance of the daily-volume mean per event type"),
+
+    // q199 — K-HOP BFS frontier profile from the minimum-id seed of
+    // the sparse co-purchase graph: frontier size and cumulative
+    // visited per hop — the neighborhood-growth curve that calibrates
+    // whether a k-hop feature join is feasible. Hops are sequential;
+    // each expansion is a keyed join + distinct + anti-join, with only
+    // the per-hop size scalar on the driver. Oracle unrolls 3 hops.
+    Q("q199_khop_frontiers",
+      (s, d) => {
+        val edges = graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem").filter(col("l_quantity") >= 40),
+          col("l_orderkey"), col("l_partkey"))
+        graft.operators.Graph.kHopFrontiers(edges, hops = 3)
+          .orderBy("hop")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS it
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |p0 AS (SELECT a.it AS u, b.it AS v FROM li a JOIN li b USING (gk)
+        |  WHERE a.it < b.it),
+        |p1 AS (SELECT DISTINCT u, v FROM p0),
+        |e AS (SELECT u, v FROM p1 UNION ALL SELECT v, u FROM p1),
+        |seed AS (SELECT min(u) AS node FROM e),
+        |v0 AS (SELECT node FROM seed),
+        |f1 AS (SELECT DISTINCT e.v AS node FROM e JOIN seed
+        |    ON e.u = seed.node
+        |  WHERE e.v NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT node FROM v0 UNION SELECT node FROM f1),
+        |f2 AS (SELECT DISTINCT e.v AS node FROM e JOIN f1 ON e.u = f1.node
+        |  WHERE e.v NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node FROM v1 UNION SELECT node FROM f2),
+        |f3 AS (SELECT DISTINCT e.v AS node FROM e JOIN f2 ON e.u = f2.node
+        |  WHERE e.v NOT IN (SELECT node FROM v2)),
+        |u AS (SELECT 1 AS hop, (SELECT count(*) FROM f1) AS fs
+        |  UNION ALL SELECT 2, (SELECT count(*) FROM f2)
+        |  UNION ALL SELECT 3, (SELECT count(*) FROM f3))
+        |SELECT CAST(hop AS BIGINT) AS hop, CAST(fs AS BIGINT)
+        |    AS frontier_size,
+        |  CAST(1 + sum(fs) OVER (ORDER BY hop) AS BIGINT)
+        |    AS cumulative_visited
+        |FROM u ORDER BY hop""".stripMargin),
+      "3-hop BFS frontier sizes + cumulative visited from the min-id seed"))
 }

@@ -157,6 +157,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("skipGramPairs: ±win sequence neighbors, per-user isolation") {
+    import spark.implicits._
+    // u1 sequence: A B C (ts order); u2: A alone (no pairs)
+    val d = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 09:01:00"), 2L, "B"),
+      (1L, ts("2024-01-01 09:02:00"), 3L, "C"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.skipGramPairs(d, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), win = 1)
+      .orderBy("center_type", "context_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // win=1: (A,B),(B,A),(B,C),(C,B) — u2's lone A pairs with nothing
+    assert(got === Seq(("A", "B", 1L), ("B", "A", 1L), ("B", "C", 1L),
+      ("C", "B", 1L)))
+  }
+
   test("cappedConversion: boundary inclusive, pre-view purchases don't count") {
     import spark.implicits._
     val d = Seq(

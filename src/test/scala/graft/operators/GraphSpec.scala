@@ -90,6 +90,21 @@ class GraphSpec extends SparkSpec {
       (3L, 4L, 7L, 1L, -10000L)))
   }
 
+  test("kHopFrontiers: path graph expands one node per hop from min seed") {
+    val got = Graph.kHopFrontiers(
+      edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), hops = 3)
+      .orderBy("hop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 2L), (2L, 1L, 3L), (3L, 1L, 4L)))
+  }
+
+  test("kHopFrontiers: exhausted graph reports empty frontiers, stable cumulative") {
+    val got = Graph.kHopFrontiers(edgesOf((1L, 2L)), hops = 3)
+      .orderBy("hop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 2L), (2L, 0L, 2L), (3L, 0L, 2L)))
+  }
+
   test("triangleStats: triangle-free bipartite graph counts zero") {
     // C4 cycle: 4 wedges, 0 triangles, clustering 0
     val got = Graph.triangleStats(

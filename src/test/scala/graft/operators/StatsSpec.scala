@@ -72,6 +72,20 @@ class StatsSpec extends SparkSpec {
       === ((-3L, 9L, -3333L)))
   }
 
+  test("jackknifeVarByGroup: hand algebra on n=2 and a constant group") {
+    import spark.implicits._
+    // {1,3}: S=4, d=(2,-2) -> num=8, den=2^3*1=8, var=1 -> 10000 bp
+    // {5,5,5}: num=0 -> var 0; singleton group drops
+    val d = Seq(("a", 1L), ("a", 3L), ("c", 5L), ("c", 5L), ("c", 5L),
+      ("solo", 7L)).toDF("g", "x")
+    val got = Stats.jackknifeVarByGroup(d, col("g"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      "a" -> ((2L, 8L, 8L, 10000L)),
+      "c" -> ((3L, 0L, 54L, 0L))))
+  }
+
   test("trendSlopeByGroup: single distinct x reports NULL slope, exact parts") {
     val d = gxy(("g", 2L, 1L), ("g", 2L, 5L))
     val got = Stats.trendSlopeByGroup(d, col("g"), col("x"), col("y"))

@@ -90,7 +90,8 @@ object Plans {
     "q196_capped_conversion" -> "first-touch agg and the conversion probe share the user key (one exchange, partitioning reused); output is two counts + a ratio via 1-row broadcast — no windows.",
     "q197_skipgram_pairs" -> "one user-keyed exchange for the rank window; pairing is a probe-rank explode + ONE (user, rank) equi-join (fan-out 2*win, no range self-join); the type matrix collapses via partial_count.",
     "q198_jackknife_variance" -> "two algebraic passes by construction (S before squared deviations), both with map-side partials; the per-group (n, S) table rides back as a broadcast join on the group key.",
-    "q199_khop_frontiers" -> "per hop: one frontier-keyed join + distinct + LeftAnti against the cached visited set; only the hop-size scalar reaches the driver; result assembled from |hops| rows.")
+    "q199_khop_frontiers" -> "per hop: one frontier-keyed join + distinct + LeftAnti against the cached visited set; only the hop-size scalar reaches the driver; result assembled from |hops| rows.",
+    "q200_agg_retraction" -> "ONE user-keyed exchange over state UNION signed batch (identical to the add-only merge, partial_sum combine); deletes are negated contributions inside the same aggregate — no second pass, no history rescan.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1439,5 +1439,44 @@ object AnalyticsQueries {
         |  CAST(1 + sum(fs) OVER (ORDER BY hop) AS BIGINT)
         |    AS cumulative_visited
         |FROM u ORDER BY hop""".stripMargin),
-      "3-hop BFS frontier sizes + cumulative visited from the min-id seed"))
+      "3-hop BFS frontier sizes + cumulative visited from the min-id seed"),
+
+    // q200 — incremental aggregate maintenance WITH RETRACTIONS: the
+    // delete half of IVM that q99's add-only merge cannot express, and
+    // the reason aggregate state lives as abelian-group partials
+    // (count + integral sum — a delete is a merge with negated
+    // contributions; max/min would not survive). Scenario: pre-cutoff
+    // 'error' events are retracted by a CDC batch while post-cutoff
+    // events insert, all applied to the stored state in one keyed
+    // merge; fully-retracted keys vanish. The oracle recomputes the
+    // post-change truth from scratch — the merge must equal it exactly
+    // (long addition commutes, so the equality is exact, not
+    // approximate).
+    Q("q200_agg_retraction",
+      (s, d) => {
+        import graft.warehouse.Warehouse
+        val ev = Tables(s, d, "events").select(col("user_id"), col("ts"),
+          col("event_type"),
+          round(col("value") * 10000).cast("long").as("vbp"))
+        val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+        val history = ev.filter(col("ts") < cutoff)
+        val state = Warehouse.aggState(history, Seq("user_id"), col("vbp"))
+        val batch = history.filter(col("event_type") === "error")
+          .withColumn("op", lit("D"))
+          .unionByName(ev.filter(col("ts") >= cutoff)
+            .withColumn("op", lit("I")))
+        Warehouse.applyAggDelta(state, batch, Seq("user_id"), col("op"),
+            col("vbp"))
+          .select(col("user_id"), col("n_rows").as("n_events"),
+            (col("total_bp") / 10000.0).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |    / 10000.0 AS total_value
+        |FROM events
+        |WHERE NOT (ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type = 'error')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "IVM with retractions: signed-merge state == from-scratch recompute of the post-change truth"))
 }

@@ -111,6 +111,37 @@ object Warehouse {
       .agg(sum("n_rows").as("n_rows"), sum("total_bp").as("total_bp"))
   }
 
+  /** Incremental view maintenance with RETRACTIONS: apply a CDC batch
+    * of inserts ('I') and deletes ('D') to a stored aggregate state —
+    * the half of IVM [[mergeAggState]] cannot do, and the reason the
+    * state is kept as ALGEBRAIC partials (count + integral sum): both
+    * are abelian-group aggregates, so a delete is just a merge with
+    * negated contributions. Max/min would NOT survive this — that's a
+    * documented property of the chosen state, not an accident.
+    *
+    * Keys whose row count reaches zero are dropped from the state
+    * (a fully-retracted group must disappear, not linger as a
+    * 0-count row that a recompute would never produce). Deleting more
+    * rows than exist is the caller's CDC-feed bug; the negative
+    * n_rows it produces is surfaced, never silently clamped.
+    *
+    * Scale shape: one key-keyed exchange over state ∪ signed batch —
+    * identical to the add-only merge; O(|state| + |batch|).
+    */
+  def applyAggDelta(state: DataFrame, batch: DataFrame,
+                    keyCols: Seq[String], op: org.apache.spark.sql.Column,
+                    valueBp: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sign = when(op === "D", lit(-1L)).otherwise(lit(1L))
+    val signed = batch.select(
+      keyCols.map(col) ++ Seq(sign.as("n_rows"),
+        (sign * valueBp).as("total_bp")): _*)
+    state.unionByName(signed)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n_rows").as("n_rows"), sum("total_bp").as("total_bp"))
+      .filter(col("n_rows") =!= 0)
+  }
+
   /** Bucketed write: pay the shuffle ONCE at write time — `numBuckets`
     * files per partition, hash-clustered and sorted on `key` — so every
     * later equi-join or aggregation on `key` between co-bucketed tables

@@ -100,4 +100,22 @@ class LakeWarehouseSpec extends SparkSpec {
     Warehouse.loadRawHead5(many, "t_raw_head5")
     assert(Warehouse.table(spark, "t_raw_head5").count() === 10)
   }
+
+  test("applyAggDelta: deletes retract, zero-count keys vanish, overshoot surfaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val state = Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 1L, 7L))
+      .toDF("k", "n_rows", "total_bp")
+    val batch = Seq(
+      ("a", "D", 10L),  // retract one of a's rows
+      ("a", "I", 4L),   // and insert a new one
+      ("b", "D", 5L),   // fully retract b -> key must vanish
+      ("c", "D", 7L), ("c", "D", 7L)) // CDC bug: over-delete c
+      .toDF("k", "op", "vbp")
+    val got = Warehouse.applyAggDelta(state, batch, Seq("k"), col("op"),
+        col("vbp")).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a: (2-1+1, 30-10+4); b gone; c surfaces the impossible -1 count
+    assert(got === Seq(("a", 2L, 24L), ("c", -1L, -7L)))
+  }
 }

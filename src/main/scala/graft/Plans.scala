@@ -91,7 +91,10 @@ object Plans {
     "q197_skipgram_pairs" -> "one user-keyed exchange for the rank window; pairing is a probe-rank explode + ONE (user, rank) equi-join (fan-out 2*win, no range self-join); the type matrix collapses via partial_count.",
     "q198_jackknife_variance" -> "two algebraic passes by construction (S before squared deviations), both with map-side partials; the per-group (n, S) table rides back as a broadcast join on the group key.",
     "q199_khop_frontiers" -> "per hop: one frontier-keyed join + distinct + LeftAnti against the cached visited set; only the hop-size scalar reaches the driver; result assembled from |hops| rows.",
-    "q200_agg_retraction" -> "ONE user-keyed exchange over state UNION signed batch (identical to the add-only merge, partial_sum combine); deletes are negated contributions inside the same aggregate — no second pass, no history rescan.")
+    "q200_agg_retraction" -> "ONE user-keyed exchange over state UNION signed batch (identical to the add-only merge, partial_sum combine); deletes are negated contributions inside the same aggregate — no second pass, no history rescan.",
+    "q201_ab_exposure" -> "arm assignment is a scan-side hash projection; first-touch agg + conversion probe share the user key; per-arm rollup is 2 rows; the final row is a 1x1 broadcast cross.",
+    "q202_persistent_trending" -> "fact shuffles ONCE into the (day, type) rollup with partial_count; ranks partition by day (calendar-bounded); presence aggregate is |types| rows with the day count broadcast.",
+    "q203_embedding_drift" -> "one posexplode + (half, dim) aggregate with map-side partial avg (2*d rows on the wire); everything downstream constant-size; the mean-vector cosine folds to one broadcast row — integral program, no float sums across engines.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -636,6 +636,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** EMBEDDING-SPACE drift between two deterministic corpus halves
+    * (id parity): per-dimension 6-dp centroid means side by side with
+    * the absolute shift in exact micro-units, plus the squared cosine
+    * between the two mean vectors in signed basis points — the
+    * distribution-shift monitor for embedding pipelines (the
+    * dense-space sibling of q131's count-TVD drift). After the 6-dp
+    * rounding the means become EXACT integers in micro-units, so the
+    * mean-vector cosine runs the q182 sqrt-free integral program
+    * (sign reapplied by multiplication) — no cross-engine float-sum
+    * ordering anywhere near the contract.
+    *
+    * Scale shape: one posexplode + (half, dim) aggregate with map-side
+    * partials (the exchange carries 2·d rows); everything downstream
+    * is constant-size (d-row join, 1-row cosine fold broadcast back).
+    */
+  def halfCentroidDrift(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val e = df.select((id % 2).as("half"), toDouble(vec).as("v"))
+    val m = e.select(col("half"), posexplode(col("v")).as(Seq("d0", "x")))
+      .groupBy("half", "d0").agg(round(avg("x"), 6).as("mu"))
+      .withColumn("mu_u", round(col("mu") * 1000000).cast("long"))
+    val j = m.filter(col("half") === 0)
+      .select(col("d0"), col("mu").as("mean_a"), col("mu_u").as("ua"))
+      .join(m.filter(col("half") === 1)
+        .select(col("d0"), col("mu").as("mean_b"), col("mu_u").as("ub")),
+        "d0")
+    val dec = "decimal(38,0)"
+    val cosRow = j.agg(
+        sum((col("ua") * col("ub")).cast(dec)).as("dot"),
+        sum((col("ua") * col("ua")).cast(dec)).as("na"),
+        sum((col("ub") * col("ub")).cast(dec)).as("nb"))
+      .select(when(col("na") === 0 || col("nb") === 0, lit(null))
+        .otherwise(signum(col("dot")).cast("long") *
+          expr("CAST((dot * dot * 10000) div ((na * nb) div 10000) div 10000 AS BIGINT)"))
+        .as("cos2_bp"))
+    j.select((col("d0") + 1).cast("int").as("dim"), col("mean_a"),
+        col("mean_b"), abs(col("ua") - col("ub")).as("shift_u"))
+      .crossJoin(broadcast(cosRow))
+  }
+
   /** Mutual nearest neighbors with MARGIN scoring — the bitext/parallel-
     * pair mining shape (Artetxe & Schwenk, ACL'19): a pair qualifies
     * when each vector is the other's top-1 neighbor, and its margin

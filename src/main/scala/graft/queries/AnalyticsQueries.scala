@@ -1478,5 +1478,99 @@ object AnalyticsQueries {
         |WHERE NOT (ts < TIMESTAMP '2024-01-15 00:00:00'
         |  AND event_type = 'error')
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
-      "IVM with retractions: signed-merge state == from-scratch recompute of the post-change truth"))
+      "IVM with retractions: signed-merge state == from-scratch recompute of the post-change truth"),
+
+    // q201 — A/B EXPOSURE ANALYSIS with deterministic assignment: users
+    // hash-gate into two arms (hash60(id) % 2 — stable across re-runs
+    // and appends, the q106 split discipline applied to
+    // experimentation), each arm's 7-day view→purchase conversion rate
+    // in exact bp, and the risk difference arm B − arm A (negative via
+    // SUBTRACTION of non-negative quotients — engine-safe). One row.
+    Q("q201_ab_exposure",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        val ev = Tables(s, d, "events")
+        val base = ev.select(col("user_id").as("u"), col("ts"),
+          col("event_type").as("typ"),
+          (hash60(col("user_id").cast("string"), 11) % 2).as("arm"))
+        val v = base.filter(col("typ") === "view")
+          .groupBy("u", "arm").agg(min("ts").as("t0"))
+        val conv = base.filter(col("typ") === "purchase").join(v, "u")
+          .filter(col("ts") > col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 7 DAYS"))
+          .select("u").distinct()
+        val perArm = v.join(conv.withColumn("c", lit(1L)), Seq("u"), "left")
+          .groupBy("arm").agg(count(lit(1)).as("n"),
+            sum(coalesce(col("c"), lit(0L))).as("nc"))
+        val a = perArm.filter(col("arm") === 0)
+          .select(col("n").as("n_a"), col("nc").as("conv_a"),
+            expr("(10000 * nc) div n").as("rate_a_bp"))
+        val b = perArm.filter(col("arm") === 1)
+          .select(col("n").as("n_b"), col("nc").as("conv_b"),
+            expr("(10000 * nc) div n").as("rate_b_bp"))
+        a.crossJoin(broadcast(b))
+          .withColumn("diff_bp", col("rate_b_bp") - col("rate_a_bp"))
+      },
+      Some("""WITH b AS (SELECT user_id AS u, ts, event_type AS typ,
+        |    CAST(('0x' || substring(md5('11#' || CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 2 AS arm
+        |  FROM events),
+        |v AS (SELECT u, arm, min(ts) AS t0 FROM b WHERE typ = 'view'
+        |  GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT p.u FROM b p JOIN v ON v.u = p.u
+        |  WHERE p.typ = 'purchase' AND p.ts > v.t0
+        |    AND p.ts <= v.t0 + INTERVAL 7 DAY),
+        |pa AS (SELECT v.arm, count(*) AS n,
+        |    CAST(count(c.u) AS BIGINT) AS nc
+        |  FROM v LEFT JOIN c ON c.u = v.u GROUP BY 1),
+        |a AS (SELECT n AS n_a, nc AS conv_a, (10000 * nc) // n AS rate_a_bp
+        |  FROM pa WHERE arm = 0),
+        |bb AS (SELECT n AS n_b, nc AS conv_b, (10000 * nc) // n AS rate_b_bp
+        |  FROM pa WHERE arm = 1)
+        |SELECT CAST(a.n_a AS BIGINT) AS n_a, a.conv_a,
+        |  CAST(a.rate_a_bp AS BIGINT) AS rate_a_bp,
+        |  CAST(bb.n_b AS BIGINT) AS n_b, bb.conv_b,
+        |  CAST(bb.rate_b_bp AS BIGINT) AS rate_b_bp,
+        |  CAST(bb.rate_b_bp - a.rate_a_bp AS BIGINT) AS diff_bp
+        |FROM a, bb""".stripMargin),
+      "deterministic hash-armed A/B with 7-day capped conversion + exact risk difference"),
+
+    // q202 — PERSISTENT TRENDING: event types in the daily top-3 on a
+    // high share of days — persistence across windows separates durable
+    // movers from one-day spikes (the stability cut a trending feed
+    // applies on top of q132's per-day ranks). Fact table shuffles once
+    // into the daily rollup; ranks partition by day (calendar-bounded);
+    // the presence aggregate is |types| rows.
+    Q("q202_persistent_trending",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val ranked = daily.withColumn("rnk", row_number().over(
+          Window.partitionBy("day").orderBy(col("n").desc,
+            col("event_type"))))
+        val nDays = daily.select("day").distinct()
+          .agg(count(lit(1)).as("n_days"))
+        ranked.filter(col("rnk") <= 3)
+          .groupBy("event_type").agg(count(lit(1)).as("days_in_top3"))
+          .crossJoin(broadcast(nDays))
+          .select(col("event_type"), col("days_in_top3"), col("n_days"),
+            expr("(10000 * days_in_top3) div n_days").as("presence_bp"))
+          .filter(col("presence_bp") >= 5000)
+          .orderBy(desc("presence_bp"), col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, row_number() OVER (PARTITION BY day
+        |    ORDER BY n DESC, event_type) AS rnk FROM daily),
+        |nd AS (SELECT count(DISTINCT day) AS n_days FROM daily),
+        |p AS (SELECT event_type, count(*) AS days_in_top3 FROM r
+        |  WHERE rnk <= 3 GROUP BY 1)
+        |SELECT p.event_type, CAST(p.days_in_top3 AS BIGINT) AS days_in_top3,
+        |  CAST(nd.n_days AS BIGINT) AS n_days,
+        |  CAST((10000 * p.days_in_top3) // nd.n_days AS BIGINT)
+        |    AS presence_bp
+        |FROM p, nd WHERE (10000 * p.days_in_top3) // nd.n_days >= 5000
+        |ORDER BY presence_bp DESC, event_type""".stripMargin),
+      "types persistently in the daily top-3 — stability cut over per-day ranks"))
 }

@@ -891,6 +891,39 @@ object SimilarityQueries {
         |  t2.cos_neg, CAST(mu.cu_pos - t2.cu_neg AS BIGINT) AS gap_bp
         |FROM mu JOIN t2 USING (anchor_id)
         |ORDER BY anchor_id""".stripMargin),
-      "mutual-positive + rank-2 hard negative triplets with integer contrastive gap")
+      "mutual-positive + rank-2 hard negative triplets with integer contrastive gap"),
+
+    // q203 — EMBEDDING-SPACE drift between deterministic corpus halves
+    // (id parity): per-dim 6-dp centroid means with exact micro-unit
+    // shifts, plus the squared cosine between the mean vectors in
+    // signed bp — the dense-space sibling of q131's count-TVD drift.
+    // After 6-dp rounding the means are exact integers in micro-units,
+    // so the cosine runs the q182 sqrt-free integral program — no
+    // float-sum ordering near the contract.
+    Q("q203_embedding_drift",
+      (s, d) => graft.operators.Similarity.halfCentroidDrift(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"))
+        .orderBy("dim"),
+      Some("""WITH e AS (SELECT vec_id % 2 AS half,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT half, t.dim, round(avg(v[t.dim]), 6) AS mu
+        |  FROM e, generate_series(1, 64) AS t(dim) GROUP BY 1, 2),
+        |mm AS (SELECT half, dim, mu,
+        |    CAST(round(mu * 1000000) AS BIGINT) AS mu_u FROM m),
+        |j AS (SELECT a.dim, a.mu AS mean_a, b.mu AS mean_b,
+        |    a.mu_u AS ua, b.mu_u AS ub
+        |  FROM mm a JOIN mm b ON a.dim = b.dim
+        |    AND a.half = 0 AND b.half = 1),
+        |s AS (SELECT sum(CAST(ua AS HUGEINT) * ub) AS dot,
+        |    sum(CAST(ua AS HUGEINT) * ua) AS na,
+        |    sum(CAST(ub AS HUGEINT) * ub) AS nb FROM j),
+        |c AS (SELECT CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
+        |    CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+        |      (((dot * dot * 10000) // ((na * nb) // 10000)) // 10000)
+        |      AS BIGINT) END AS cos2_bp FROM s)
+        |SELECT CAST(j.dim AS INTEGER) AS dim, j.mean_a, j.mean_b,
+        |  CAST(abs(j.ua - j.ub) AS BIGINT) AS shift_u, c.cos2_bp
+        |FROM j, c ORDER BY dim""".stripMargin),
+      "per-dim centroid drift between id-parity halves + sqrt-free mean-vector cosine")
   )
 }

@@ -246,6 +246,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 1.0, 12500L), (3L, 4L, 1.0, 11111L)))
   }
 
+  test("halfCentroidDrift: per-dim means by id parity, orthogonal means -> 0 bp") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Array(1.0, 0.0)), (2L, Array(3.0, 0.0)),  // half 0: mean (2, 0)
+      (1L, Array(0.0, 2.0)), (3L, Array(0.0, 2.0)))  // half 1: mean (0, 2)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.halfCentroidDrift(d, col("vec_id"),
+        col("embedding")).orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1, 2.0, 0.0, 2000000L, 0L),
+      (2, 0.0, 2.0, 2000000L, 0L)))
+  }
+
   test("hardNegatives: rank-2 negative per mutual anchor, exact gaps") {
     import spark.implicits._
     val d = Seq(

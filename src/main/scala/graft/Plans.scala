@@ -94,7 +94,8 @@ object Plans {
     "q200_agg_retraction" -> "ONE user-keyed exchange over state UNION signed batch (identical to the add-only merge, partial_sum combine); deletes are negated contributions inside the same aggregate — no second pass, no history rescan.",
     "q201_ab_exposure" -> "arm assignment is a scan-side hash projection; first-touch agg + conversion probe share the user key; per-arm rollup is 2 rows; the final row is a 1x1 broadcast cross.",
     "q202_persistent_trending" -> "fact shuffles ONCE into the (day, type) rollup with partial_count; ranks partition by day (calendar-bounded); presence aggregate is |types| rows with the day count broadcast.",
-    "q203_embedding_drift" -> "one posexplode + (half, dim) aggregate with map-side partial avg (2*d rows on the wire); everything downstream constant-size; the mean-vector cosine folds to one broadcast row — integral program, no float sums across engines.")
+    "q203_embedding_drift" -> "one posexplode + (half, dim) aggregate with map-side partial avg (2*d rows on the wire); everything downstream constant-size; the mean-vector cosine folds to one broadcast row — integral program, no float sums across engines.",
+    "q204_streaming_checksum" -> "each micro-batch contributes (grp, count, DECIMAL hash-sum) partials; the sink merges by plain addition (O(|groups|) state, never a history rescan); the mod reduction happens once at read — the abelian-group checksum property made load-bearing.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -37,19 +37,44 @@ object Integrity {
   private val NullSentinel = "\u0001" // oracle: chr(1)
   private val MersennePrime61 = "2305843009213693951" // 2^61 - 1
 
-  /** One row per group: (group, n_rows, checksum). Two tables are equal
-    * (as multisets of the serialized columns, per group) iff both
-    * columns match on every group.
+  /** MERGEABLE checksum state: (grp, n_rows, hsum) with hsum the raw
+    * DECIMAL(38) sum of row hashes — deliberately NOT reduced mod the
+    * prime yet, so states from different batches/shards merge by plain
+    * addition ([[mergeChecksumState]]) and a streaming sink can
+    * maintain the checksum incrementally (q204) exactly like the q99
+    * aggregate partials. Headroom: 2⁶⁰-bounded hashes overflow 38
+    * digits only past ~10¹⁹ rows.
     */
-  def groupChecksum(df: DataFrame, group: Column, cols: Seq[Column]): DataFrame = {
-    require(cols.nonEmpty, "groupChecksum needs at least one column")
+  def checksumState(df: DataFrame, group: Column, cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "checksumState needs at least one column")
     val rowStr = concat_ws(Sep,
       cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*)
     df.select(group.as("grp"), hash60(rowStr, 0).as("h"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h").cast("decimal(38,0)")).as("hsum"))
-      .select(col("grp"), col("n_rows"),
-        expr(s"CAST(hsum % $MersennePrime61 AS BIGINT)").as("checksum"))
   }
+
+  /** Merge checksum states by addition — the abelian-group property the
+    * whole order-independence argument rests on, now load-bearing for
+    * incremental maintenance too.
+    */
+  def mergeChecksumState(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeChecksumState needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy("grp")
+      .agg(sum("n_rows").as("n_rows"), sum("hsum").as("hsum"))
+  }
+
+  /** Reduce a state to the reportable checksum. */
+  def finishChecksum(state: DataFrame): DataFrame =
+    state.select(col("grp"), col("n_rows"),
+      expr(s"CAST(hsum % $MersennePrime61 AS BIGINT)").as("checksum"))
+
+  /** One row per group: (group, n_rows, checksum). Two tables are equal
+    * (as multisets of the serialized columns, per group) iff both
+    * columns match on every group.
+    */
+  def groupChecksum(df: DataFrame, group: Column, cols: Seq[Column]): DataFrame =
+    finishChecksum(checksumState(df, group, cols))
 }

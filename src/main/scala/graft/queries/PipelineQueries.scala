@@ -887,7 +887,7 @@ object PipelineQueries {
         |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
         |FROM cnt JOIN tot ON cnt.g = tot.g
         |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
-      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts"))
+      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204)
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only
@@ -895,4 +895,63 @@ object PipelineQueries {
     * and leak-free at test row counts.
     */
   private val streamSinkRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // q204 — STREAMING TABLE CHECKSUM: q178's order-independent checksum
+  // maintained INCREMENTALLY by a real micro-batch stream — the
+  // continuous integrity monitor for a landing table. This is the
+  // payoff of keeping the checksum as a mergeable DECIMAL state
+  // (Integrity.checksumState): each micro-batch contributes partials,
+  // the sink merges by plain addition (the same q99/q101 algebraic-
+  // partials discipline), and the mod-2⁶¹−1 reduction happens once at
+  // read time. However the files split into batches, the final state
+  // provably equals q178's single-pass batch checksum — SAME oracle,
+  // entirely different machinery.
+  // lazy: referenced from `qs` above its definition point — object init
+  // order would otherwise read null
+  private lazy val q204 = Q("q204_streaming_checksum",
+    (s, d) => {
+      import graft.operators.Integrity
+      val run = streamSinkRuns.incrementAndGet()
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("lang"), col("n_chars"),
+          col("text"))
+      val feed = graft.util.TmpDirs.perProcess("graft_q204_feed")
+      docs.repartition(3).write.mode("overwrite").parquet(feed)
+      val stateBase = graft.util.TmpDirs.perProcess(s"graft_q204_state_$run")
+      @volatile var last = -1L
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val query = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val partial = Integrity.checksumState(batch, col("source"),
+            Seq(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+          val merged =
+            if (last < 0) partial
+            else Integrity.mergeChecksumState(
+              Seq(s.read.parquet(s"$stateBase/${last % 2}"), partial))
+          merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
+          last = batchId
+          ()
+        }
+        .option("checkpointLocation",
+          graft.util.TmpDirs.perProcess(s"graft_q204_ckpt_$run"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      Integrity.finishChecksum(s.read.parquet(s"$stateBase/${last % 2}"))
+        .select(col("grp").as("source"), col("n_rows"), col("checksum"))
+        .orderBy("source")
+    },
+    Some("""WITH r AS (SELECT source,
+      |    CAST(('0x' || substring(md5('0#' ||
+      |      concat_ws(chr(31),
+      |        coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+      |        coalesce(lang, chr(1)),
+      |        coalesce(CAST(n_chars AS VARCHAR), chr(1)),
+      |        coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT source, count(*) AS n_rows,
+      |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum
+      |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    "streaming incremental table checksum: per-batch mergeable state == one-pass batch checksum")
 }

@@ -45,4 +45,24 @@ class IntegritySpec extends SparkSpec {
     val aOnly = sums(docs((1L, "a", "x")))
     assert(two("a") === aOnly("a"), "group b must not bleed into a")
   }
+
+  test("checksum state merges across arbitrary splits == single pass") {
+    val all = docs((1L, "g", "x"), (2L, "g", "y"), (3L, "g", "z"),
+      (4L, "h", "w"))
+    val cols = Seq(col("id"), col("payload"))
+    val whole = Integrity.groupChecksum(all, col("grp"), cols)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // split 1+3 rows, partial states merged by addition, then finished
+    val s1 = Integrity.checksumState(all.filter(col("id") === 1),
+      col("grp"), cols)
+    val s2 = Integrity.checksumState(all.filter(col("id") =!= 1),
+      col("grp"), cols)
+    val merged = Integrity.finishChecksum(
+        Integrity.mergeChecksumState(Seq(s1, s2)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(merged === whole,
+      "mergeable state must equal the one-pass checksum on any split")
+  }
 }

@@ -1572,5 +1572,75 @@ object AnalyticsQueries {
         |    AS presence_bp
         |FROM p, nd WHERE (10000 * p.days_in_top3) // nd.n_days >= 5000
         |ORDER BY presence_bp DESC, event_type""".stripMargin),
-      "types persistently in the daily top-3 — stability cut over per-day ranks"))
+      "types persistently in the daily top-3 — stability cut over per-day ranks"),
+
+    // q205 — GOLDEN-RECORD survivorship: one authoritative customer
+    // profile from the conflicting per-order feed, by per-FIELD rule —
+    // latest order's priority (most recent wins, key-tie by order id),
+    // max spend in exact cents, majority order status (ties to the
+    // largest value — the documented window-free contract). The MDM
+    // merge primitive next to upsert (q88) and snapshot diff (q120);
+    // two algebraic exchanges, no windows.
+    Q("q205_golden_record",
+      (s, d) => {
+        val o = Tables(s, d, "orders").select(col("o_custkey"),
+          col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderstatus"))
+        graft.operators.Survivorship.goldenRecord(o,
+            col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority"), col("cents"), col("o_orderstatus"))
+          .select(col("k").as("custkey"), col("n_rows").as("n_orders"),
+            col("latest").as("latest_priority"),
+            col("largest").as("max_spend_cents"),
+            col("majority").as("usual_status"), col("majority_n"))
+          .orderBy("custkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS k, o_orderkey, o_orderdate,
+        |    o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    o_orderstatus FROM orders),
+        |main AS (SELECT k, CAST(count(*) AS BIGINT) AS n_orders,
+        |    max(cents) AS max_spend_cents FROM o GROUP BY 1),
+        |lat AS (SELECT k, o_orderpriority AS latest_priority FROM o
+        |  QUALIFY row_number() OVER (PARTITION BY k
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+        |vc AS (SELECT k, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |  FROM o GROUP BY 1, 2),
+        |mj AS (SELECT k, o_orderstatus AS usual_status, n AS majority_n
+        |  FROM vc QUALIFY row_number() OVER (PARTITION BY k
+        |    ORDER BY n DESC, o_orderstatus DESC) = 1)
+        |SELECT main.k AS custkey, main.n_orders, lat.latest_priority,
+        |  main.max_spend_cents, mj.usual_status, mj.majority_n
+        |FROM main JOIN lat ON lat.k = main.k JOIN mj ON mj.k = main.k
+        |ORDER BY custkey""".stripMargin),
+      "per-field golden-record survivorship: latest / largest / majority in two algebraic folds"),
+
+    // q206 — BURST (bot-rate) flag: users whose event rate exceeds 8
+    // events inside ANY rolling 24-hour window, with the peak burst —
+    // the abuse-detection cut a pipeline runs before engagement
+    // analytics. The rolling count is a RANGE frame over event-time
+    // micros anchored at each event (window starts only at observed
+    // events — sufficient: a maximal burst window can always be slid
+    // to start on one); partitions are per-user, calendar-bounded.
+    Q("q206_burst_flag",
+      (s, d) => {
+        val e = Tables(s, d, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(Window.currentRow, 86399999999L)
+        e.withColumn("burst", count(lit(1)).over(w))
+          .groupBy("user_id").agg(max("burst").as("max_burst_24h"))
+          .filter(col("max_burst_24h") >= 8)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, count(*) OVER (PARTITION BY user_id
+        |    ORDER BY us RANGE BETWEEN CURRENT ROW
+        |    AND 86399999999 FOLLOWING) AS burst FROM e),
+        |m AS (SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst_24h
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, max_burst_24h FROM m WHERE max_burst_24h >= 8
+        |ORDER BY user_id""".stripMargin),
+      "rolling-24h burst detector over event-time range frames, per-user partitions"))
 }

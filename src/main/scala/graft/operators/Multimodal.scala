@@ -141,6 +141,53 @@ object Multimodal {
                                    frameChars: Int): org.apache.spark.sql.Column =
     s.substr(idx * frameChars + 1, lit(frameChars))
 
+  /** ENERGY-BASED SEGMENTATION over the decoded payload — the
+    * voice-activity-detection / silence-trim shape of an audio ingest
+    * pipeline, with the Spark plumbing real and the "energy" a
+    * deterministic function of the payload (non-blank characters per
+    * frame — the stub for per-frame RMS, same bargain as
+    * [[featureStub]]): frames below `minEnergy` are silence; maximal
+    * runs of active frames become segments (gaps-and-islands on the
+    * frame index), each reported with its span and total energy — the
+    * unit a downstream ASR/encoder consumes instead of raw payloads.
+    *
+    * Scale shape: frame explode is bounded by payload length; both
+    * windows (run grouping, segment numbering) partition per doc —
+    * payload-bounded partitions, never corpus-wide; the segment
+    * aggregate is algebraic.
+    */
+  def energySegments(df: DataFrame, id: org.apache.spark.sql.Column,
+                     decoded: org.apache.spark.sql.Column,
+                     frameChars: Int, minEnergy: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frameChars > 0, "frameChars must be positive")
+    val len = length(decoded).cast("long")
+    val nFrames = graft.functions.IntMath.intDiv(
+      len + (frameChars - 1).toLong, lit(frameChars.toLong))
+    val frames = df.select(id.as("doc_id"), decoded.as("s"),
+        nFrames.cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("s"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(translate(substring_index_safe(col("s"), col("frame_idx"),
+          frameChars), " ", "")).cast("long").as("energy"))
+    val active = frames.filter(col("energy") >= minEnergy)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("frame_idx")))
+      .withColumn("island", col("frame_idx") - col("rn"))
+    active.groupBy("doc_id", "island")
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("energy"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy("doc_id").orderBy("start_frame")).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("energy"))
+  }
+
   /** Feature-extraction stub: a deterministic `dim`-dimensional float
     * vector derived from the payload's md5 — the embedding a real
     * vision/audio encoder would produce, with the exact Spark plumbing

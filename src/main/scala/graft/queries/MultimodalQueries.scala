@@ -130,6 +130,46 @@ object MultimodalQueries {
         |SELECT doc_id, frame_idx, n_frames,
         |  md5(substring(s, frame_idx * 40 + 1, 40)) AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
-      "frame sampling: fixed-size frame explode with stride, per-frame fingerprints")
+      "frame sampling: fixed-size frame explode with stride, per-frame fingerprints"),
+
+    // q207 — ENERGY SEGMENTATION (the audio VAD / silence-trim shape):
+    // 40-char frames score a deterministic energy (non-blank chars —
+    // the per-frame RMS stub), frames under 30 are silence, and
+    // maximal active runs become segments via gaps-and-islands — the
+    // unit an ASR/encoder consumes instead of raw payloads. Both
+    // windows partition per doc (payload-bounded); segment agg is
+    // algebraic.
+    Q("q207_energy_segments",
+      (s, d) => Multimodal.energySegments(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          frameChars = 40, minEnergy = 30)
+        .orderBy("doc_id", "seg_idx"),
+      Some("""WITH s AS (SELECT doc_id, text AS p,
+        |    CAST((length(text) + 39) // 40 AS INTEGER) AS nf
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT doc_id,
+        |    CAST(unnest(generate_series(0, nf - 1)) AS INTEGER)
+        |      AS frame_idx, p
+        |  FROM s),
+        |e AS (SELECT doc_id, frame_idx,
+        |    CAST(length(replace(substring(p, frame_idx * 40 + 1, 40),
+        |      ' ', '')) AS BIGINT) AS energy
+        |  FROM f),
+        |a AS (SELECT doc_id, frame_idx, energy,
+        |    frame_idx - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS island
+        |  FROM e WHERE energy >= 30),
+        |g AS (SELECT doc_id, island,
+        |    CAST(min(frame_idx) AS INTEGER) AS start_frame,
+        |    CAST(max(frame_idx) AS INTEGER) AS end_frame,
+        |    count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS energy
+        |  FROM a GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+        |    AS BIGINT) AS seg_idx,
+        |  start_frame, end_frame, CAST(n_frames AS BIGINT) AS n_frames,
+        |  energy
+        |FROM g ORDER BY doc_id, seg_idx""".stripMargin),
+      "energy segmentation: silence-trimmed maximal active-frame runs (audio VAD shape)")
   )
 }

@@ -98,4 +98,25 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got === Seq(1L, 1L, 1L, 2L, 10L))
   }
+
+  test("energySegments: silence splits runs; partial tail frame scores its own energy") {
+    import spark.implicits._
+    // frames of 4: "abcd"(4) "    "(0) "efgh"(4) "ij"(2 — partial tail)
+    val d = Seq((1L, "abcd    efghij")).toDF("doc_id", "payload")
+    val got = Multimodal.energySegments(d, col("doc_id"), col("payload"),
+        frameChars = 4, minEnergy = 2)
+      .orderBy("seg_idx").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    // minEnergy 2: frame 1 (all blanks) is silence -> two segments;
+    // the tail frame "ij" (energy 2) extends the second run
+    assert(got === Seq((1L, 0, 0, 1L, 4L), (2L, 2, 3, 2L, 6L)))
+  }
+
+  test("energySegments: an all-silence payload yields no segments") {
+    import spark.implicits._
+    val d = Seq((1L, "        ")).toDF("doc_id", "payload")
+    assert(Multimodal.energySegments(d, col("doc_id"), col("payload"),
+      frameChars = 4, minEnergy = 1).collect().isEmpty)
+  }
 }

@@ -98,7 +98,8 @@ object Plans {
     "q204_streaming_checksum" -> "each micro-batch contributes (grp, count, DECIMAL hash-sum) partials; the sink merges by plain addition (O(|groups|) state, never a history rescan); the mod reduction happens once at read — the abelian-group checksum property made load-bearing.",
     "q205_golden_record" -> "latest/largest fold in ONE key-keyed aggregate (max-struct partials); majority is its own (key,value) count agg + max-struct fold joined back on the key — two exchanges, zero windows, zero driver state.",
     "q206_burst_flag" -> "per-user event-time RANGE frame (calendar-bounded partitions) then a key-keyed max — the fact table shuffles once on user_id; threshold filter lands above the aggregate.",
-    "q207_energy_segments" -> "frame explode bounded by payload length; run-grouping and segment-numbering windows both partition per doc (payload-bounded, never corpus-wide); the segment aggregate is algebraic with partial combine.")
+    "q207_energy_segments" -> "frame explode bounded by payload length; run-grouping and segment-numbering windows both partition per doc (payload-bounded, never corpus-wide); the segment aggregate is algebraic with partial combine.",
+    "q208_collocations" -> "token/bigram counts are algebraic folds with partial combine; T/B totals ride as 1-row broadcasts; unigram joins keyed on the word; top-20 via TakeOrderedAndProject — no global sort.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -746,6 +746,65 @@ object TextQueries {
         |  GROUP BY 1)
         |SELECT doc_id, score FROM sc
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
-      "rarest-first conjunctive AND retrieval with integer tf-idf ranking")
+      "rarest-first conjunctive AND retrieval with integer tf-idf ranking"),
+
+    // q208 — COLLOCATION mining: adjacent word pairs ranked by the
+    // exact-integer PMI ratio r = c(xy)·T² div (B·c(x)·c(y)) in bp
+    // (the monotone core of PMI with the log stripped — the no-libm
+    // bargain of q94/q100), support-capped at c(xy) ≥ 20 so rare
+    // accidents don't dominate. The corpus-linguistics primitive that
+    // separates phrases ("machine learning") from chance adjacency.
+    // Scale: token/bigram counts are algebraic folds; T/B ride as
+    // 1-row broadcasts; top-20 via TakeOrderedAndProject.
+    Q("q208_collocations",
+      (s, d) => {
+        import graft.functions.TextFunctions.words
+        val docs = Tables(s, d, "documents")
+        val toks = docs.select(explode(words(col("text"))).as("w"))
+        val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+        val tTot = toks.agg(count(lit(1)).cast("decimal(38,0)").as("t"))
+        val bi = docs
+          .select(words(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(explode(
+            graft.functions.WordGramsNative.gramsCol(col("ws"), 2))
+            .as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+        val bTot = bi.agg(sum("n_xy").cast("decimal(38,0)").as("b"))
+        bi.filter(col("n_xy") >= 20)
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .withColumn("w2", split(col("bigram"), " ").getItem(1))
+          .join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+          .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+          .select(col("bigram"), col("n_xy"),
+            expr("CAST((10000 * n_xy * t * t) div (b * cx * cy) AS BIGINT)")
+              .as("lift_bp"))
+          .orderBy(desc("lift_bp"), col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS t FROM w),
+        |uni AS (SELECT t AS wd, count(*) AS c1 FROM tok GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+1], ' '))) AS bigram
+        |  FROM w WHERE len(ws) >= 2),
+        |bc AS (SELECT bigram, count(*) AS n_xy FROM bg GROUP BY 1),
+        |bt AS (SELECT CAST(sum(n_xy) AS HUGEINT) AS b FROM bc),
+        |k AS (SELECT bigram, n_xy,
+        |    string_split(bigram, ' ')[1] AS w1,
+        |    string_split(bigram, ' ')[2] AS w2
+        |  FROM bc WHERE n_xy >= 20)
+        |SELECT k.bigram, CAST(k.n_xy AS BIGINT) AS n_xy,
+        |  CAST((10000 * k.n_xy * tt.t * tt.t) // (bt.b * ux.c1 * uy.c1)
+        |    AS BIGINT) AS lift_bp
+        |FROM k JOIN uni ux ON ux.wd = k.w1 JOIN uni uy ON uy.wd = k.w2,
+        |  tt, bt
+        |ORDER BY lift_bp DESC, bigram LIMIT 20""".stripMargin),
+      "collocations: support-capped adjacent pairs by exact-integer PMI ratio")
   )
 }

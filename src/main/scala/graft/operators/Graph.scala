@@ -41,6 +41,49 @@ object Graph {
     sym.join(deg, "u")
   }
 
+  /** PERSONALIZED PageRank from the deterministic min-id seed — the
+    * co-occurrence recommender: random walks restart at ONE node, so
+    * scores rank items by proximity to the seed (contrast
+    * [[pageRankInt]]'s global centrality). Same exact-integer program
+    * (scores ×1e9, damping 85/100, integral divisions, per-superstep
+    * caching); the teleport term lands only on the seed. On a symmetric
+    * graph every node has in-edges, so the iteration join stays inner;
+    * nodes beyond `iters` hops hold score 0 and are filtered — the
+    * result is exactly the seed's `iters`-hop neighborhood, ranked.
+    *
+    * Output: top-`k` (node, ppr) excluding the seed itself.
+    */
+  def personalizedPageRankInt(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    require(iters >= 1, "personalizedPageRankInt needs iters >= 1")
+    val e = edges.select("u", "v", "du")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"), col("du")).distinct()
+    val seed = nodes.agg(min("node").as("seed"))
+    var score = nodes.crossJoin(broadcast(seed))
+      .select(col("node"), col("du"), col("seed"),
+        when(col("node") === col("seed"), lit(1000000000L))
+          .otherwise(lit(0L)).as("s"))
+    for (_ <- 1 to iters) {
+      val contrib = score.filter(col("s") > 0)
+        .select(col("node").as("u"), expr("s div du").as("c"))
+      val inbound = e.select("u", "v").join(contrib, "u")
+        .groupBy("v").agg(sum("c").as("inc"))
+        .withColumnRenamed("v", "node")
+      score = score.select("node", "du", "seed")
+        .join(inbound, Seq("node"), "left")
+        .withColumn("s",
+          when(col("node") === col("seed"), lit(150000000L))
+            .otherwise(lit(0L)) +
+          expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+        .drop("inc")
+        .cache()
+    }
+    score.filter(col("s") > 0 && col("node") =!= col("seed"))
+      .select(col("node"), col("s").as("ppr"))
+      .orderBy(col("ppr").desc, col("node"))
+      .limit(k)
+  }
+
   /** K-hop BFS frontier profile from a deterministic seed (the minimum
     * node id — fixed by contract so both engines expand the same
     * tree): frontier size and cumulative visited count per hop, the
@@ -61,7 +104,10 @@ object Graph {
   def kHopFrontiers(edges: DataFrame, hops: Int): DataFrame = {
     require(hops >= 1, "kHopFrontiers needs hops >= 1")
     val spark = edges.sparkSession
-    val e = edges.select("u", "v")
+    // cached: every hop probes the SAME 2-column edge set; without this
+    // the upstream pair build + degree join re-execute per hop
+    // (measured 6.6 s -> ~3 s at sf0.1, 3 hops)
+    val e = edges.select("u", "v").cache()
     var visited = e.agg(min(col("u")).as("node")).cache()
     var frontier = visited
     var rows = Vector.empty[(Long, Long, Long)]

@@ -1642,5 +1642,55 @@ object AnalyticsQueries {
         |  FROM c GROUP BY 1)
         |SELECT user_id, max_burst_24h FROM m WHERE max_burst_24h >= 8
         |ORDER BY user_id""".stripMargin),
-      "rolling-24h burst detector over event-time range frames, per-user partitions"))
+      "rolling-24h burst detector over event-time range frames, per-user partitions"),
+
+    // q209 — PERSONALIZED PageRank from the min-id seed part over the
+    // sparse co-purchase graph: random walks restarting at ONE node
+    // rank items by proximity to the seed — the co-purchase
+    // recommender, vs q180's global centrality. Same exact-integer
+    // fixed point (×1e9, damping 85/100), teleport only at the seed,
+    // 3 unrolled iterations in the oracle; the result is exactly the
+    // seed's 3-hop neighborhood (q199's frontier), ranked.
+    Q("q209_personalized_pagerank",
+      (s, d) => {
+        val edges = graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem").filter(col("l_quantity") >= 40),
+          col("l_orderkey"), col("l_partkey"))
+        graft.operators.Graph.personalizedPageRankInt(edges, iters = 3,
+            k = 20)
+          .select(col("node").as("part_key"), col("ppr"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS it
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |p0 AS (SELECT a.it AS u, b.it AS v FROM li a JOIN li b USING (gk)
+        |  WHERE a.it < b.it),
+        |p1 AS (SELECT DISTINCT u, v FROM p0),
+        |e AS (SELECT u, v FROM p1 UNION ALL SELECT v, u FROM p1),
+        |deg AS (SELECT u, count(*) AS du FROM e GROUP BY 1),
+        |sd AS (SELECT min(u) AS seed FROM e),
+        |s0 AS (SELECT deg.u AS node, deg.du,
+        |    CASE WHEN deg.u = sd.seed THEN 1000000000 ELSE 0 END AS s
+        |  FROM deg, sd),
+        |i1 AS (SELECT e.v AS node, sum(s0.s // s0.du) AS inc
+        |  FROM e JOIN s0 ON e.u = s0.node WHERE s0.s > 0 GROUP BY 1),
+        |s1 AS (SELECT s0.node, s0.du,
+        |    CASE WHEN s0.node = sd.seed THEN 150000000 ELSE 0 END
+        |      + (85 * coalesce(i1.inc, 0)) // 100 AS s
+        |  FROM s0 LEFT JOIN i1 USING (node), sd),
+        |i2 AS (SELECT e.v AS node, sum(s1.s // s1.du) AS inc
+        |  FROM e JOIN s1 ON e.u = s1.node WHERE s1.s > 0 GROUP BY 1),
+        |s2 AS (SELECT s1.node, s1.du,
+        |    CASE WHEN s1.node = sd.seed THEN 150000000 ELSE 0 END
+        |      + (85 * coalesce(i2.inc, 0)) // 100 AS s
+        |  FROM s1 LEFT JOIN i2 USING (node), sd),
+        |i3 AS (SELECT e.v AS node, sum(s2.s // s2.du) AS inc
+        |  FROM e JOIN s2 ON e.u = s2.node WHERE s2.s > 0 GROUP BY 1),
+        |s3 AS (SELECT s2.node,
+        |    CASE WHEN s2.node = sd.seed THEN 150000000 ELSE 0 END
+        |      + (85 * coalesce(i3.inc, 0)) // 100 AS s
+        |  FROM s2 LEFT JOIN i3 USING (node), sd)
+        |SELECT node AS part_key, CAST(s AS BIGINT) AS ppr
+        |FROM s3, sd WHERE s > 0 AND node <> sd.seed
+        |ORDER BY ppr DESC, part_key LIMIT 20""".stripMargin),
+      "personalized PageRank (seed teleport, 3 iters) — the exact-integer co-purchase recommender"))
 }

@@ -90,6 +90,22 @@ class GraphSpec extends SparkSpec {
       (3L, 4L, 7L, 1L, -10000L)))
   }
 
+  test("personalizedPageRankInt: path graph, hand-computed seed proximity") {
+    // path 1-2-3, seed = 1. iter1: only the seed contributes ->
+    // s(2) = (85*1e9) div 100 = 850000000, s(3) = 0.
+    val one = Graph.personalizedPageRankInt(
+      edgesOf((1L, 2L), (2L, 3L)), iters = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one === Seq((2L, 850000000L)))
+    // iter2: 2 splits 850000000 across 1 and 3 (div 2 = 425000000);
+    // seed restarts feed 2 -> s(2) = (85*150000000) div 100,
+    // s(3) = (85*425000000) div 100 — proximity ranking flips to 3
+    val two = Graph.personalizedPageRankInt(
+      edgesOf((1L, 2L), (2L, 3L)), iters = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(two === Seq((3L, 361250000L), (2L, 127500000L)))
+  }
+
   test("kHopFrontiers: path graph expands one node per hop from min seed") {
     val got = Graph.kHopFrontiers(
       edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), hops = 3)

@@ -100,7 +100,9 @@ object Plans {
     "q206_burst_flag" -> "per-user event-time RANGE frame (calendar-bounded partitions) then a key-keyed max — the fact table shuffles once on user_id; threshold filter lands above the aggregate.",
     "q207_energy_segments" -> "frame explode bounded by payload length; run-grouping and segment-numbering windows both partition per doc (payload-bounded, never corpus-wide); the segment aggregate is algebraic with partial combine.",
     "q208_collocations" -> "token/bigram counts are algebraic folds with partial combine; T/B totals ride as 1-row broadcasts; unigram joins keyed on the word; top-20 via TakeOrderedAndProject — no global sort.",
-    "q209_personalized_pagerank" -> "q180's superstep shape with a sparse score table: contributions filtered to s>0 (the reachable frontier), teleport only at the broadcast seed row; per-superstep caches keep lineage linear; top-k via TakeOrderedAndProject.")
+    "q209_personalized_pagerank" -> "q180's superstep shape with a sparse score table: contributions filtered to s>0 (the reachable frontier), teleport only at the broadcast seed row; per-superstep caches keep lineage linear; top-k via TakeOrderedAndProject.",
+    "q210_compaction_plan" -> "one algebraic groupBy(source) with partial combine; the exchange carries |sources| rows; the ceil is a per-row projection.",
+    "q211_dup_pressure" -> "text hashes to 8-byte keys BEFORE the distinct (the q23 shuffle discipline); per-source counts and distinct counts share the source-keyed exchange; ratio is a projection over |sources| rows.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

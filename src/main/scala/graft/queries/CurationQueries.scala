@@ -882,6 +882,59 @@ object CurationQueries {
         |  CAST(m AS BIGINT) AS marginal_new_grams,
         |  CAST(sum(m) OVER (ORDER BY round) AS BIGINT) AS covered_total
         |FROM u ORDER BY round""".stripMargin),
-      "3-round submodular greedy max-coverage over source gram sets, oracle-unrolled")
+      "3-round submodular greedy max-coverage over source gram sets, oracle-unrolled"),
+
+    // q210 — COMPACTION PLAN: per source, the file count a 1 MB-target
+    // layout needs (ceil of total payload bytes over the target) — the
+    // small-files planning pass a lakehouse runs before rewriting a
+    // fragmented landing table (the planning complement of the ZOrder
+    // layout q103 and bucketed writes). Pure algebraic fold; the
+    // integer ceil is (b + t − 1) div t.
+    Q("q210_compaction_plan",
+      (s, d) => Tables(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          expr("(total_chars + 999999) div 1000000").as("files_needed"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST((sum(n_chars) + 999999) // 1000000 AS BIGINT)
+        |    AS files_needed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      "per-source small-files compaction plan at a 1 MB target (integer ceil)"),
+
+    // q211 — DUPLICATE PRESSURE per source: exact-text duplicate rate
+    // in bp from one (source, text-hash) distinct pass — the cheap
+    // triage that decides WHICH sources deserve the expensive near-dup
+    // passes (q23/q24/q187). Hashing text before the distinct keeps
+    // the shuffle at 8-byte keys (the q23 discipline).
+    Q("q211_dup_pressure",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        val dd = Tables(s, d, "documents")
+          .select(col("source"), hash60(col("text"), 0).as("h"))
+        val per = dd.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val uniq = dd.distinct().groupBy("source")
+          .agg(count(lit(1)).as("n_unique"))
+        per.join(uniq, "source")
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            expr("(10000 * (n_docs - n_unique)) div n_docs").as("dup_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (SELECT source,
+        |    CAST(('0x' || substring(md5('0#' || text), 1, 15)) AS BIGINT)
+        |      AS hh
+        |  FROM documents),
+        |p AS (SELECT source, count(*) AS n_docs FROM h GROUP BY 1),
+        |u AS (SELECT source, count(*) AS n_unique
+        |  FROM (SELECT DISTINCT source, hh FROM h) GROUP BY 1)
+        |SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+        |  CAST(u.n_unique AS BIGINT) AS n_unique,
+        |  CAST((10000 * (p.n_docs - u.n_unique)) // p.n_docs AS BIGINT)
+        |    AS dup_bp
+        |FROM p JOIN u USING (source) ORDER BY source""".stripMargin),
+      "exact duplicate rate per source from one hashed distinct pass — near-dup triage")
   )
 }

@@ -102,7 +102,8 @@ object Plans {
     "q208_collocations" -> "token/bigram counts are algebraic folds with partial combine; T/B totals ride as 1-row broadcasts; unigram joins keyed on the word; top-20 via TakeOrderedAndProject — no global sort.",
     "q209_personalized_pagerank" -> "q180's superstep shape with a sparse score table: contributions filtered to s>0 (the reachable frontier), teleport only at the broadcast seed row; per-superstep caches keep lineage linear; top-k via TakeOrderedAndProject.",
     "q210_compaction_plan" -> "one algebraic groupBy(source) with partial combine; the exchange carries |sources| rows; the ceil is a per-row projection.",
-    "q211_dup_pressure" -> "text hashes to 8-byte keys BEFORE the distinct (the q23 shuffle discipline); per-source counts and distinct counts share the source-keyed exchange; ratio is a projection over |sources| rows.")
+    "q211_dup_pressure" -> "text hashes to 8-byte keys BEFORE the distinct (the q23 shuffle discipline); per-source counts and distinct counts share the source-keyed exchange; ratio is a projection over |sources| rows.",
+    "q212_inverted_partitioned" -> "the postings build pays its shuffle once at layout time (partitionBy bucket write); the probe must show PartitionFilters on the bucket (file-level pruning — 1/16 of the index scanned) + TakeOrderedAndProject.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.IntMath._
-import graft.functions.TextFunctions.words
+import graft.functions.TextFunctions.{hash60, words}
 
 /** Retrieval scoring shared by the BM25 (q100) and hybrid-fusion (q116)
   * queries: Okapi BM25 with NO float in the scoring path, and the
@@ -160,6 +160,49 @@ object Retrieval {
       .agg(sum(col("tf") * expr("(100 * (n_docs + 1)) div (df + 1)"))
         .cast("long").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** PERSISTED inverted index with a partition-pruned probe — q175's
+    * billion-scale serving layout applied to LEXICAL retrieval: the
+    * postings table (term, doc, integer tf·idf weight) is written ONCE
+    * partitioned by a term-hash bucket, and a term lookup reads back
+    * through a PartitionFilter — non-probed buckets pruned at the FILE
+    * level, so a query touches 1/`buckets` of the index regardless of
+    * corpus size. The probe-side bucket is computed on the driver with
+    * the same md5 derivation the build used (one scalar, not a job).
+    *
+    * Scale shape: the build is the q119 index build plus one
+    * partitioned write (the shuffle pays once, at layout time); the
+    * probe is a pruned scan + TakeOrderedAndProject. RetrievalSpec
+    * asserts the PartitionFilters plan property, exactly like
+    * SimilaritySpec does for the IVF index.
+    */
+  def invertedTopKPartitioned(df: DataFrame, id: Column, text: Column,
+                              queryTerm: String, k: Int, buckets: Int,
+                              indexDir: String): DataFrame = {
+    require(buckets >= 1, "invertedTopKPartitioned needs buckets >= 1")
+    val spark = df.sparkSession
+    val toks = df.select(id.as("doc_id"), explode(words(text)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("term"), col("doc_id"),
+        (col("tf") * expr("(100 * (n_docs + 1)) div (df + 1)"))
+          .cast("long").as("w"),
+        pmod(hash60(col("term"), 0), lit(buckets.toLong)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+    // driver-side replica of hash60(term, 0) — one scalar, no job
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"0#$queryTerm".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val bucket = java.lang.Long.remainderUnsigned(
+      java.lang.Long.parseLong(hex, 16), buckets.toLong)
+    spark.read.parquet(indexDir)
+      .filter(col("bucket") === bucket && col("term") === queryTerm)
+      .select(col("doc_id"), col("w"))
+      .orderBy(col("w").desc, col("doc_id"))
       .limit(k)
   }
 

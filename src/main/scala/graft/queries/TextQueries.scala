@@ -805,6 +805,34 @@ object TextQueries {
         |FROM k JOIN uni ux ON ux.wd = k.w1 JOIN uni uy ON uy.wd = k.w2,
         |  tt, bt
         |ORDER BY lift_bp DESC, bigram LIMIT 20""".stripMargin),
-      "collocations: support-capped adjacent pairs by exact-integer PMI ratio")
+      "collocations: support-capped adjacent pairs by exact-integer PMI ratio"),
+
+    // q212 — PERSISTED inverted index with partition-pruned probe:
+    // q175's serving layout for the lexical side — postings written
+    // once partitioned by term-hash bucket, the term lookup read back
+    // through a PartitionFilter (non-probed buckets pruned at the FILE
+    // level; a query touches 1/16 of the index at any corpus size),
+    // the probe bucket computed driver-side with the same md5
+    // derivation. Completes the serving-layout story across both
+    // retrieval families.
+    Q("q212_inverted_partitioned",
+      (s, d) => graft.operators.Retrieval.invertedTopKPartitioned(
+        Tables(s, d, "documents"), col("doc_id"), col("text"),
+        queryTerm = "vector", k = 10, buckets = 16,
+        indexDir = graft.util.TmpDirs.perProcess("graft_q212_inv")),
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |f AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM f GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT f.doc_id,
+        |  CAST(f.tf * ((100 * (nd.n_docs + 1)) // (dfq.df + 1)) AS BIGINT)
+        |    AS w
+        |FROM f JOIN dfq USING (term), nd WHERE f.term = 'vector'
+        |ORDER BY w DESC, doc_id LIMIT 10""".stripMargin),
+      "persisted term-bucket-partitioned inverted index, file-level pruned probe")
   )
 }

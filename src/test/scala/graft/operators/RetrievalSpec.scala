@@ -95,4 +95,23 @@ class RetrievalSpec extends SparkSpec {
       Seq("ant", "unicorn"), k = 10).collect()
     assert(got.isEmpty)
   }
+
+  test("invertedTopKPartitioned: probe is partition-pruned and rank-correct") {
+    import spark.implicits._
+    val idx = graft.util.TmpDirs.perProcess("graft_test_inv_idx")
+    val d = Seq((1L, "ant ant bee"), (2L, "ant bee moth"),
+      (3L, "moth moth")).toDF("doc_id", "text")
+    val probe = Retrieval.invertedTopKPartitioned(d, col("doc_id"),
+      col("text"), queryTerm = "ant", k = 10, buckets = 4, indexDir = idx)
+    // N=3, df(ant)=2 -> idf = 400 div 3 = 133; doc1 tf=2 -> 266, doc2 -> 133
+    val got = probe.as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 266L), (2L, 133L)))
+    // the probe scan must prune at the partition level
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe not partition-pruned:\n$plan")
+    // and the index at rest is one directory per term bucket
+    assert(new java.io.File(idx).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("bucket=")))
+  }
 }

@@ -137,4 +137,65 @@ object Stats {
             expr("(10000 * abs(num)) div den").cast("long")))
           .as("slope_bp"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between samples A
+    * and B of an integer-valued column:
+    *
+    *   D = max over values v of |F_A(v) − F_B(v)|
+    *     = max |cumA(v)·nB − cumB(v)·nA| / (nA·nB)
+    *
+    * reported as the exact integer numerator `d_num` plus
+    * `ks_bp = (10⁴·d_num) div (nA·nB)` (both operands non-negative, so
+    * Spark `div` ≡ DuckDB `//`). EDF jumps are evaluated after ALL rows
+    * of a tied value — grouping by distinct value first makes that
+    * automatic.
+    *
+    * Scale shape — the textbook form needs one GLOBAL cumulative sum, a
+    * serial bottleneck; this runs the classic two-level distributed
+    * prefix instead: (1) one shuffle collapses the corpus to distinct
+    * values with per-sample counts; (2) values roll up to caller-chosen
+    * monotone BUCKETS whose per-bucket totals prefix-sum in a
+    * single-partition window over |buckets| rows (bounded by the bucket
+    * design, independent of data volume — the same bargain as a
+    * broadcast join); (3) within-bucket windows partition by bucket and
+    * add the bucket offset. Long headroom: cum·n < 2⁶³ holds to ~3·10⁹
+    * rows per side; DECIMAL(38) escalation is the documented step
+    * beyond (q159 playbook).
+    *
+    * @param bucketOf monotone (non-decreasing) bucketing of the value
+    *                 domain, e.g. `_ div 2500` for $25 buckets of cents
+    */
+  def ksTwoSample(df: DataFrame, value: Column, isA: Column, isB: Column,
+                  bucketOf: Column => Column): DataFrame = {
+    val byValue = df
+      .select(value.cast("long").as("v"),
+        isA.cast("int").as("a"), isB.cast("int").as("b"))
+      .filter(col("v").isNotNull && (col("a") === 1 || col("b") === 1))
+      .groupBy("v")
+      .agg(sum("a").cast("long").as("d1"), sum("b").cast("long").as("d2"))
+      .withColumn("bk", bucketOf(col("v")))
+    // Bucket offsets: totals per bucket, then an exclusive prefix over
+    // the (tiny, bounded) bucket table. The window is single-partition
+    // by design — it sees |buckets| rows, never the data.
+    val wb = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = byValue.groupBy("bk")
+      .agg(sum("d1").as("s1"), sum("d2").as("s2"))
+      .withColumn("o1", sum("s1").over(wb) - col("s1"))
+      .withColumn("o2", sum("s2").over(wb) - col("s2"))
+      .select("bk", "o1", "o2")
+    val wv = Window.partitionBy("bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byValue
+      .agg(sum("d1").cast("long").as("n1"), sum("d2").cast("long").as("n2"))
+    byValue.join(broadcast(offsets), "bk")
+      .withColumn("c1", col("o1") + sum("d1").over(wv))
+      .withColumn("c2", col("o2") + sum("d2").over(wv))
+      .crossJoin(broadcast(totals))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        expr("(10000 * d_num) div (n1 * n2)").as("ks_bp"))
+  }
 }

@@ -1692,5 +1692,78 @@ object AnalyticsQueries {
         |SELECT node AS part_key, CAST(s AS BIGINT) AS ppr
         |FROM s3, sd WHERE s > 0 AND node <> sd.seed
         |ORDER BY ppr DESC, part_key LIMIT 20""".stripMargin),
-      "personalized PageRank (seed teleport, 3 iters) — the exact-integer co-purchase recommender"))
+      "personalized PageRank (seed teleport, 3 iters) — the exact-integer co-purchase recommender"),
+
+    // q214 — EXACT two-sample KOLMOGOROV–SMIRNOV distance between the
+    // purchase and view value distributions (cents domain, so every
+    // intermediate is integral): D = max |F_A − F_B| reported as the
+    // exact numerator plus (10⁴·d_num) div (n1·n2). The textbook global
+    // cumulative sum is a serial bottleneck — the operator runs the
+    // two-level distributed prefix instead: distinct-value collapse,
+    // $25-bucket offsets through a |buckets|-row window, within-bucket
+    // parallel windows (Stats.ksTwoSample). The oracle replays the
+    // plain one-window form — bit-equal by the prefix-sum identity.
+    Q("q214_ks_two_sample",
+      (s, d) => {
+        val e = Tables(s, d, "events")
+        graft.operators.Stats.ksTwoSample(e,
+          expr("CAST(round(value * 100) AS BIGINT)"),
+          (col("event_type") === "purchase").cast("int"),
+          (col("event_type") === "view").cast("int"),
+          v => (v / lit(2500)).cast("long"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |g AS (SELECT v, CAST(sum(a) AS BIGINT) AS d1,
+        |    CAST(sum(b) AS BIGINT) AS d2 FROM e GROUP BY 1),
+        |c AS (SELECT v, sum(d1) OVER (ORDER BY v) AS c1,
+        |    sum(d2) OVER (ORDER BY v) AS c2 FROM g),
+        |t AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+        |    CAST(sum(d2) AS BIGINT) AS n2 FROM g)
+        |SELECT n1, n2,
+        |  CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+        |  CAST((10000 * max(abs(c1 * n2 - c2 * n1))) // (n1 * n2)
+        |    AS BIGINT) AS ks_bp
+        |FROM c, t GROUP BY n1, n2""".stripMargin),
+      "exact two-sample KS distance via the two-level distributed prefix (no global window)"),
+
+    // q215 — LEAVE-ONE-OUT TARGET ENCODING of market segment against
+    // order value: the ML feature-engineering primitive that replaces a
+    // category with the mean target of the OTHER rows in the category —
+    // loo = (seg_sum − own) / (seg_n − 1) — so a row never leaks its own
+    // label into its feature (the q176 leakage discipline, row-level).
+    // Exact in cents; both `div` operands non-negative. Scale shape:
+    // customer is a broadcast dim, the 5-row segment aggregate
+    // broadcasts back onto the fact — the fact is never shuffled.
+    Q("q215_target_encoding_loo",
+      (s, d) => {
+        val o = Tables(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val c = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        val joined = o.join(broadcast(c),
+          col("o_custkey") === col("c_custkey"))
+        val segAgg = joined.groupBy("seg")
+          .agg(sum("cents").as("ssum"), count(lit(1)).as("sn"))
+        joined.join(broadcast(segAgg), "seg")
+          .filter(col("sn") >= 2)
+          .select(col("o_orderkey"), col("seg"), col("cents"),
+            expr("(ssum - cents) div (sn - 1)").as("loo_cents"))
+          .orderBy("o_orderkey").limit(100)
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |j AS (SELECT o.o_orderkey, c.c_mktsegment AS seg, o.cents
+        |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |a AS (SELECT seg, CAST(sum(cents) AS BIGINT) AS ssum,
+        |    count(*) AS sn FROM j GROUP BY 1)
+        |SELECT j.o_orderkey, j.seg, j.cents,
+        |  CAST((a.ssum - j.cents) // (a.sn - 1) AS BIGINT) AS loo_cents
+        |FROM j JOIN a USING (seg) WHERE a.sn >= 2
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+      "leave-one-out target encoding in exact cents — leakage-free category feature"))
 }

@@ -833,6 +833,61 @@ object TextQueries {
         |    AS w
         |FROM f JOIN dfq USING (term), nd WHERE f.term = 'vector'
         |ORDER BY w DESC, doc_id LIMIT 10""".stripMargin),
-      "persisted term-bucket-partitioned inverted index, file-level pruned probe")
+      "persisted term-bucket-partitioned inverted index, file-level pruned probe"),
+
+    // q213 — BPE MERGE LEARNING (Sennrich ACL'16), 3 rounds: the
+    // tokenizer-training primitive, distributed the SentencePiece-port
+    // way — corpus collapses once to a frequency-weighted vocabulary
+    // (Zipf: vocab ≪ corpus), each round is a weighted pair-count over
+    // the vocab + a 1-row winner broadcast + a per-row string rewrite.
+    // Symbol sequences use the doubled-separator encoding so plain
+    // leftmost-non-overlapping replace() (identical in Spark and
+    // DuckDB) IS greedy left-to-right BPE merge application — a run of
+    // four a's merges to [aa, aa], not [aa, a, a]. Winner tiebreak
+    // (count DESC, pair ASC). See operators/Bpe.scala.
+    Q("q213_bpe_merges",
+      (s, d) => {
+        import graft.functions.TextFunctions.words
+        val vocab = Tables(s, d, "documents")
+          .select(explode(words(col("text"))).as("wd"))
+          .filter(col("wd").rlike("^[a-z]{1,24}$"))
+          .groupBy("wd").agg(count(lit(1)).as("f"))
+        graft.operators.Bpe.learnMerges(vocab, rounds = 3)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split_regex(
+        |      lower(trim(text)), '\s+')) AS wd FROM documents),
+        |v AS (SELECT wd, count(*) AS f FROM w
+        |  WHERE regexp_matches(wd, '^[a-z]{1,24}$') GROUP BY 1),
+        |s0 AS (SELECT f,
+        |    '  ' || regexp_replace(wd, '(.)', '\1  ', 'g') AS seq FROM v),
+        |p1 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+        |    SELECT f, unnest(list_transform(generate_series(1, len(sy)-1),
+        |        i -> sy[i] || ' ' || sy[i+1])) AS pair
+        |    FROM (SELECT f, string_split_regex(trim(seq), ' +') AS sy
+        |          FROM s0)) GROUP BY 1),
+        |w1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+        |s1 AS (SELECT f, replace(seq,
+        |    ' ' || replace(pair, ' ', '  ') || ' ',
+        |    ' ' || replace(pair, ' ', '') || ' ') AS seq FROM s0, w1),
+        |p2 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+        |    SELECT f, unnest(list_transform(generate_series(1, len(sy)-1),
+        |        i -> sy[i] || ' ' || sy[i+1])) AS pair
+        |    FROM (SELECT f, string_split_regex(trim(seq), ' +') AS sy
+        |          FROM s1)) GROUP BY 1),
+        |w2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+        |s2 AS (SELECT f, replace(seq,
+        |    ' ' || replace(pair, ' ', '  ') || ' ',
+        |    ' ' || replace(pair, ' ', '') || ' ') AS seq FROM s1, w2),
+        |p3 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+        |    SELECT f, unnest(list_transform(generate_series(1, len(sy)-1),
+        |        i -> sy[i] || ' ' || sy[i+1])) AS pair
+        |    FROM (SELECT f, string_split_regex(trim(seq), ' +') AS sy
+        |          FROM s2)) GROUP BY 1),
+        |w3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1)
+        |SELECT 1 AS merge_round, pair, n FROM w1
+        |UNION ALL SELECT 2, pair, n FROM w2
+        |UNION ALL SELECT 3, pair, n FROM w3
+        |ORDER BY merge_round""".stripMargin),
+      "BPE merge learning, 3 rounds over the frequency-weighted vocab — tokenizer training's core loop")
   )
 }

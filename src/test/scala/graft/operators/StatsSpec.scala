@@ -93,4 +93,40 @@ class StatsSpec extends SparkSpec {
     assert(got.getLong(3) === 0L, "den = 0")
     assert(got.isNullAt(4), "slope undefined on a vertical line")
   }
+
+  private def ks(rows: (Long, Int, Int)*) = {
+    import spark.implicits._
+    val d = rows.toDF("v", "a", "b")
+    Stats.ksTwoSample(d, col("v"), col("a"), col("b"),
+      v => (v / lit(2)).cast("long")) // 2-wide buckets: multi-bucket path
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+  }
+
+  test("ksTwoSample: disjoint supports give D = 1 (10000 bp)") {
+    val got = ks((1L, 1, 0), (2L, 1, 0), (3L, 1, 0),
+      (4L, 0, 1), (5L, 0, 1), (6L, 0, 1))
+    assert(got === ((3L, 3L, 9L, 10000L)))
+  }
+
+  test("ksTwoSample: identical samples give D = 0") {
+    val got = ks((1L, 1, 0), (1L, 0, 1), (2L, 1, 0), (2L, 0, 1))
+    assert(got === ((2L, 2L, 0L, 0L)))
+  }
+
+  test("ksTwoSample: hand case across a bucket boundary") {
+    // A={1,3}, B={2,3}: cum pairs (1,0),(1,1),(2,2) x n=2 each side
+    // -> |c1*n2 - c2*n1| = 2, 0, 0 -> d_num=2 over n1*n2=4 -> 5000 bp.
+    // Values 1,2 fall in bucket 0, value 3 in bucket 1 — the offset
+    // join, not a single window, produces the cumulative.
+    val got = ks((1L, 1, 0), (2L, 0, 1), (3L, 1, 0), (3L, 0, 1))
+    assert(got === ((2L, 2L, 2L, 5000L)))
+  }
+
+  test("ksTwoSample: EDF evaluated after ALL rows of a tied value") {
+    // A={5}, B={5}: the only value is shared; evaluating mid-tie would
+    // see |1*1 - 0*1| = 1, after the tie it is 0 — the contract is 0.
+    val got = ks((5L, 1, 0), (5L, 0, 1))
+    assert(got === ((1L, 1L, 0L, 0L)))
+  }
 }

@@ -65,6 +65,65 @@ object AsOfJoin {
       .select((leftCols.map(col) :+ col("__match")): _*)
   }
 
+  /** NEAREST-direction as-of (pandas merge_asof direction='nearest'):
+    * each left row matches the right row closest in time — before OR
+    * after — per key, ties preferring the backward match. Same
+    * union+window shape as [[asof]], with BOTH running frames over the
+    * one (key, time, side) sort: `last ignore-nulls` over the preceding
+    * frame carries the latest earlier right row, `first ignore-nulls`
+    * over the following frame the earliest later one; the winner is an
+    * arithmetic pick. Still ONE shuffle — the two window frames share
+    * partitioning and order. Right rows at the exact left time sort
+    * before the left row (side 0 < 1), so an equal-time match counts as
+    * backward with gap 0.
+    *
+    * Times must arrive as LONG micros (callers convert timestamps via
+    * unix_micros) so the gap arithmetic is exact integers. Output =
+    * every left column + near_id / direction ('b'/'f', null when the
+    * key has no right rows at all) / gap_us.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  leftKey: Column, rightKey: Column,
+                  leftTime: Column, rightTime: Column,
+                  rightId: Column): DataFrame = {
+    val internal = Set("__k", "__t", "__side", "__rid")
+    val clashes = left.columns.toSet & internal
+    require(clashes.isEmpty,
+      s"asofNearest reserves ${internal.mkString(", ")}; rename: ${clashes.mkString(", ")}")
+    val leftCols = left.columns.toSeq
+    val lAligned = left.select(
+      (Seq(leftKey.as("__k"), leftTime.cast("long").as("__t"),
+        lit(1).as("__side"), lit(null).cast("long").as("__rid")) ++
+        leftCols.map(col)): _*)
+    val rAligned = right.select(
+      (Seq(rightKey.as("__k"), rightTime.cast("long").as("__t"),
+        lit(0).as("__side"), rightId.cast("long").as("__rid")) ++
+        leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(n))): _*)
+    val order = Seq(col("__t"), col("__side"))
+    val wb = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("__k").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rt = when(col("__side") === 0, col("__t"))
+    val rid = when(col("__side") === 0, col("__rid"))
+    val enriched = rAligned.union(lAligned)
+      .withColumn("bt", last(rt, ignoreNulls = true).over(wb))
+      .withColumn("bid", last(rid, ignoreNulls = true).over(wb))
+      .withColumn("ft", first(rt, ignoreNulls = true).over(wf))
+      .withColumn("fid", first(rid, ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val backWins = col("ft").isNull ||
+      (col("bt").isNotNull && col("__t") - col("bt") <= col("ft") - col("__t"))
+    enriched.select((leftCols.map(col) ++ Seq(
+      when(col("bt").isNull && col("ft").isNull, lit(null).cast("long"))
+        .when(backWins, col("bid")).otherwise(col("fid")).as("near_id"),
+      when(col("bt").isNull && col("ft").isNull, lit(null).cast("string"))
+        .when(backWins, lit("b")).otherwise(lit("f")).as("direction"),
+      when(col("bt").isNull && col("ft").isNull, lit(null).cast("long"))
+        .when(backWins, col("__t") - col("bt"))
+        .otherwise(col("ft") - col("__t")).as("gap_us"))): _*)
+  }
+
   private def payloadType(right: DataFrame,
                           payload: Seq[(Column, String)]): org.apache.spark.sql.types.DataType = {
     // resolve payload column types from a zero-row projection

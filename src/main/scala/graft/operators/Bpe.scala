@@ -80,4 +80,43 @@ object Bpe {
     cached.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** TOKENIZER FERTILITY after `rounds` learned merges — the metric a
+    * tokenizer-training loop actually optimizes: tokens emitted per
+    * word occurrence once the merge table applies. Learns the merges
+    * via [[learnMerges]] (the winner list is `rounds` rows — a
+    * driver-bounded artifact, the same bargain as a broadcast join),
+    * then REAPPLIES them to the vocabulary as a fold of literal
+    * `replace` rewrites — encoding the "train once, ship the merge
+    * table" split of a real pipeline: at 100 TB the learning runs over
+    * the collapsed vocab, and application is a per-row map carrying a
+    * tiny broadcast artifact.
+    *
+    * Output, one row: total_words (Σf), total_tokens (Σ f·|seq|),
+    * fertility_bp = 10⁴·total_tokens div total_words, n_symbols (the
+    * distinct symbol inventory after merging — base chars + merged
+    * units).
+    */
+  def fertilityAfterMerges(vocab: DataFrame, rounds: Int): DataFrame = {
+    val merges = learnMerges(vocab, rounds).collect().map(_.getString(1))
+    val seqs = merges.foldLeft(
+      vocab.select(col("f"), encodeSeq(col("wd")).as("seq"))) {
+      (df, pair) =>
+        df.withColumn("seq", replace(col("seq"),
+          lit(" " + pair.replace(" ", "  ") + " "),
+          lit(" " + pair.replace(" ", "") + " ")))
+    }
+    val tok = seqs
+      .select(col("f"), split(trim(col("seq")), " +").as("sy"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = tok.agg(
+      sum("f").cast("long").as("total_words"),
+      sum(col("f") * size(col("sy"))).cast("long").as("total_tokens"))
+    val syms = tok.select(explode(col("sy")).as("s"))
+      .agg(countDistinct("s").cast("long").as("n_symbols"))
+    totals.crossJoin(syms)
+      .select(col("total_words"), col("total_tokens"),
+        expr("(10000 * total_tokens) div total_words").as("fertility_bp"),
+        col("n_symbols"))
+  }
 }

@@ -507,4 +507,31 @@ object Curation {
       .select(col("round").cast("long").as("round"), col("source"),
         col("marginal_new_grams"), col("covered_total"))
   }
+
+  /** K-ANONYMITY / L-DIVERSITY risk audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy sibling of the PII redaction pass above: group
+    * records into equivalence classes by their QUASI-IDENTIFIER columns
+    * and report, per class, its size (k-anonymity: a class of size < k
+    * re-identifies its members) and the number of DISTINCT sensitive
+    * values it holds (l-diversity: a class where everyone shares one
+    * sensitive value leaks it even at safe k). Output = the `top`
+    * riskiest (smallest) classes, the list a release gate suppresses or
+    * generalizes before publishing.
+    *
+    * Scale shape: one hash agg on the quasi-identifier tuple computes
+    * size and distinct-sensitive together; the risk list is a
+    * TakeOrderedAndProject. Nothing data-sized leaves the agg.
+    */
+  def kAnonymityRisk(df: DataFrame, quasi: Seq[(Column, String)],
+                     sensitive: Column, top: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityRisk needs >= 1 quasi-identifier")
+    val qCols = quasi.map { case (c, n) => c.as(n) }
+    val qNames = quasi.map(_._2)
+    df.select((qCols :+ sensitive.as("__sens")): _*)
+      .groupBy(qNames.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("class_size"),
+        countDistinct("__sens").cast("long").as("l_div"))
+      .orderBy((col("class_size") +: qNames.map(col)): _*)
+      .limit(top)
+  }
 }

@@ -291,4 +291,92 @@ object Graph {
     }
     score.select(col("node"), col("s").as("pr"))
   }
+
+  /** Synchronous LABEL PROPAGATION (Raghavan et al. 2007) made
+    * deterministic: labels start as node ids; each round every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken by
+    * the smallest label (the classic random tie-break replaced by a
+    * total order so an independent engine replays every round exactly).
+    * Round 1 over all-distinct labels degenerates to min-neighbor
+    * propagation; round 2 onward the frequency term is live. Output:
+    * the top-`k` communities of the final labelling by size.
+    *
+    * Scale shape: one join + one (node, label) hash agg + one per-node
+    * top-1 window per round — all keyed shuffles, nothing driver-side;
+    * each round's label table (|nodes| rows) is cached so round i's
+    * lineage does not re-run rounds 1..i−1 (the pageRankInt lesson).
+    */
+  def labelPropagationCommunities(edges: DataFrame, rounds: Int,
+                                  k: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagationCommunities needs rounds >= 1")
+    val e = edges.select("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val counted = e
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("n").desc, col("lbl"))
+      labels = counted
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+        .cache()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).cast("long").as("sz"))
+      .orderBy(col("sz").desc, col("community"))
+      .limit(k)
+  }
+
+  /** K-CORE peeling, `rounds` synchronous rounds at a DATA-RELATIVE
+    * threshold: k = the exact 10th-percentile degree (order statistic
+    * at ceil(n/10), ties broken by node id — deterministic at every
+    * scale, where a fixed k would peel everything at one SF and
+    * nothing at another). Each round drops nodes with degree < k and
+    * the edges touching them; the output is the per-round (nodes,
+    * edges) trajectory plus k — the standard "does a dense core
+    * exist" diagnostic over a co-occurrence graph.
+    *
+    * Scale shape: the percentile is a TakeOrdered over the degree
+    * table (|nodes| rows, never the edges); each peel round is a
+    * degree agg + two semi-joins keyed on the node — per-round cached,
+    * per-round cost is |surviving edges|. Driver sees two scalars
+    * (n, k); everything else is distributed.
+    */
+  def kCorePeel(edges: DataFrame, rounds: Int,
+                kFixed: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, "kCorePeel needs rounds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d0 = e0.groupBy("u").agg(count(lit(1)).as("dg")).cache()
+    val k = kFixed.getOrElse {
+      val n = d0.count()
+      val idx = ((n + 9) / 10).toInt
+      d0.orderBy(col("dg"), col("u")).limit(idx)
+        .agg(max("dg")).as[Long].head()
+    }
+    var e = e0
+    val roundStats = (1 to rounds).map { rnd =>
+      val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("u").cache()
+      e = e
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // "nodes" is the round's degree-filter survivor count (a kept
+      // node whose neighbors all fell may hold zero surviving edges)
+      keep.agg(count(lit(1)).as("nodes"))
+        .crossJoin(e.agg(expr("count(1) div 2").as("edges")))
+        .select(lit(rnd.toLong).as("rnd"), lit(k).as("k"),
+          col("nodes").cast("long").as("nodes"),
+          col("edges").cast("long").as("edges"))
+    }
+    roundStats.reduce(_ unionAll _).orderBy("rnd")
+  }
 }

@@ -163,6 +163,38 @@ object Retrieval {
       .limit(k)
   }
 
+  /** POSITIONAL phrase search: rank documents by exact-phrase frequency
+    * ("term₁ immediately before term₂ …"), the positional-index query
+    * the bag-of-words scorers above cannot answer. The index unit is the
+    * positional posting (doc_id, position) per term; a phrase hit is an
+    * equi-join of the phrase terms' postings on (doc_id, position −
+    * offset) — the classic positional-intersection plan.
+    *
+    * Scale shape: the `isin(phrase terms)` filter runs on the exploded
+    * stream BEFORE anything shuffles, so only the phrase terms' postings
+    * (not the corpus token stream) reach the joins — at any corpus size
+    * a query touches |phrase| posting lists. The intersection joins are
+    * equi-joins keyed on (doc_id, adjusted position); the final count is
+    * one map-side-combined agg + TakeOrderedAndProject.
+    */
+  def phraseTopK(df: DataFrame, id: Column, text: Column,
+                 phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.length >= 2, "phraseTopK needs a phrase of >= 2 terms")
+    val pos = df
+      .select(id.as("doc_id"), posexplode(words(text)).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+    def postings(t: String, offset: Int) =
+      pos.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - offset).as("anchor"))
+    val hits = phrase.zipWithIndex.tail.foldLeft(postings(phrase.head, 0)) {
+      case (acc, (t, i)) => acc.join(postings(t, i), Seq("doc_id", "anchor"))
+    }
+    hits.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** PERSISTED inverted index with a partition-pruned probe — q175's
     * billion-scale serving layout applied to LEXICAL retrieval: the
     * postings table (term, doc, integer tf·idf weight) is written ONCE

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.ArrayCosine
@@ -772,5 +773,98 @@ object Similarity {
       .select(col("anchor_id"), col("positive_id"), col("negative_id"),
         col("cos_pos"), col("cos_neg"),
         (col("cu_pos") - col("cu_neg")).as("gap_bp"))
+  }
+
+  /** NDCG@k of the exact-cosine ranking against LABEL-GRADED relevance
+    * — the retrieval-eval square of q142's recall/MRR scoreboard, with
+    * graded gains instead of binary hits: a neighbor earns gain 2 on an
+    * exact label match, 1 on an adjacent label (|Δ| = 1), else 0.
+    *
+    * The discount is the LINEAR-weight DCG (gain/(rank+1), Wang et al.
+    * 2013's family with the log swapped for a rational weight): scaled
+    * by 27720 = lcm(2..11) every per-rank weight 27720 div (rank+1) is
+    * an EXACT integer through rank 10 — the usual log2 discount cannot
+    * cross engines bit-for-bit, this one can (the standing no-libm
+    * bargain). ndcg_bp = 10⁴·dcg div idcg, idcg from the same gains
+    * re-ranked gain-desc (rank-asc tiebreak); all operands
+    * non-negative, so truncation and floor agree.
+    *
+    * Scale shape: the query side broadcasts (a handful of probes), the
+    * corpus scans once through the codegen'd cosine, per-query top-k
+    * via the TopKPerKey node; both rank windows run on k·|queries|
+    * rows — nothing corpus-sized past the scan.
+    */
+  def ndcgLabelGraded(corpus: DataFrame, id: Column, vec: Column,
+                      label: Column, queries: DataFrame, qid: Column,
+                      qvec: Column, qlabel: Column, k: Int): DataFrame = {
+    ArrayCosine.register(corpus.sparkSession)
+    val c = corpus.select(id.as("vec_id"), toDouble(vec).as("v"),
+      label.cast("long").as("lbl"))
+    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"),
+      qlabel.cast("long").as("qlbl"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("qlbl"), col("vec_id"), col("lbl"),
+        round(cos(col("v"), col("qv")), 4).as("cs"))
+    val top = graft.plans.TopK.perKey(scored, Seq("qid"), "cs",
+      desc = true, tiebreak = Seq("vec_id"), k = k)
+    val wr = Window.partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))
+    val ranked = top
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .withColumn("g",
+        when(col("lbl") === col("qlbl"), 2L)
+          .when(abs(col("lbl") - col("qlbl")) === 1, 1L)
+          .otherwise(0L))
+    val wi = Window.partitionBy("qid").orderBy(col("g").desc, col("rnk"))
+    ranked
+      .withColumn("irnk", row_number().over(wi).cast("long"))
+      .groupBy("qid")
+      .agg(
+        sum(expr("g * (27720 div (rnk + 1))")).cast("long").as("dcg"),
+        sum(expr("g * (27720 div (irnk + 1))")).cast("long").as("idcg"))
+      .select(col("qid"), col("dcg"), col("idcg"),
+        when(col("idcg") === 0, 0L)
+          .otherwise(expr("(10000 * dcg) div idcg")).as("ndcg_bp"))
+      .orderBy("qid")
+  }
+
+  /** MATRYOSHKA truncation audit: recall@k of the cosine ranking under
+    * PREFIX-truncated embeddings (Kusupati et al. 2022) against the
+    * full-dimension ranking — the eval that decides how far an MRL
+    * embedding can be cut for the cheap first-stage scan. One row per
+    * (query, dims): recall_bp = 10⁴·|top_k(dims) ∩ top_k(full)| div k.
+    *
+    * Scale shape: same as every batch eval here — queries broadcast,
+    * corpus scanned once per ranking through the codegen'd cosine
+    * (`slice` keeps the truncation inside the same expression), each
+    * ranking collapses to k·|queries| rows via TopKPerKey before the
+    * overlap joins; a query whose overlap is empty emits no row (both
+    * engines agree — inner-join semantics).
+    */
+  def matryoshkaRecall(corpus: DataFrame, id: Column, vec: Column,
+                       queries: DataFrame, qid: Column, qvec: Column,
+                       dimsList: Seq[Int], k: Int): DataFrame = {
+    require(dimsList.nonEmpty, "matryoshkaRecall needs at least one dims")
+    ArrayCosine.register(corpus.sparkSession)
+    val c = corpus.select(id.as("vec_id"), toDouble(vec).as("v"))
+    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+    val joined = c.crossJoin(broadcast(q))
+    def topAt(dims: Option[Int]) = {
+      val (vv, qq) = dims match {
+        case Some(n) => (slice(col("v"), 1, n), slice(col("qv"), 1, n))
+        case None    => (col("v"), col("qv"))
+      }
+      graft.plans.TopK.perKey(
+        joined.select(col("qid"), col("vec_id"),
+          round(cos(vv, qq), 4).as("cs")),
+        Seq("qid"), "cs", desc = true, tiebreak = Seq("vec_id"), k = k)
+        .select("qid", "vec_id")
+    }
+    val full = topAt(None).cache()
+    dimsList.map { dm =>
+      topAt(Some(dm)).join(full, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+        .select(col("qid"), lit(dm.toLong).as("dims"),
+          expr(s"(10000 * n) div $k").as("recall_bp"))
+    }.reduce(_ unionAll _).orderBy("qid", "dims")
   }
 }

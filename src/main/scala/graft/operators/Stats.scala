@@ -198,4 +198,46 @@ object Stats {
       .select(col("n1"), col("n2"), col("d_num"),
         expr("(10000 * d_num) div (n1 * n2)").as("ks_bp"))
   }
+
+  /** Pearson CHI-SQUARE independence statistic over a two-way
+    * contingency table, in exact basis points. Clearing E = r·c/N from
+    * the textbook Σ(O−E)²/E gives the all-integer per-cell term
+    *
+    *   cell_bp = 10⁴·(o·N − r·c)² div (N·r·c)
+    *
+    * — numerator and denominator both non-negative, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree (the object's
+    * standing sign contract). Intermediates run in DECIMAL(38,0):
+    * (o·N)² needs ~4·log₁₀(rows) digits, so the headroom holds to ~1e8
+    * rows per table — far past any per-batch contingency this serves.
+    * Alongside: the observed-cell degrees of freedom
+    * (cells − distinct_a − distinct_b + 1, the (r−1)(c−1) of the
+    * observed support) and N, so a caller can look up the critical
+    * value. The no-libm bargain once more: the p-value needs the
+    * incomplete gamma, the STATISTIC is exact.
+    *
+    * Scale shape: one hash agg on (a, b) collapses the data to the
+    * cell table; margins and N are cell-table-sized aggs broadcast
+    * back; the result is one row. Nothing after the first agg ever
+    * sees a data-sized row count.
+    */
+  def chiSquareBp(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("ca"), b.as("cb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .groupBy("ca", "cb")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+    val rowT = cells.groupBy("ca").agg(sum("o").as("r"))
+    val colT = cells.groupBy("cb").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("nn"))
+    cells
+      .join(broadcast(rowT), "ca")
+      .join(broadcast(colT), "cb")
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(expr("(10000 * (o * nn - r * c) * (o * nn - r * c)) div (nn * r * c)"))
+          .cast("long").as("chi2_bp"),
+        (count(lit(1)) - countDistinct("ca") - countDistinct("cb") + 1)
+          .cast("long").as("dof"),
+        max(col("nn")).cast("long").as("n"))
+  }
 }

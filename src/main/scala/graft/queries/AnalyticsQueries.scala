@@ -1765,5 +1765,206 @@ object AnalyticsQueries {
         |  CAST((a.ssum - j.cents) // (a.sn - 1) AS BIGINT) AS loo_cents
         |FROM j JOIN a USING (seg) WHERE a.sn >= 2
         |ORDER BY o_orderkey LIMIT 100""".stripMargin),
-      "leave-one-out target encoding in exact cents — leakage-free category feature"))
+      "leave-one-out target encoding in exact cents — leakage-free category feature"),
+
+    // q217 — CHI-SQUARE independence: is order priority independent of
+    // order status? The feed-audit companion to q131's TVD and q214's
+    // KS — those compare distributions of one variable, this tests
+    // ASSOCIATION between two categoricals, in exact basis points
+    // (Stats.chiSquareBp: per-cell 10⁴·(o·N−r·c)² div (N·r·c), all
+    // operands non-negative DECIMAL(38)). One (a,b) hash agg collapses
+    // the table; margins broadcast back; one row out.
+    Q("q217_chi_square",
+      (s, d) => graft.operators.Stats.chiSquareBp(
+        Tables(s, d, "orders"),
+        col("o_orderpriority"), col("o_orderstatus")),
+      Some("""WITH o AS (SELECT o_orderpriority pr, o_orderstatus st,
+        |    CAST(count(*) AS HUGEINT) AS ob FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT pr, CAST(sum(ob) AS HUGEINT) AS r FROM o GROUP BY 1),
+        |ct AS (SELECT st, CAST(sum(ob) AS HUGEINT) AS c FROM o GROUP BY 1),
+        |nt AS (SELECT CAST(sum(ob) AS HUGEINT) AS nn FROM o)
+        |SELECT
+        |  CAST(sum((10000 * (o.ob * nt.nn - rt.r * ct.c)
+        |      * (o.ob * nt.nn - rt.r * ct.c)) // (nt.nn * rt.r * ct.c))
+        |    AS BIGINT) AS chi2_bp,
+        |  CAST(count(*) - count(DISTINCT o.pr) - count(DISTINCT o.st) + 1
+        |    AS BIGINT) AS dof,
+        |  CAST(max(nt.nn) AS BIGINT) AS n
+        |FROM o JOIN rt USING (pr) JOIN ct USING (st), nt""".stripMargin),
+      "chi-square independence statistic over a contingency table, exact basis points"),
+
+    // q218 — FREQUENT TRIPLES: Apriori L1→L2→L3 over customer→brand
+    // baskets at 50% relative support (Itemsets.frequentTriples). Every
+    // Lₖ is broadcast-sized and prunes the basket stream BEFORE the
+    // next enumeration; the basket key carries both self-joins
+    // co-partitioned. q129's pair counting promoted to the real
+    // candidate-generation staircase.
+    Q("q218_frequent_triples",
+      (s, d) => {
+        val baskets = Tables(s, d, "orders").as("o")
+          .join(Tables(s, d, "lineitem").as("l"),
+            col("o.o_orderkey") === col("l.l_orderkey"))
+          .join(broadcast(Tables(s, d, "part").as("p")),
+            col("p.p_partkey") === col("l.l_partkey"))
+          .select(col("o.o_custkey").as("ck"), col("p.p_brand").as("br"))
+        graft.operators.Itemsets.frequentTriples(
+          baskets, col("ck"), col("br"), supNum = 1, supDen = 2, k = 20)
+      },
+      Some("""WITH b AS (SELECT DISTINCT o.o_custkey ck, p.p_brand br
+        |  FROM orders o
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey),
+        |n AS (SELECT count(DISTINCT ck) AS nb FROM b),
+        |l1 AS (SELECT br FROM b GROUP BY br
+        |  HAVING count(*) * 2 >= (SELECT nb FROM n)),
+        |bf AS (SELECT ck, br FROM b WHERE br IN (SELECT br FROM l1)),
+        |l2 AS (SELECT pa.br x, pb.br y FROM bf pa
+        |  JOIN bf pb ON pa.ck = pb.ck AND pa.br < pb.br
+        |  GROUP BY 1, 2 HAVING count(*) * 2 >= (SELECT nb FROM n)),
+        |t AS (SELECT pa.br item1, pb.br item2, pc.br item3,
+        |    count(*) AS sup
+        |  FROM bf pa
+        |  JOIN bf pb ON pa.ck = pb.ck AND pa.br < pb.br
+        |  JOIN bf pc ON pb.ck = pc.ck AND pb.br < pc.br
+        |  GROUP BY 1, 2, 3)
+        |SELECT item1, item2, item3, CAST(sup AS BIGINT) AS sup FROM t
+        |WHERE EXISTS (SELECT 1 FROM l2 WHERE x = item1 AND y = item2)
+        |  AND EXISTS (SELECT 1 FROM l2 WHERE x = item1 AND y = item3)
+        |  AND EXISTS (SELECT 1 FROM l2 WHERE x = item2 AND y = item3)
+        |ORDER BY sup DESC, item1, item2, item3 LIMIT 20""".stripMargin),
+      "Apriori frequent brand triples at 50% support — L1/L2 broadcast pruning before every enumeration"),
+
+    // q219 — LABEL PROPAGATION communities over the part co-purchase
+    // graph, 2 synchronous rounds, deterministic tie-break (most
+    // frequent neighbor label, then smallest) — the cheap community
+    // pass between q37's exact components (structure only) and
+    // modularity methods (which need floats). Oracle unrolls both
+    // rounds; output = top-20 communities by size.
+    Q("q219_label_propagation",
+      (s, d) => graft.operators.Graph.labelPropagationCommunities(
+        graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem"), col("l_orderkey"), col("l_partkey")),
+        rounds = 2, k = 20),
+      Some("""WITH g AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |pr AS MATERIALIZED (SELECT a.p u, b.p v FROM g a
+        |  JOIN g b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+        |c1 AS (SELECT e.u node, e.v lbl, count(*) n FROM e GROUP BY 1, 2),
+        |r1 AS MATERIALIZED (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number()
+        |      OVER (PARTITION BY node ORDER BY n DESC, lbl) rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.u node, r1.lbl, count(*) n
+        |  FROM e JOIN r1 ON r1.node = e.v GROUP BY 1, 2),
+        |r2 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number()
+        |      OVER (PARTITION BY node ORDER BY n DESC, lbl) rn
+        |  FROM c2) WHERE rn = 1)
+        |SELECT CAST(lbl AS BIGINT) AS community,
+        |  CAST(count(*) AS BIGINT) AS sz
+        |FROM r2 GROUP BY 1 ORDER BY sz DESC, community LIMIT 20""".stripMargin),
+      "deterministic 2-round label propagation — co-purchase communities by size"),
+
+    // q221 — K-CORE peeling trajectory at the data-relative threshold
+    // k = exact p10 degree (a fixed k peels everything at one SF and
+    // nothing at another; the order statistic adapts). Three rounds of
+    // degree-filter + endpoint semi-joins, per-round cached; the
+    // (nodes, edges) decay curve is the "is there a dense core"
+    // diagnostic. Oracle materializes each round's edge set once.
+    Q("q221_kcore_peel",
+      (s, d) => graft.operators.Graph.kCorePeel(
+        graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem"), col("l_orderkey"), col("l_partkey")),
+        rounds = 3),
+      Some("""WITH g AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |pr AS MATERIALIZED (SELECT a.p u, b.p v FROM g a
+        |  JOIN g b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (
+        |  SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+        |d0 AS MATERIALIZED (SELECT u, count(*) dg FROM e0 GROUP BY 1),
+        |kk AS MATERIALIZED (SELECT dg AS k FROM
+        |  (SELECT dg, row_number() OVER (ORDER BY dg, u) rn FROM d0),
+        |  (SELECT count(*) cnt FROM d0) WHERE rn = (cnt + 9) // 10),
+        |v1 AS MATERIALIZED (SELECT u FROM d0, kk WHERE dg >= k),
+        |e1 AS MATERIALIZED (SELECT e0.u, e0.v FROM e0
+        |  JOIN v1 a ON e0.u = a.u JOIN v1 b ON e0.v = b.u),
+        |d1 AS MATERIALIZED (SELECT u, count(*) dg FROM e1 GROUP BY 1),
+        |v2 AS MATERIALIZED (SELECT u FROM d1, kk WHERE dg >= k),
+        |e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
+        |  JOIN v2 a ON e1.u = a.u JOIN v2 b ON e1.v = b.u),
+        |d2 AS MATERIALIZED (SELECT u, count(*) dg FROM e2 GROUP BY 1),
+        |v3 AS MATERIALIZED (SELECT u FROM d2, kk WHERE dg >= k),
+        |e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2
+        |  JOIN v3 a ON e2.u = a.u JOIN v3 b ON e2.v = b.u)
+        |SELECT CAST(rnd AS BIGINT) AS rnd, CAST(k AS BIGINT) AS k,
+        |  CAST(nodes AS BIGINT) AS nodes, CAST(edges AS BIGINT) AS edges
+        |FROM (
+        |  SELECT 1 rnd, (SELECT k FROM kk) k,
+        |    (SELECT count(*) FROM v1) nodes,
+        |    (SELECT count(*) // 2 FROM e1) edges
+        |  UNION ALL SELECT 2, (SELECT k FROM kk),
+        |    (SELECT count(*) FROM v2), (SELECT count(*) // 2 FROM e2)
+        |  UNION ALL SELECT 3, (SELECT k FROM kk),
+        |    (SELECT count(*) FROM v3), (SELECT count(*) // 2 FROM e3))
+        |ORDER BY rnd""".stripMargin),
+      "k-core peel trajectory at the exact p10-degree threshold — dense-core diagnostic"),
+
+    // q226 — NEAREST-direction as-of join (pandas merge_asof
+    // direction='nearest'): each click matched to the user's closest
+    // purchase BEFORE OR AFTER, ties to the backward match — the
+    // attribution variant q43/q98's backward-only semantics can't
+    // express. Same union+one-shuffle window shape; both running
+    // frames share the (key, time, side) sort. Gap arithmetic in exact
+    // long micros.
+    Q("q226_asof_nearest",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+        graft.operators.AsOfJoin.asofNearest(
+            clicks, purchases,
+            leftKey = col("user_id"), rightKey = col("user_id"),
+            leftTime = col("t_us"), rightTime = unix_micros(col("ts")),
+            rightId = col("event_id"))
+          .select("event_id", "user_id", "near_id", "direction", "gap_us")
+          .orderBy("event_id").limit(100)
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id k, epoch_us(ts) t, 1 side, event_id eid,
+        |    NULL::BIGINT pid
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY t, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) bt,
+        |  last_value(CASE WHEN side = 0 THEN pid END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY t, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) bid,
+        |  first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY t, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) ft,
+        |  first_value(CASE WHEN side = 0 THEN pid END IGNORE NULLS)
+        |    OVER (PARTITION BY k ORDER BY t, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) fid
+        |  FROM u)
+        |SELECT eid AS event_id, k AS user_id,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL THEN bid WHEN bt IS NULL THEN fid
+        |       WHEN t - bt <= ft - t THEN bid ELSE fid END AS near_id,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL THEN 'b' WHEN bt IS NULL THEN 'f'
+        |       WHEN t - bt <= ft - t THEN 'b' ELSE 'f' END AS direction,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL THEN t - bt WHEN bt IS NULL THEN ft - t
+        |       ELSE least(t - bt, ft - t) END AS gap_us
+        |FROM w WHERE side = 1 ORDER BY event_id LIMIT 100""".stripMargin),
+      "nearest-direction as-of join — one-shuffle dual running frames, exact micro gaps"))
 }

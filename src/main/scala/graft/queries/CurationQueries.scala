@@ -935,6 +935,33 @@ object CurationQueries {
         |  CAST((10000 * (p.n_docs - u.n_unique)) // p.n_docs AS BIGINT)
         |    AS dup_bp
         |FROM p JOIN u USING (source) ORDER BY source""".stripMargin),
-      "exact duplicate rate per source from one hashed distinct pass — near-dup triage")
+      "exact duplicate rate per source from one hashed distinct pass — near-dup triage"),
+
+    // q223 — K-ANONYMITY / L-DIVERSITY audit: equivalence classes over
+    // the (nation, market-segment) quasi-identifiers, the 20 riskiest
+    // (smallest) classes with their distinct-sensitive-value count
+    // (account-balance band, exact shifted cents div 100000 — the
+    // +100000 shift keeps the operand non-negative so truncating div
+    // and flooring // agree on negative balances). The privacy gate
+    // next to the PII redaction pass: a class of size < k
+    // re-identifies, a class with l_div = 1 leaks its sensitive value
+    // at ANY size. One hash agg + TakeOrderedAndProject.
+    Q("q223_k_anonymity",
+      (s, d) => graft.operators.Curation.kAnonymityRisk(
+        Tables(s, d, "customer"),
+        quasi = Seq(col("c_nationkey").cast("long") -> "nat",
+          col("c_mktsegment") -> "seg"),
+        sensitive = expr(
+          "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"),
+        top = 20),
+      Some("""WITH q AS (SELECT CAST(c_nationkey AS BIGINT) nat,
+        |    c_mktsegment seg,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS sens
+        |  FROM customer)
+        |SELECT nat, seg, CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+        |FROM q GROUP BY 1, 2
+        |ORDER BY class_size, nat, seg LIMIT 20""".stripMargin),
+      "k-anonymity/l-diversity risk list — smallest quasi-identifier classes")
   )
 }

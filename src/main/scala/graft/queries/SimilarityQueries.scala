@@ -924,6 +924,86 @@ object SimilarityQueries {
         |SELECT CAST(j.dim AS INTEGER) AS dim, j.mean_a, j.mean_b,
         |  CAST(abs(j.ua - j.ub) AS BIGINT) AS shift_u, c.cos2_bp
         |FROM j, c ORDER BY dim""".stripMargin),
-      "per-dim centroid drift between id-parity halves + sqrt-free mean-vector cosine")
+      "per-dim centroid drift between id-parity halves + sqrt-free mean-vector cosine"),
+
+    // q220 — NDCG@10 with LABEL-GRADED relevance: the graded-gain
+    // retrieval eval next to q142's binary recall/MRR. Gain 2 = exact
+    // label match, 1 = adjacent label, 0 otherwise; linear-weight DCG
+    // scaled by 27720 = lcm(2..11) so every per-rank discount is an
+    // exact integer (log2 can't cross engines; this can). Queries =
+    // vec_id < 4 broadcast; corpus = the vec_id%3 slice scanned once
+    // through the codegen'd cosine; top-10 via the TopKPerKey node.
+    Q("q220_ndcg_graded",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.ndcgLabelGraded(
+          e.filter(col("vec_id") % 3 === 0 && col("vec_id") >= 4),
+          col("vec_id"), col("embedding"), col("label"),
+          e.filter(col("vec_id") < 4),
+          col("vec_id"), col("embedding"), col("label"), k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv,
+        |    CAST(label AS BIGINT) ql FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] v,
+        |    CAST(label AS BIGINT) lbl FROM embeddings
+        |  WHERE vec_id % 3 = 0 AND vec_id >= 4),
+        |s AS (SELECT q.qid, q.ql, c.vec_id, c.lbl,
+        |    round(list_cosine_similarity(q.qv, c.v), 4) cs FROM q, c),
+        |rk AS (SELECT qid, ql, vec_id, lbl, row_number()
+        |    OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) rnk
+        |  FROM s QUALIFY rnk <= 10),
+        |gr AS (SELECT qid, rnk, CASE WHEN lbl = ql THEN 2
+        |    WHEN abs(lbl - ql) = 1 THEN 1 ELSE 0 END g FROM rk),
+        |dcg AS (SELECT qid, CAST(sum(g * (27720 // (rnk + 1))) AS BIGINT)
+        |    dcg FROM gr GROUP BY 1),
+        |ig AS (SELECT qid, g, row_number()
+        |    OVER (PARTITION BY qid ORDER BY g DESC, rnk) irnk FROM gr),
+        |idcg AS (SELECT qid, CAST(sum(g * (27720 // (irnk + 1))) AS BIGINT)
+        |    idcg FROM ig GROUP BY 1)
+        |SELECT d.qid, d.dcg, i.idcg,
+        |  CAST(CASE WHEN i.idcg = 0 THEN 0
+        |    ELSE 10000 * d.dcg // i.idcg END AS BIGINT) AS ndcg_bp
+        |FROM dcg d JOIN idcg i USING (qid) ORDER BY d.qid""".stripMargin),
+      "NDCG@10 with label-graded gains — exact-integer linear-discount DCG"),
+
+    // q224 — MATRYOSHKA truncation audit: recall@10 of the cosine
+    // ranking under 16- and 32-dim PREFIX truncations vs the full-dim
+    // ranking — the eval that decides how far an MRL embedding can be
+    // cut for the cheap first-stage scan. Queries broadcast, one corpus
+    // scan per ranking with the truncation inside the codegen'd cosine
+    // (slice), rankings collapse via TopKPerKey before the overlap
+    // joins.
+    Q("q224_matryoshka_recall",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.matryoshkaRecall(
+          e.filter(col("vec_id") >= 4), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 4), col("vec_id"), col("embedding"),
+          dimsList = Seq(16, 32), k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv
+        |  FROM embeddings WHERE vec_id < 4),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] v
+        |  FROM embeddings WHERE vec_id >= 4),
+        |fulltop AS (SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid
+        |    ORDER BY round(list_cosine_similarity(qv, v), 4) DESC, vec_id)
+        |    rn FROM q, c QUALIFY rn <= 10),
+        |t16 AS (SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY
+        |      round(list_cosine_similarity(qv[1:16], v[1:16]), 4) DESC,
+        |      vec_id) rn FROM q, c QUALIFY rn <= 10),
+        |t32 AS (SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY
+        |      round(list_cosine_similarity(qv[1:32], v[1:32]), 4) DESC,
+        |      vec_id) rn FROM q, c QUALIFY rn <= 10)
+        |SELECT qid, dims, CAST((10000 * n) // 10 AS BIGINT) AS recall_bp
+        |FROM (
+        |  SELECT f.qid, CAST(16 AS BIGINT) dims, count(*) n
+        |  FROM fulltop f JOIN t16 s USING (qid, vec_id) GROUP BY 1
+        |  UNION ALL SELECT f.qid, 32, count(*)
+        |  FROM fulltop f JOIN t32 s USING (qid, vec_id) GROUP BY 1)
+        |ORDER BY qid, dims""".stripMargin),
+      "Matryoshka truncation recall@10 at 16/32 dims vs the full ranking")
   )
 }

@@ -888,6 +888,150 @@ object TextQueries {
         |UNION ALL SELECT 2, pair, n FROM w2
         |UNION ALL SELECT 3, pair, n FROM w3
         |ORDER BY merge_round""".stripMargin),
-      "BPE merge learning, 3 rounds over the frequency-weighted vocab — tokenizer training's core loop")
+      "BPE merge learning, 3 rounds over the frequency-weighted vocab — tokenizer training's core loop"),
+
+    // q216 — POSITIONAL PHRASE SEARCH: documents ranked by exact-phrase
+    // frequency of "table hash" — the query a positional index answers
+    // and every bag-of-words scorer (q100/q195/q212) cannot. A phrase
+    // hit is an equi-join of the two terms' positional postings on
+    // (doc_id, position−offset); only the phrase terms' postings ever
+    // shuffle (isin filter on the exploded stream), so a query touches
+    // |phrase| posting lists at any corpus size.
+    Q("q216_phrase_search",
+      (s, d) => graft.operators.Retrieval.phraseTopK(
+        Tables(s, d, "documents"), col("doc_id"), col("text"),
+        phrase = Seq("table", "hash"), k = 20),
+      Some("""WITH w AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id, len(list_filter(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] = 'table' AND ws[i+1] = 'hash')) AS phrase_tf
+        |  FROM w)
+        |SELECT doc_id, CAST(phrase_tf AS BIGINT) AS phrase_tf
+        |FROM h WHERE phrase_tf > 0
+        |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin),
+      "positional phrase search — postings intersection on (doc, position)"),
+
+    // q222 — TOKENIZER FERTILITY after the 3 learned BPE merges: q213
+    // learns the merge table; this applies it back to the
+    // frequency-weighted vocab (a fold of literal replaces carrying the
+    // rounds-row driver artifact — "train once, ship the merge table")
+    // and reports tokens-per-word in exact bp plus the symbol
+    // inventory. The oracle replays learning AND application.
+    Q("q222_bpe_fertility",
+      (s, d) => {
+        import graft.functions.TextFunctions.words
+        val vocab = Tables(s, d, "documents")
+          .select(explode(words(col("text"))).as("wd"))
+          .filter(col("wd").rlike("^[a-z]{1,24}$"))
+          .groupBy("wd").agg(count(lit(1)).as("f"))
+        graft.operators.Bpe.fertilityAfterMerges(vocab, rounds = 3)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split_regex(
+        |      lower(trim(text)), '\s+')) AS wd FROM documents),
+        |v AS (SELECT wd, count(*) AS f FROM w
+        |  WHERE regexp_matches(wd, '^[a-z]{1,24}$') GROUP BY 1),
+        |s0 AS (SELECT f,
+        |    '  ' || regexp_replace(wd, '(.)', '\1  ', 'g') AS seq FROM v),
+        |p1 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+        |    SELECT f, unnest(list_transform(generate_series(1, len(sy)-1),
+        |        i -> sy[i] || ' ' || sy[i+1])) AS pair
+        |    FROM (SELECT f, string_split_regex(trim(seq), ' +') AS sy
+        |          FROM s0)) GROUP BY 1),
+        |w1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+        |s1 AS (SELECT f, replace(seq,
+        |    ' ' || replace(pair, ' ', '  ') || ' ',
+        |    ' ' || replace(pair, ' ', '') || ' ') AS seq FROM s0, w1),
+        |p2 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+        |    SELECT f, unnest(list_transform(generate_series(1, len(sy)-1),
+        |        i -> sy[i] || ' ' || sy[i+1])) AS pair
+        |    FROM (SELECT f, string_split_regex(trim(seq), ' +') AS sy
+        |          FROM s1)) GROUP BY 1),
+        |w2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1),
+        |s2 AS (SELECT f, replace(seq,
+        |    ' ' || replace(pair, ' ', '  ') || ' ',
+        |    ' ' || replace(pair, ' ', '') || ' ') AS seq FROM s1, w2),
+        |p3 AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+        |    SELECT f, unnest(list_transform(generate_series(1, len(sy)-1),
+        |        i -> sy[i] || ' ' || sy[i+1])) AS pair
+        |    FROM (SELECT f, string_split_regex(trim(seq), ' +') AS sy
+        |          FROM s2)) GROUP BY 1),
+        |w3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair LIMIT 1),
+        |s3 AS (SELECT f, replace(seq,
+        |    ' ' || replace(pair, ' ', '  ') || ' ',
+        |    ' ' || replace(pair, ' ', '') || ' ') AS seq FROM s2, w3),
+        |tok AS (SELECT f, string_split_regex(trim(seq), ' +') AS sy
+        |  FROM s3),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_words,
+        |    CAST(sum(f * len(sy)) AS BIGINT) AS total_tokens FROM tok),
+        |sym AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_symbols
+        |  FROM (SELECT unnest(sy) AS s FROM tok))
+        |SELECT total_words, total_tokens,
+        |  (10000 * total_tokens) // total_words AS fertility_bp,
+        |  n_symbols
+        |FROM tot, sym""".stripMargin),
+      "tokenizer fertility after 3 learned BPE merges — train on the vocab, ship the merge table"),
+
+    // q225 — LANG-ID CONFUSION MATRIX: q32's n-gram-marker classifier
+    // evaluated against the labeled `lang` column — per (true, guessed)
+    // cell the count plus exact recall (vs the true-class margin) and
+    // precision (vs the predicted-class margin) in bp. The
+    // classifier-eval square of the analytics pack's calibration
+    // tables; one (lang, guess) agg, margins broadcast back.
+    Q("q225_langid_confusion",
+      (s, d) => {
+        val w = words(col("text"))
+        val scores = langMarkers.map { case (lang, ms) =>
+          lang -> size(filter(w, x => x.isin(ms: _*)))
+        }
+        val Seq(en, de, fr, es) = scores.map(_._2)
+        val guess = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+          .when(de > 0 && de >= fr && de >= es, "de")
+          .when(fr > 0 && fr >= es, "fr")
+          .when(es > 0, "es")
+          .otherwise("und")
+        val cells = Tables(s, d, "documents")
+          .select(col("lang"), guess.as("lang_guess"))
+          .groupBy("lang", "lang_guess")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val truth = cells.groupBy("lang").agg(sum("n").as("t_tot"))
+        val pred = cells.groupBy("lang_guess").agg(sum("n").as("p_tot"))
+        cells.join(broadcast(truth), "lang")
+          .join(broadcast(pred), "lang_guess")
+          .select(col("lang"), col("lang_guess"), col("n"),
+            expr("(10000 * n) div t_tot").as("recall_bp"),
+            expr("(10000 * n) div p_tot").as("precision_bp"))
+          .orderBy("lang", "lang_guess")
+      },
+      Some({
+        val scoreCols = langMarkers.map { case (l, ms) =>
+          s"CAST(len(list_filter(ws, x -> x IN (${inList(ms)}))) AS INTEGER) AS s_$l"
+        }.mkString(",\n    ")
+        s"""WITH r AS (
+          |  SELECT lang,
+          |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          |  FROM documents),
+          |x AS (SELECT lang, $scoreCols FROM r),
+          |y AS (SELECT lang,
+          |    CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |         WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |         WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+          |         WHEN s_es > 0 THEN 'es'
+          |         ELSE 'und' END AS lang_guess
+          |  FROM x),
+          |cells AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+          |  FROM y GROUP BY 1, 2),
+          |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t_tot
+          |  FROM cells GROUP BY 1),
+          |p AS (SELECT lang_guess, CAST(sum(n) AS BIGINT) AS p_tot
+          |  FROM cells GROUP BY 1)
+          |SELECT cells.lang, cells.lang_guess, cells.n,
+          |  CAST((10000 * n) // t_tot AS BIGINT) AS recall_bp,
+          |  CAST((10000 * n) // p_tot AS BIGINT) AS precision_bp
+          |FROM cells JOIN t USING (lang) JOIN p USING (lang_guess)
+          |ORDER BY lang, lang_guess""".stripMargin
+      }),
+      "lang-id confusion matrix vs labels — exact recall/precision per cell")
   )
 }

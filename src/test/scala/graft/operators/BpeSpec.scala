@@ -52,4 +52,16 @@ class BpeSpec extends SparkSpec {
     val got = merges(vocab("a" -> 100L, "bc" -> 1L), 1)
     assert(got === Seq((1, "b c", 1L)))
   }
+
+  test("fertilityAfterMerges: merged run halves its token count, weighted totals exact") {
+    // vocab: aaaa (f=2), ab (f=1). Round 1 winner is (a,a) with
+    // weighted count 6; applying it greedily: aaaa -> [aa, aa] (2
+    // tokens), ab stays [a, b]. total_words = 3,
+    // total_tokens = 2·2 + 1·2 = 6 -> fertility 20000 bp; symbol
+    // inventory after merging = {aa, a, b}.
+    val got = Bpe.fertilityAfterMerges(
+      vocab("aaaa" -> 2L, "ab" -> 1L), rounds = 1).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((3L, 6L, 20000L, 3L)))
+  }
 }

@@ -264,4 +264,21 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq((1L, "a", 5L, 5L), (2L, "b", 2L, 7L),
       (3L, "c", 2L, 9L)))
   }
+
+  test("kAnonymityRisk: smallest classes first, distinct sensitive counted per class") {
+    import spark.implicits._
+    val d = Seq(
+      ("NY", "gold", 100L), ("NY", "gold", 100L), ("NY", "gold", 200L),
+      ("LA", "gold", 300L),                       // size-1 class
+      ("NY", "base", 100L), ("NY", "base", 100L)) // l_div = 1 leak
+      .toDF("city", "tier", "salary")
+    val got = Curation.kAnonymityRisk(d,
+        quasi = Seq(col("city") -> "city", col("tier") -> "tier"),
+        sensitive = col("salary"), top = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("LA", "gold", 1L, 1L), ("NY", "base", 2L, 1L),
+      ("NY", "gold", 3L, 2L)))
+  }
 }

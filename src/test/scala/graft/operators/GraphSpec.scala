@@ -128,4 +128,52 @@ class GraphSpec extends SparkSpec {
       .collect().head
     assert((got.getLong(2), got.getLong(3), got.getLong(4)) === ((4L, 0L, 0L)))
   }
+
+  test("labelPropagationCommunities: two disjoint triangles collapse to their min ids") {
+    // Round 1 (all labels distinct) is min-neighbor propagation:
+    // 1→2, 2→1, 3→1. Round 2: node 1 sees {1,1} → 1; nodes 2,3 see
+    // {2,1} → tie broken to 1. Both triangles land on their min id.
+    val got = Graph.labelPropagationCommunities(
+      edgesOf((1L, 2L), (1L, 3L), (2L, 3L),
+        (4L, 5L), (4L, 6L), (5L, 6L)), rounds = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (4L, 3L)))
+  }
+
+  test("labelPropagationCommunities: a leaf keeps chasing its hub's stale label") {
+    // Star 1-{2,3,4} plus edge 2-3. Round 1 (min-neighbor): 1→2,
+    // 2→1, 3→1, 4→1. Round 2: node 1 sees {1,1,1} → 1; nodes 2,3
+    // see {2,1} → tie → 1; but leaf 4's ONLY neighbor is hub 1,
+    // whose round-1 label is 2 — synchronous update hands it 2.
+    val got = Graph.labelPropagationCommunities(
+      edgesOf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)), rounds = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("kCorePeel: fixed k=3 keeps the 4-clique, drops the pendant, then stabilizes") {
+    // 4-clique {1,2,3,4} + pendant 5-1: degrees 4,3,3,3,1.
+    // Round 1 at k=3 drops node 5 → 4 nodes, 6 clique edges; rounds
+    // 2-3 are stable (all degrees 3 ≥ k).
+    val got = Graph.kCorePeel(
+      edgesOf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (1L, 5L)), rounds = 3, kFixed = Some(3L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((1L, 3L, 4L, 6L), (2L, 3L, 4L, 6L),
+      (3L, 3L, 4L, 6L)))
+  }
+
+  test("kCorePeel: cascade — peeling a chain empties it") {
+    // Path 1-2-3-4: degrees 1,2,2,1. k=2 drops the endpoints round 1
+    // (interior keeps the 2-3 edge), halves again round 2, empty by
+    // round 3.
+    val got = Graph.kCorePeel(
+      edgesOf((1L, 2L), (2L, 3L), (3L, 4L)), rounds = 3,
+      kFixed = Some(2L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
 }

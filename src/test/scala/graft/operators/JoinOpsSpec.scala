@@ -48,6 +48,35 @@ class JoinOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("__p"))
   }
 
+  test("asofNearest: direction pick, backward tie, equal-time zero gap, no-match null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 1L, 100L), // back 90 (gap 10) vs fwd 105 (gap 5) -> f
+      (2L, 2L, 100L), // back 95 vs fwd 105: equal gaps -> b
+      (3L, 3L, 100L), // right row AT 100 -> backward, gap 0
+      (4L, 4L, 100L), // only a backward row
+      (5L, 9L, 100L)  // key with no right rows -> nulls
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 90L, 11L), (1L, 105L, 12L),
+      (2L, 95L, 21L), (2L, 105L, 22L),
+      (3L, 100L, 31L), (3L, 101L, 32L),
+      (4L, 40L, 41L)
+    ).toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asofNearest(left, right,
+        leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"),
+        rightId = col("rid"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.getString(4)), Option(r.get(5)))))
+      .toMap
+    assert(out(1L) === ((Some(12L), Some("f"), Some(5L))))
+    assert(out(2L) === ((Some(21L), Some("b"), Some(5L))))
+    assert(out(3L) === ((Some(31L), Some("b"), Some(0L))))
+    assert(out(4L) === ((Some(41L), Some("b"), Some(60L))))
+    assert(out(5L) === ((None, None, None)))
+  }
+
   test("range join: window start inclusive, end exclusive, bucket boundary crossed") {
     import spark.implicits._
     val w = 3600L * 1000000L // 1 hour

@@ -114,4 +114,29 @@ class RetrievalSpec extends SparkSpec {
     assert(new java.io.File(idx).listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("bucket=")))
   }
+
+  test("phraseTopK: adjacency only, counted per occurrence, order-sensitive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b"),   // "a b" twice
+      (2L, "b a"),         // reversed — no hit
+      (3L, "a x b"),       // gap — no hit
+      (4L, "a b"))         // once
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseTopK(d, col("doc_id"), col("text"),
+      Seq("a", "b"), k = 10).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (4L, 1L)))
+  }
+
+  test("phraseTopK: three-term phrase needs all offsets to line up") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z x y z"), // twice
+      (2L, "x y x z"),     // "x y" but no z after -> no hit
+      (3L, "y z x"))       // wrong order -> no hit
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseTopK(d, col("doc_id"), col("text"),
+      Seq("x", "y", "z"), k = 10).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L)))
+  }
 }

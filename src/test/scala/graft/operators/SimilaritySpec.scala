@@ -277,4 +277,62 @@ class SimilaritySpec extends SparkSpec {
       (1L, 2L, 5L, 1.0, 0.6, 4000L), (2L, 1L, 5L, 1.0, 0.6, 4000L),
       (3L, 4L, 5L, 1.0, 0.8, 2000L), (4L, 3L, 5L, 1.0, 0.8, 2000L)))
   }
+
+  test("ndcgLabelGraded: hand-computed graded DCG with exact integer discounts") {
+    import spark.implicits._
+    // query (1,0) label 5; cosine ranks: c3 (identical dir, label 9,
+    // gain 0) > c1 (label 5, gain 2) > c2 (label 6, gain 1).
+    // dcg  = 0·(27720/2) + 2·(27720/3) + 1·(27720/4)
+    //      = 2·9240 + 6930 = 25410
+    // idcg = 2·13860 + 1·9240 + 0 = 36960
+    // ndcg_bp = 10⁴·25410 div 36960 = 6875 exactly
+    val corpus = Seq(
+      (1L, Array(0.8, 0.6), 5),
+      (2L, Array(0.6, 0.8), 6),
+      (3L, Array(1.0, 0.0), 9))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Array(1.0, 0.0), 5))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ndcgLabelGraded(corpus,
+        col("vec_id"), col("embedding"), col("label"),
+        queries, col("vec_id"), col("embedding"), col("label"), k = 3)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((100L, 25410L, 36960L, 6875L)))
+  }
+
+  test("ndcgLabelGraded: all-zero gains yield idcg 0 and ndcg 0, not a crash") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0, 0.0), 50))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((2L, Array(1.0, 0.0), 5))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ndcgLabelGraded(corpus,
+        col("vec_id"), col("embedding"), col("label"),
+        queries, col("vec_id"), col("embedding"), col("label"), k = 3)
+      .collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((0L, 0L, 0L)))
+  }
+
+  test("matryoshkaRecall: truncation flips the ranking, overlap counted exactly") {
+    import spark.implicits._
+    // q = (1,0,0,0). Full cosines: c1 0.6, c2 0.8, c3 ≈ 0.287
+    // → full top-2 {2, 1}. First-2-dim cosines: c1 0.6, c2 0.8,
+    // c3 1.0 → truncated top-2 {3, 2}. Overlap {2} → recall@2 = 5000.
+    val corpus = Seq(
+      (1L, Array(0.6, 0.8, 0.0, 0.0)),
+      (2L, Array(0.8, 0.6, 0.0, 0.0)),
+      (3L, Array(0.9, 0.0, 0.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((50L, Array(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(corpus,
+        col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        dimsList = Seq(2), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq((50L, 2L, 5000L)))
+  }
 }

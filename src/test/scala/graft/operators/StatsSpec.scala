@@ -129,4 +129,31 @@ class StatsSpec extends SparkSpec {
     val got = ks((5L, 1, 0), (5L, 0, 1))
     assert(got === ((1L, 1L, 0L, 0L)))
   }
+
+  test("chiSquareBp: hand-computed 2x2 association") {
+    import spark.implicits._
+    // cells: (a1,b1)=10 (a1,b2)=20 (a2,b1)=20 (a2,b2)=10
+    // N=60, all margins 30, E=15 per cell; o·N − r·c = ±300 everywhere
+    // cell_bp = 10⁴·300² div (60·30·30) = 90·10⁷ div 54000 = 16666
+    // chi2_bp = 4·16666 = 66664 (textbook 4·25/15 = 6.6667 → 66667;
+    // the gap is the per-cell truncation); dof = 4−2−2+1 = 1
+    val rows =
+      Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+        Seq.fill(20)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2"))
+    val got = Stats.chiSquareBp(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2))
+      === ((66664L, 1L, 60L)))
+  }
+
+  test("chiSquareBp: perfect independence is exactly zero") {
+    import spark.implicits._
+    // o = r·c/N for every cell → every numerator is exactly 0
+    val rows =
+      Seq.fill(6)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+        Seq.fill(3)(("y", "p")) ++ Seq.fill(1)(("y", "q"))
+    val got = Stats.chiSquareBp(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    assert(got.getLong(0) === 0L)
+  }
 }

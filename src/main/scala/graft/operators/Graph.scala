@@ -365,10 +365,17 @@ object Graph {
     val roundStats = (1 to rounds).map { rnd =>
       val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
       val keep = deg.filter(col("dg") >= k).select("u").cache()
+      // localCheckpoint, not persist: each round's edge set nests the
+      // previous round's cached plan, and the CacheManager stops
+      // matching those nested-InMemoryRelation subtrees at depth >= 2
+      // under AQE — round 3 silently re-executed the WHOLE lineage
+      // including the edge build (profiled 19 s of a 41 s query).
+      // Truncating the lineage to the materialized blocks (the
+      // Bpe.learnMerges pattern) makes every round start from bytes.
       e = e
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       // "nodes" is the round's degree-filter survivor count (a kept
       // node whose neighbors all fell may hold zero surviving edges)
       keep.agg(count(lit(1)).as("nodes"))

@@ -22,21 +22,24 @@ object Itemsets {
     *  1. L1: per-item basket counts; items below support leave the
     *     basket stream via a broadcast semi-join — every later stage
     *     fans out only over L1 survivors.
-    *  2. L2: pair enumeration is a self-join keyed on the BASKET id
-    *     (fan-out bounded by basket width, the q129/Graph contract);
-    *     the surviving pair set is again broadcast-sized.
-    *  3. L3 candidates: a pair row (x, y) in a basket extends by a
-    *     third item z — and the Apriori closure prunes (x,y) against
-    *     L2 BEFORE the extension join, and (x,z)/(y,z) against L2
-    *     before the count, so the count agg sees only candidates whose
-    *     every 2-subset is frequent.
+    *  2. Each surviving basket collapses to ONE row holding its sorted
+    *     frequent-item array (one basket-keyed shuffle, the only one);
+    *     pair and triple enumeration are nested posexplode/slice
+    *     expressions over that array — pure codegen fan-out, no
+    *     basket-keyed self-joins (the self-join form sort-merged the
+    *     ~10⁷-row enumeration twice; this form never shuffles it).
+    *  3. L2 and the Apriori closure: the surviving pair set is
+    *     broadcast-sized, and candidate triples pass three broadcast
+    *     semi-joins — (x,y), (x,z), (y,z) all frequent — as per-row
+    *     hash probes BEFORE the count agg.
     *
-    * Scale shape: baskets shuffle once on the basket key and stay
-    * co-partitioned through both enumeration self-joins; every Lₖ
-    * table rides as a broadcast; the support thresholds are exact
-    * integer cross-multiplications (sup·supDen ≥ n·supNum — no
-    * division anywhere). Pathologically wide baskets would be capped
-    * upstream, the same loud contract as every dedup maxDf.
+    * Scale shape: one shuffle to build basket arrays, one map-side-
+    * combined agg per Lₖ; every Lₖ table rides as a broadcast; the
+    * support thresholds are exact integer cross-multiplications
+    * (sup·supDen ≥ n·supNum — no division anywhere). Per-basket
+    * fan-out is C(|L1 items in basket|, 3) — pathologically wide
+    * baskets would be capped upstream, the same loud contract as
+    * every dedup maxDf.
     */
   def frequentTriples(df: DataFrame, basket: Column, item: Column,
                       supNum: Int, supDen: Int, k: Int): DataFrame = {
@@ -50,22 +53,34 @@ object Itemsets {
     val l1 = frequent(
       b.groupBy("it").agg(count(lit(1)).as("sup")), col("sup"))
       .select("it")
-    val bf = b.join(broadcast(l1), "it").select("bk", "it").cache()
-    val pairs = bf.as("pa").join(bf.as("pb"), "bk")
-      .filter(col("pa.it") < col("pb.it"))
-      .select(col("bk"), col("pa.it").as("x"), col("pb.it").as("y"))
+    val arr = b.join(broadcast(l1), "it")
+      .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("items"))
+      .cache()
+    // x at 0-based i; candidates after it start at 1-based i+2
+    val pairs = arr
+      .select(posexplode(col("items")).as(Seq("i", "x")), col("items"))
+      .select(col("x"),
+        explode(slice(col("items"), col("i") + lit(2),
+          size(col("items")))).as("y"))
     val l2 = frequent(
       pairs.groupBy("x", "y").agg(count(lit(1)).as("sup")), col("sup"))
       .select("x", "y").cache()
-    val cand = pairs
+    // y at 0-based i+1+j in items; z candidates start at 1-based i+j+3
+    val tri = arr
+      .select(posexplode(col("items")).as(Seq("i", "x")), col("items"))
+      .select(col("x"), col("i"), col("items"),
+        posexplode(slice(col("items"), col("i") + lit(2),
+          size(col("items")))).as(Seq("j", "y")))
+      .select(col("x"), col("y"),
+        explode(slice(col("items"), col("i") + col("j") + lit(3),
+          size(col("items")))).as("z"))
+    tri
       .join(broadcast(l2), Seq("x", "y"), "left_semi")
-      .join(bf.withColumnRenamed("it", "z"), "bk")
-      .filter(col("y") < col("z"))
       .join(broadcast(l2.select(col("x"), col("y").as("z"))),
         Seq("x", "z"), "left_semi")
       .join(broadcast(l2.select(col("x").as("y"), col("y").as("z"))),
         Seq("y", "z"), "left_semi")
-    cand.groupBy(col("x").as("item1"), col("y").as("item2"),
+      .groupBy(col("x").as("item1"), col("y").as("item2"),
         col("z").as("item3"))
       .agg(count(lit(1)).cast("long").as("sup"))
       .orderBy(col("sup").desc, col("item1"), col("item2"), col("item3"))

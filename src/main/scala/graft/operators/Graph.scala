@@ -76,7 +76,7 @@ object Graph {
             .otherwise(lit(0L)) +
           expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
         .drop("inc")
-        .cache()
+        .localCheckpoint(true)
     }
     score.filter(col("s") > 0 && col("node") =!= col("seed"))
       .select(col("node"), col("s").as("ppr"))
@@ -287,7 +287,7 @@ object Graph {
       score = score.select("node", "du", "tele").join(inbound, "node")
         .withColumn("s", expr("tele + (85 * inc) div 100"))
         .drop("inc")
-        .cache()
+        .localCheckpoint(true)
     }
     score.select(col("node"), col("s").as("pr"))
   }
@@ -324,7 +324,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("node", "lbl")
-        .cache()
+        .localCheckpoint(true)
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).cast("long").as("sz"))

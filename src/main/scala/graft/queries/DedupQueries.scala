@@ -929,6 +929,83 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
         |  CAST(jacc_bp AS BIGINT) AS jacc_bp
         |FROM j WHERE jacc_bp >= 2000 ORDER BY doc_a, doc_b""".stripMargin),
-      "sorted-neighborhood blocking + exact gram-Jaccard verify, window-free pairing")
+      "sorted-neighborhood blocking + exact gram-Jaccard verify, window-free pairing"),
+
+    // q227 — ENTITY-RESOLUTION pipeline with lineage accounting: the
+    // full ER staircase composed from the tested blocks — q187's
+    // sorted-neighborhood blocking + gram-Jaccard verify feeds q37's
+    // connected components, and the output is the stage-count summary a
+    // production merge job publishes (the q62/q140 lineage discipline):
+    // corpus size, verified match pairs, matched records, entity
+    // clusters, and survivors after keeping one canonical record per
+    // cluster. Every count is a 1-row agg crossJoined broadcast-style;
+    // the heavy lifting is the (already scale-shaped) blocking pass and
+    // the bounded-driver/Pregel CC.
+    Q("q227_er_pipeline",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val matches = Dedup.sortedNeighborhoodPairs(docs,
+          col("doc_id"), col("text"),
+          n = 3, keyLen = 24, blockLen = 2, win = 6, minBp = 2000L).cache()
+        val clusters = Dedup.dupClusters(matches)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val nPairs = matches.agg(count(lit(1)).as("n_match_pairs"))
+        val cl = clusters.agg(
+          countDistinct("cluster_id").as("n_clusters"),
+          count(lit(1)).as("n_matched_docs"))
+        nDocs.crossJoin(nPairs).crossJoin(cl)
+          .select(col("n_docs"), col("n_match_pairs"),
+            col("n_matched_docs"), col("n_clusters"),
+            (col("n_docs") - (col("n_matched_docs") - col("n_clusters")))
+              .as("n_survivors"))
+      },
+      Some("""WITH RECURSIVE b AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents
+        |  WHERE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    IS NOT NULL
+        |    AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      > 0),
+        |rk AS (SELECT doc_id, substring(t, 1, 2) AS blk,
+        |    row_number() OVER (PARTITION BY substring(t, 1, 2)
+        |      ORDER BY substring(t, 1, 24), doc_id) AS rn
+        |  FROM b),
+        |pr AS (SELECT blk, doc_id AS id_a,
+        |    unnest(generate_series(rn + 1, rn + 5)) AS rn2
+        |  FROM rk),
+        |pairs AS (SELECT least(pr.id_a, rk.doc_id) AS doc_a,
+        |    greatest(pr.id_a, rk.doc_id) AS doc_b
+        |  FROM pr JOIN rk ON rk.blk = pr.blk AND rk.rn = pr.rn2),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM b WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |gc AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |sh AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+        |  FROM pairs p JOIN g ga ON ga.doc_id = p.doc_a
+        |               JOIN g gb ON gb.doc_id = p.doc_b
+        |                 AND gb.gram = ga.gram
+        |  GROUP BY 1, 2),
+        |m AS (SELECT sh.doc_a, sh.doc_b
+        |  FROM sh JOIN gc ca ON ca.doc_id = sh.doc_a
+        |          JOIN gc cb ON cb.doc_id = sh.doc_b
+        |  WHERE (10000 * sh.shared) // (ca.ng + cb.ng - sh.shared) >= 2000),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM m
+        |  UNION SELECT doc_b, doc_a FROM m),
+        |cc AS (SELECT src AS id, src AS label FROM edges
+        |  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+        |lab AS (SELECT id, min(label) AS lbl FROM cc GROUP BY id),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_match_pairs FROM m),
+        |ncl AS (SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS n_clusters,
+        |    CAST(count(*) AS BIGINT) AS n_matched_docs FROM lab)
+        |SELECT nd.n_docs, np.n_match_pairs, ncl.n_matched_docs,
+        |  ncl.n_clusters,
+        |  nd.n_docs - (ncl.n_matched_docs - ncl.n_clusters) AS n_survivors
+        |FROM nd, np, ncl""".stripMargin),
+      "entity-resolution pipeline lineage: blocking -> verify -> components -> survivors")
   )
 }

@@ -887,7 +887,7 @@ object PipelineQueries {
         |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
         |FROM cnt JOIN tot ON cnt.g = tot.g
         |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
-      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204)
+      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230)
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only
@@ -954,4 +954,117 @@ object PipelineQueries {
       |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum
       |FROM r GROUP BY source ORDER BY source""".stripMargin),
     "streaming incremental table checksum: per-batch mergeable state == one-pass batch checksum")
+
+  // q228 — STREAMING EXACT PERCENTILES: the third member of the
+  // mergeable-state family (q204 checksums, q101 scalar aggs) — the
+  // maintained state is a per-group VALUE-COUNT DISTRIBUTION (priority,
+  // cents, n), merged across micro-batches by plain addition, and the
+  // finish step is an exact order statistic: p50/p90 = the smallest
+  // value whose running count clears ceil(q·n), evaluated as the
+  // integer cross-multiplication 2·cum ≥ n / 10·cum ≥ 9·n (no division,
+  // both engines agree). State is bounded by the distinct-value count
+  // per group — the documented escalation for unbounded domains is
+  // bucketing the value first (q112's integer buckets). However the
+  // feed splits into batches, the final state provably equals the
+  // one-pass batch distribution — the oracle IS the batch computation.
+  private lazy val q228 = Q("q228_streaming_percentiles",
+    (s, d) => {
+      val run = streamSinkRuns.incrementAndGet()
+      val ord = Tables(s, d, "orders").select(
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val feed = graft.util.TmpDirs.perProcess("graft_q228_feed")
+      ord.repartition(3).write.mode("overwrite").parquet(feed)
+      val stateBase = graft.util.TmpDirs.perProcess(s"graft_q228_state_$run")
+      @volatile var last = -1L
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val query = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val partial = batch.groupBy("pri", "cents")
+            .agg(count(lit(1)).cast("long").as("n"))
+          val merged =
+            if (last < 0) partial
+            else s.read.parquet(s"$stateBase/${last % 2}")
+              .unionByName(partial)
+              .groupBy("pri", "cents").agg(sum("n").as("n"))
+          merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
+          last = batchId
+          ()
+        }
+        .option("checkpointLocation",
+          graft.util.TmpDirs.perProcess(s"graft_q228_ckpt_$run"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val st = s.read.parquet(s"$stateBase/${last % 2}")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pri").orderBy("cents")
+      val tot = st.groupBy("pri").agg(sum("n").as("tn"))
+      st.withColumn("cum", sum("n").over(w))
+        .join(broadcast(tot), "pri")
+        .groupBy("pri")
+        .agg(max("tn").cast("long").as("n"),
+          min(when(col("cum") * 2 >= col("tn"), col("cents")))
+            .cast("long").as("p50_cents"),
+          min(when(col("cum") * 10 >= col("tn") * 9, col("cents")))
+            .cast("long").as("p90_cents"))
+        .orderBy("pri")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) cents FROM orders),
+      |c AS (SELECT pri, cents, count(*) n FROM o GROUP BY 1, 2),
+      |cu AS (SELECT pri, cents,
+      |    sum(n) OVER (PARTITION BY pri ORDER BY cents) cum FROM c),
+      |t AS (SELECT pri, CAST(count(*) AS BIGINT) tn FROM o GROUP BY 1)
+      |SELECT pri, tn AS n,
+      |  CAST(min(CASE WHEN 2 * cum >= tn THEN cents END) AS BIGINT)
+      |    AS p50_cents,
+      |  CAST(min(CASE WHEN 10 * cum >= 9 * tn THEN cents END) AS BIGINT)
+      |    AS p90_cents
+      |FROM cu JOIN t USING (pri) GROUP BY pri, tn
+      |ORDER BY pri""".stripMargin),
+    "streaming-maintained value-count state -> exact p50/p90 order statistics at read time")
+
+  // q230 — WRITE-AUDIT-PUBLISH manifest: the lake-commit discipline
+  // (Iceberg/Delta's WAP pattern) over plain partitioned parquet — the
+  // staging write is AUDITED by comparing the read-back bytes' per-
+  // partition manifest (row count + order-independent content checksum,
+  // q178's algebra) against the manifest of the intended data; only an
+  // all-green audit would publish. The query output IS the audited
+  // manifest with its per-partition verdict, so the oracle both
+  // replays the checksums and asserts the audit held (the q54
+  // proof-in-query pattern).
+  private lazy val q230 = Q("q230_wap_manifest",
+    (s, d) => {
+      import graft.operators.Integrity
+      val docs = Tables(s, d, "documents")
+      val cols = Seq(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val staging = graft.util.TmpDirs.perProcess("graft_q230_staging")
+      docs.write.mode("overwrite").partitionBy("source").parquet(staging)
+      val back = s.read.parquet(staging)
+      val manifest = Integrity.groupChecksum(back, col("source"), cols)
+        .select(col("grp").as("source"), col("n_rows"), col("checksum"))
+      val expected = Integrity.groupChecksum(docs, col("source"), cols)
+        .select(col("grp").as("source"), col("n_rows").as("e_rows"),
+          col("checksum").as("e_sum"))
+      manifest.join(expected, Seq("source"), "full_outer")
+        .select(col("source"), col("n_rows"), col("checksum"),
+          (col("n_rows") === col("e_rows") &&
+            col("checksum") === col("e_sum")).as("audit_ok"))
+        .orderBy("source")
+    },
+    Some("""WITH r AS (SELECT source,
+      |    CAST(('0x' || substring(md5('0#' ||
+      |      concat_ws(chr(31),
+      |        coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+      |        coalesce(lang, chr(1)),
+      |        coalesce(CAST(n_chars AS VARCHAR), chr(1)),
+      |        coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT source, count(*) AS n_rows,
+      |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum,
+      |  TRUE AS audit_ok
+      |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    "write-audit-publish: partitioned staging write audited by per-partition checksum manifest")
 }

@@ -1305,6 +1305,43 @@ object Relational {
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |QUALIFY row_number() OVER w <= 3
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
-      "top-k per group via the custom TopKPerKey plan node (partial/final heaps)")
+      "top-k per group via the custom TopKPerKey plan node (partial/final heaps)"),
+
+    // q229 — BUCKETED CO-LOCATED JOIN: both fact tables written ONCE
+    // bucketed (+sorted) by the join key into the session catalog, then
+    // joined with NO exchange on either side — the storage layout that
+    // turns the recurring big-big join into a local merge at any scale
+    // (the lexical/ANN serving-layout story of q175/q212 applied to
+    // relational storage; pay the shuffle at layout time, never at
+    // query time). PlansSpec asserts the no-Exchange property; the
+    // revenue arithmetic is q151's exact integer units.
+    Q("q229_bucketed_colocated_join",
+      (s, d) => {
+        val ob = "graft_q229_orders_b"
+        val lb = "graft_q229_lineitem_b"
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ob)
+        t(s, d, "lineitem").select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100, 0).cast("long") *
+              (lit(10000L) - round(col("l_discount") * 10000, 0).cast("long")))
+              .as("rev_u"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lb)
+        s.table(ob).join(s.table(lb),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            sum("rev_u").cast("long").as("revenue_u"))
+          .orderBy("pri")
+      },
+      Some("""SELECT o.o_orderpriority AS pri,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+        |    AS BIGINT) AS revenue_u
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "bucketed+sorted co-located join — exchange paid at layout time, not query time")
   )
 }

@@ -136,4 +136,22 @@ class PlansSpec extends SparkSpec {
     assert(occurrences(p, "Exchange hashpartitioning") <= 1,
       s"unexpected extra shuffles in the star join:\n$p")
   }
+
+  test("q229: bucketed join reads bucketed scans and never shuffles the join inputs") {
+    // disable auto-broadcast so the contract pins the BUCKETED merge
+    // join path (at sf0.001 the orders side is small enough that AQE
+    // would legitimately broadcast it and hide the property)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q229_bucketed_colocated_join")
+      assert(p.contains("SortMergeJoin"), "bucketed join did not plan as a merge join")
+      assert(p.contains("SelectedBucketsCount"),
+        "scans are not bucket-aware (SelectedBucketsCount missing)")
+      // the ONLY hash exchange allowed is the priority aggregate's —
+      // an exchange feeding the join would mean bucketing was ignored
+      assert(occurrences(p, "Exchange hashpartitioning") <= 1,
+        s"join inputs shuffled despite bucketing:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -887,4 +887,46 @@ object Dedup {
         expr("(10000 * shared) div (na + nb - shared)").as("jacc_bp"))
       .filter(col("jacc_bp") >= minBp)
   }
+
+  /** WEIGHTED (multiset) Jaccard refine over candidate pairs — the
+    * similarity the set-Jaccard stages upstream deliberately blur: a
+    * doc that repeats a shared phrase ten times scores the same as one
+    * using it once under set semantics; the weighted form
+    *
+    *   wJ = Σ_g min(tfₐ, tf_b) / Σ_g max(tfₐ, tf_b)
+    *
+    * distinguishes them. The denominator never materializes the gram
+    * union: Σ max = Tₐ + T_b − Σ min (T = per-doc total gram count),
+    * so the only pair-level work is the Σ min join over SHARED grams —
+    * the same doc_a/doc_b posting joins as the set verify, with tf
+    * payloads. Exact integers end to end: wjacc_bp = 10⁴·Σmin div
+    * (Tₐ+T_b−Σmin), operands non-negative.
+    *
+    * @param pairs candidate pairs (doc_a, doc_b) from any blocking
+    *              stage (sorted-neighborhood, LSH buckets, …)
+    */
+  def weightedJaccardPairs(pairs: DataFrame, df: DataFrame, id: Column,
+                           text: Column, n: Int): DataFrame = {
+    val tf = df.select(id.as("doc_id"), words(text).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(
+        graft.functions.WordGramsNative.gramsCol(col("ws"), n)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("doc_id").agg(sum("tf").as("t"))
+    val p = pairs.select("doc_a", "doc_b")
+    val smin = p
+      .join(tf.select(col("doc_id").as("doc_a"), col("gram"),
+        col("tf").as("tfa")), "doc_a")
+      .join(tf.select(col("doc_id").as("doc_b"), col("gram"),
+        col("tf").as("tfb")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+    p.join(smin, Seq("doc_a", "doc_b"), "left")
+      .join(tot.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(tot.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("smin"), lit(0L)).cast("long").as("smin"),
+        expr("(10000 * coalesce(smin, 0)) div (ta + tb - coalesce(smin, 0))")
+          .as("wjacc_bp"))
+  }
 }

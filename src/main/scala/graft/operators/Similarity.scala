@@ -867,4 +867,47 @@ object Similarity {
           expr(s"(10000 * n) div $k").as("recall_bp"))
     }.reduce(_ unionAll _).orderBy("qid", "dims")
   }
+
+  /** LATE-INTERACTION MaxSim retrieval (the ColBERT scoring shape,
+    * Khattab & Zaharia 2020): query and document arrive as BAGS of
+    * sub-vectors, and the score is Σᵢ maxⱼ cos(qᵢ, dⱼ) — each query
+    * part finds its best-matching document part, so a document
+    * matching all query aspects in different places outranks one
+    * matching a single aspect everywhere (what single-vector cosine
+    * cannot see). Here the multi-vector bags are the `chunks`
+    * equal prefix slices of the stored embedding; a real ColBERT
+    * index stores per-token vectors — the plan is identical.
+    *
+    * Per-chunk cosines land as round-half-away integer bp (the q71
+    * contract) so the max/sum tree is exact integer arithmetic in
+    * both engines — summing rounded DOUBLES would be order-sensitive.
+    *
+    * Scale shape: query chunks broadcast (|queries|·chunks rows); the
+    * corpus explodes to chunks ONCE and scans through the codegen'd
+    * cosine; max-per-(query, doc, query-chunk) and the final sum are
+    * one map-side-combined agg pair; top-k via TopKPerKey.
+    */
+  def maxSimTopK(corpus: DataFrame, id: Column, vec: Column,
+                 queries: DataFrame, qid: Column, qvec: Column,
+                 chunks: Int, subDim: Int, k: Int): DataFrame = {
+    require(chunks >= 1 && subDim >= 1, "maxSimTopK needs chunks, subDim >= 1")
+    ArrayCosine.register(corpus.sparkSession)
+    def chunked(df: DataFrame, idc: Column, v: Column, idName: String,
+                posName: String, outName: String) =
+      df.select(idc.as(idName), posexplode(array(
+        (0 until chunks).map(i => slice(toDouble(v), i * subDim + 1, subDim)): _*))
+        .as(Seq(posName, outName)))
+    val cChunks = chunked(corpus, id, vec, "vec_id", "j", "cv")
+    val qChunks = chunked(queries, qid, qvec, "qid", "i", "qv")
+    val scored = cChunks.crossJoin(broadcast(qChunks))
+      .select(col("qid"), col("vec_id"), col("i"),
+        round(cos(col("cv"), col("qv")) * 10000, 0).cast("long").as("cos_bp"))
+      .groupBy("qid", "vec_id", "i")
+      .agg(max("cos_bp").as("best_bp"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("best_bp").cast("long").as("maxsim_bp"))
+    graft.plans.TopK.perKey(scored, Seq("qid"), "maxsim_bp",
+      desc = true, tiebreak = Seq("vec_id"), k = k)
+      .orderBy("qid", "vec_id")
+  }
 }

@@ -1966,5 +1966,47 @@ object AnalyticsQueries {
         |       WHEN ft IS NULL THEN t - bt WHEN bt IS NULL THEN ft - t
         |       ELSE least(t - bt, ft - t) END AS gap_us
         |FROM w WHERE side = 1 ORDER BY event_id LIMIT 100""".stripMargin),
-      "nearest-direction as-of join — one-shuffle dual running frames, exact micro gaps"))
+      "nearest-direction as-of join — one-shuffle dual running frames, exact micro gaps"),
+
+    // q232 — SCORE CALIBRATION table (reliability diagram in exact
+    // integers): events bucketed into exact-rank deciles of `value`,
+    // per-decile purchase rate and mean score in bp — the "is this
+    // score a usable ranking signal" eval before anyone trains on it.
+    // Deciles come from Rank.globalRank (two-level bucketed rank — no
+    // single-partition window) and the integer bucket formula
+    // ((rank−1)·10) div n, NOT ntile (whose remainder placement is
+    // engine-defined); rates are exact integer divisions.
+    Q("q232_score_calibration",
+      (s, d) => {
+        import graft.operators.Rank
+        val ev = Tables(s, d, "events").select(col("event_id"),
+          round(col("value") * 10000).cast("long").as("score_bp"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+        val n = ev.agg(count(lit(1)).as("nn"))
+        Rank.globalRank(ev, "score_bp", "event_id")
+          .crossJoin(broadcast(n))
+          .select(expr("((global_rank - 1) * 10) div nn").as("decile"),
+            col("score_bp"), col("y"))
+          .groupBy("decile")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum("y").cast("long").as("n_purchases"),
+            expr("(10000 * sum(y)) div count(1)").as("purchase_rate_bp"),
+            expr("sum(score_bp) div count(1)").as("mean_score_bp"))
+          .orderBy("decile")
+      },
+      Some("""WITH e AS (SELECT event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS score_bp,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |r AS (SELECT score_bp, y, row_number()
+        |    OVER (ORDER BY score_bp, event_id) AS rk,
+        |    count(*) OVER () AS nn
+        |  FROM e)
+        |SELECT ((rk - 1) * 10) // nn AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(y) AS BIGINT) AS n_purchases,
+        |  CAST((10000 * sum(y)) // count(*) AS BIGINT) AS purchase_rate_bp,
+        |  CAST(sum(score_bp) // count(*) AS BIGINT) AS mean_score_bp
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin),
+      "exact-rank decile calibration table — purchase rate vs score decile"))
 }

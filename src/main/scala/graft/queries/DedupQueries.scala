@@ -1006,6 +1006,147 @@ object DedupQueries {
         |  ncl.n_clusters,
         |  nd.n_docs - (ncl.n_matched_docs - ncl.n_clusters) AS n_survivors
         |FROM nd, np, ncl""".stripMargin),
-      "entity-resolution pipeline lineage: blocking -> verify -> components -> survivors")
+      "entity-resolution pipeline lineage: blocking -> verify -> components -> survivors"),
+
+    // q231 — WEIGHTED (multiset) Jaccard refine: q187's set-Jaccard
+    // survivors re-scored with term frequencies — Σmin/Σmax
+    // distinguishes a doc repeating a shared phrase from one using it
+    // once, and Σmax never materializes the union (Ta + Tb − Σmin).
+    // Same posting-join shape as the set verify, tf payloads, exact bp.
+    Q("q231_weighted_jaccard",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = Dedup.sortedNeighborhoodPairs(docs,
+          col("doc_id"), col("text"),
+          n = 3, keyLen = 24, blockLen = 2, win = 6, minBp = 2000L)
+        Dedup.weightedJaccardPairs(pairs, docs,
+            col("doc_id"), col("text"), n = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents
+        |  WHERE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    IS NOT NULL
+        |    AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      > 0),
+        |rk AS (SELECT doc_id, substring(t, 1, 2) AS blk,
+        |    row_number() OVER (PARTITION BY substring(t, 1, 2)
+        |      ORDER BY substring(t, 1, 24), doc_id) AS rn
+        |  FROM b),
+        |pr AS (SELECT blk, doc_id AS id_a,
+        |    unnest(generate_series(rn + 1, rn + 5)) AS rn2
+        |  FROM rk),
+        |pairs AS (SELECT least(pr.id_a, rk.doc_id) AS doc_a,
+        |    greatest(pr.id_a, rk.doc_id) AS doc_b
+        |  FROM pr JOIN rk ON rk.blk = pr.blk AND rk.rn = pr.rn2),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM b WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |gc AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |sh AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+        |  FROM pairs p JOIN g ga ON ga.doc_id = p.doc_a
+        |               JOIN g gb ON gb.doc_id = p.doc_b
+        |                 AND gb.gram = ga.gram
+        |  GROUP BY 1, 2),
+        |m AS (SELECT sh.doc_a, sh.doc_b
+        |  FROM sh JOIN gc ca ON ca.doc_id = sh.doc_a
+        |          JOIN gc cb ON cb.doc_id = sh.doc_b
+        |  WHERE (10000 * sh.shared) // (ca.ng + cb.ng - sh.shared) >= 2000),
+        |tfq AS (SELECT doc_id, gram, count(*) AS tf FROM g0 GROUP BY 1, 2),
+        |tq AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS t
+        |  FROM tfq GROUP BY 1),
+        |sm AS (SELECT m.doc_a, m.doc_b,
+        |    CAST(sum(least(a.tf, bb.tf)) AS BIGINT) AS smin
+        |  FROM m JOIN tfq a ON a.doc_id = m.doc_a
+        |         JOIN tfq bb ON bb.doc_id = m.doc_b AND bb.gram = a.gram
+        |  GROUP BY 1, 2)
+        |SELECT m.doc_a, m.doc_b,
+        |  CAST(coalesce(sm.smin, 0) AS BIGINT) AS smin,
+        |  CAST((10000 * coalesce(sm.smin, 0)) //
+        |    (ta.t + tb.t - coalesce(sm.smin, 0)) AS BIGINT) AS wjacc_bp
+        |FROM m LEFT JOIN sm USING (doc_a, doc_b)
+        |  JOIN tq ta ON ta.doc_id = m.doc_a
+        |  JOIN tq tb ON tb.doc_id = m.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "weighted multiset Jaccard refine — Σmin join over shared grams, union never materialized"),
+
+    // q234 — CANONICAL-PER-CLUSTER selection: the keep-list q227's
+    // lineage summary counts — each near-dup cluster keeps its longest
+    // document (n_chars desc, doc_id tiebreak), the concrete keep/drop
+    // decision a dedup pass publishes. One window over the
+    // cluster-membership table (cluster-sized, tiny next to the corpus).
+    Q("q234_cluster_canonical",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val matches = Dedup.sortedNeighborhoodPairs(docs,
+          col("doc_id"), col("text"),
+          n = 3, keyLen = 24, blockLen = 2, win = 6, minBp = 2000L)
+        val clusters = Dedup.dupClusters(matches)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        clusters
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("cluster_size"),
+            max(when(col("rn") === 1, col("doc_id"))).cast("long")
+              .as("canonical_doc"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE b AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents
+        |  WHERE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    IS NOT NULL
+        |    AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      > 0),
+        |rk AS (SELECT doc_id, substring(t, 1, 2) AS blk,
+        |    row_number() OVER (PARTITION BY substring(t, 1, 2)
+        |      ORDER BY substring(t, 1, 24), doc_id) AS rn
+        |  FROM b),
+        |pr AS (SELECT blk, doc_id AS id_a,
+        |    unnest(generate_series(rn + 1, rn + 5)) AS rn2
+        |  FROM rk),
+        |pairs AS (SELECT least(pr.id_a, rk.doc_id) AS doc_a,
+        |    greatest(pr.id_a, rk.doc_id) AS doc_b
+        |  FROM pr JOIN rk ON rk.blk = pr.blk AND rk.rn = pr.rn2),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM b WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |gc AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |sh AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+        |  FROM pairs p JOIN g ga ON ga.doc_id = p.doc_a
+        |               JOIN g gb ON gb.doc_id = p.doc_b
+        |                 AND gb.gram = ga.gram
+        |  GROUP BY 1, 2),
+        |m AS (SELECT sh.doc_a, sh.doc_b
+        |  FROM sh JOIN gc ca ON ca.doc_id = sh.doc_a
+        |          JOIN gc cb ON cb.doc_id = sh.doc_b
+        |  WHERE (10000 * sh.shared) // (ca.ng + cb.ng - sh.shared) >= 2000),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM m
+        |  UNION SELECT doc_b, doc_a FROM m),
+        |cc AS (SELECT src AS id, src AS label FROM edges
+        |  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+        |lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM cc GROUP BY id),
+        |jm AS (SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY lab.cluster_id
+        |      ORDER BY d.n_chars DESC, lab.doc_id) AS rn
+        |  FROM lab JOIN documents d USING (doc_id))
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+        |    AS canonical_doc
+        |FROM jm GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+      "canonical-per-cluster keep list — longest document wins, id tiebreak")
   )
 }

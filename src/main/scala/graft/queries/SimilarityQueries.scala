@@ -1004,6 +1004,45 @@ object SimilarityQueries {
         |  UNION ALL SELECT f.qid, 32, count(*)
         |  FROM fulltop f JOIN t32 s USING (qid, vec_id) GROUP BY 1)
         |ORDER BY qid, dims""".stripMargin),
-      "Matryoshka truncation recall@10 at 16/32 dims vs the full ranking")
+      "Matryoshka truncation recall@10 at 16/32 dims vs the full ranking"),
+
+    // q233 — LATE-INTERACTION MaxSim (the ColBERT scoring shape):
+    // query/document as bags of 4×16-dim sub-vectors, score =
+    // Σᵢ maxⱼ cos_bp(qᵢ, dⱼ) — each query part finds its best document
+    // part. Per-chunk cosines become round-half-away integer bp BEFORE
+    // the max/sum tree, so the aggregation is exact integer arithmetic
+    // in both engines (summing rounded doubles would be
+    // order-sensitive). Query chunks broadcast; corpus explodes once.
+    Q("q233_colbert_maxsim",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.maxSimTopK(
+          e.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 2),
+          col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 2),
+          col("vec_id"), col("embedding"),
+          chunks = 4, subDim = 16, k = 10)
+      },
+      Some("""WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] v
+        |  FROM embeddings WHERE vec_id < 2),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] v
+        |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id >= 2),
+        |qc AS (SELECT qid, i, v[(i*16+1):((i+1)*16)] AS qv
+        |  FROM q, (SELECT unnest(generate_series(0, 3)) AS i)),
+        |cc AS (SELECT vec_id, j, v[(j*16+1):((j+1)*16)] AS cv
+        |  FROM c, (SELECT unnest(generate_series(0, 3)) AS j)),
+        |s AS (SELECT qc.qid, cc.vec_id, qc.i,
+        |    max(CAST(round(list_cosine_similarity(qc.qv, cc.cv) * 10000)
+        |      AS BIGINT)) AS best_bp
+        |  FROM qc, cc GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, vec_id, CAST(sum(best_bp) AS BIGINT)
+        |    AS maxsim_bp
+        |  FROM s GROUP BY 1, 2),
+        |rk AS (SELECT qid, vec_id, maxsim_bp, row_number()
+        |    OVER (PARTITION BY qid ORDER BY maxsim_bp DESC, vec_id) rn
+        |  FROM sc QUALIFY rn <= 10)
+        |SELECT qid, vec_id, maxsim_bp FROM rk
+        |ORDER BY qid, vec_id""".stripMargin),
+      "ColBERT-style MaxSim over 4x16-dim sub-vector bags — exact integer max/sum tree")
   )
 }

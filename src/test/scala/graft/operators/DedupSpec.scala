@@ -314,4 +314,31 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)),
       "rank distance 2 must not pair under win=2")
   }
+
+  test("weightedJaccardPairs: repetition shifts the multiset score, set score blind") {
+    import spark.implicits._
+    // a = "x y z x y z" -> 3-grams [x y z, y z x, z x y, x y z]:
+    //   tf {x y z: 2, y z x: 1, z x y: 1}, Ta = 4
+    // b = "x y z q q q" -> [x y z, y z q, z q q, q q q], Tb = 4
+    // shared Σmin = min(2,1) = 1 -> wJ = 1/(4+4-1) = 1/7 = 1428 bp
+    val docs = Seq((1L, "x y z x y z"), (2L, "x y z q q q"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.weightedJaccardPairs(pairs, docs,
+        col("doc_id"), col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 2L, 1L, 1428L)))
+  }
+
+  test("weightedJaccardPairs: zero-overlap pair scores 0, not null") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.weightedJaccardPairs(pairs, docs,
+        col("doc_id"), col("text"), n = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 0L)))
+  }
 }

@@ -335,4 +335,25 @@ class SimilaritySpec extends SparkSpec {
       .toSeq
     assert(got === Seq((50L, 2L, 5000L)))
   }
+
+  test("maxSimTopK: each query chunk matches its best document chunk independently") {
+    import spark.implicits._
+    // q = [(1,0), (0,1)] as two 2-dim chunks. Doc 1 holds both aspects
+    // (maxsim 10000+10000), doc 2 only the second (0+10000) — the
+    // aggregate cosine of doc 2 with q is 0.5·√2 ≈ 0.707 on BOTH docs'
+    // full vectors, which is exactly what MaxSim disambiguates.
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 1.0)),
+      (2L, Array(0.0, 1.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9L, Array(1.0, 0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(corpus,
+        col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        chunks = 2, subDim = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq((9L, 1L, 20000L), (9L, 2L, 10000L)))
+  }
 }

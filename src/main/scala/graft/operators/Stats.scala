@@ -199,6 +199,60 @@ object Stats {
         expr("(10000 * d_num) div (n1 * n2)").as("ks_bp"))
   }
 
+  /** MANN-WHITNEY U (rank-sum) two-sample test in exact integers — the
+    * nonparametric "is one distribution stochastically larger"
+    * companion to [[ksTwoSample]]'s shape test. Ties use textbook
+    * MIDRANKS, kept integral by working in DOUBLED rank units: a tie
+    * run of c values starting after C rows has 2·midrank = 2C + c + 1,
+    * so
+    *
+    *   2·U_A = Σ_{a∈A} 2·midrank(a) − n_A·(n_A+1)
+    *
+    * is exact, and 2·U_A + 2·U_B = 2·n_A·n_B is the built-in
+    * cross-check both engines must reproduce bit-for-bit. The z/p
+    * normalization needs sqrt — the STATISTIC is exact, the lookup is
+    * the caller's (same no-libm bargain as chi-square).
+    *
+    * Scale shape: one hash agg collapses the data to value-level
+    * (value, n_a, n_b) counts; the running rank offset is the same
+    * two-level distributed prefix as [[ksTwoSample]] — a bounded
+    * bucket table carries exclusive offsets, the within-bucket window
+    * partitions by bucket; output is one row.
+    *
+    * @param bucketOf monotone (non-decreasing) bucketing of the value
+    *                 domain, the ksTwoSample contract
+    */
+  def mannWhitneyU2(df: DataFrame, value: Column, isA: Column,
+                    isB: Column, bucketOf: Column => Column): DataFrame = {
+    val byValue = df.select(value.cast("long").as("v"),
+        isA.cast("int").as("a"), isB.cast("int").as("b"))
+      .filter(col("v").isNotNull && (col("a") === 1 || col("b") === 1))
+      .groupBy("v")
+      .agg(sum("a").cast("long").as("ca"), sum("b").cast("long").as("cb"))
+      .withColumn("bk", bucketOf(col("v")))
+    val wb = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = byValue.groupBy("bk")
+      .agg(sum(col("ca") + col("cb")).as("s"))
+      .withColumn("off", sum("s").over(wb) - col("s"))
+      .select("bk", "off")
+    val wv = Window.partitionBy("bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byValue.join(broadcast(offsets), "bk")
+      .withColumn("cbefore",
+        col("off") + coalesce(sum(col("ca") + col("cb")).over(wv), lit(0L)))
+      .withColumn("mr2",
+        lit(2L) * col("cbefore") + col("ca") + col("cb") + 1L)
+    ranked.agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(col("ca") * col("mr2")).cast("long").as("r2a"),
+        sum(col("cb") * col("mr2")).cast("long").as("r2b"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+        (col("r2b") - col("n_b") * (col("n_b") + 1L)).as("u2_b"))
+  }
+
   /** Pearson CHI-SQUARE independence statistic over a two-way
     * contingency table, in exact basis points. Clearing E = r·c/N from
     * the textbook Σ(O−E)²/E gives the all-integer per-cell term

@@ -2008,5 +2008,153 @@ object AnalyticsQueries {
         |  CAST((10000 * sum(y)) // count(*) AS BIGINT) AS purchase_rate_bp,
         |  CAST(sum(score_bp) // count(*) AS BIGINT) AS mean_score_bp
         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin),
-      "exact-rank decile calibration table — purchase rate vs score decile"))
+      "exact-rank decile calibration table — purchase rate vs score decile"),
+
+    // q235 — MANN-WHITNEY U: are purchase values stochastically larger
+    // than click values? The rank-sum companion to q214's KS shape
+    // test, exact via DOUBLED midranks (2·midrank of a tie run is
+    // always integral); 2U_a + 2U_b = 2·n_a·n_b is the built-in
+    // cross-engine invariant. Same value-level collapse + two-level
+    // prefix as KS.
+    Q("q235_mann_whitney",
+      (s, d) => graft.operators.Stats.mannWhitneyU2(
+        Tables(s, d, "events"),
+        expr("CAST(round(value * 100) AS BIGINT)"),
+        (col("event_type") === "click").cast("int"),
+        (col("event_type") === "purchase").cast("int"),
+        v => (v / lit(2500)).cast("long")),
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(sum(b) AS BIGINT) AS cb FROM e GROUP BY 1),
+        |r AS (SELECT v, ca, cb,
+        |    coalesce(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cbefore
+        |  FROM g),
+        |m AS (SELECT ca, cb, 2 * cbefore + ca + cb + 1 AS mr2 FROM r)
+        |SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b,
+        |  CAST(sum(ca * mr2) - sum(ca) * (sum(ca) + 1) AS BIGINT) AS u2_a,
+        |  CAST(sum(cb * mr2) - sum(cb) * (sum(cb) + 1) AS BIGINT) AS u2_b
+        |FROM m""".stripMargin),
+      "exact Mann-Whitney rank-sum via doubled midranks — stochastic-dominance test"),
+
+    // q236 — DISCRETE HAZARD table (the integer core of Kaplan-Meier,
+    // whose survival product needs floats the exact contract won't
+    // buy): per lifetime-day k, users at risk (lifetime ≥ k), churners
+    // (lifetime = k), hazard in exact bp. Lifetime = whole days
+    // between a user's first and last event — micro arithmetic, no
+    // date functions. One per-user min/max agg + one tiny per-day agg
+    // + a reverse running sum over ≤31 rows.
+    Q("q236_hazard_table",
+      (s, d) => {
+        val lt = Tables(s, d, "events")
+          .groupBy("user_id")
+          .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            / lit(86400000000L)).cast("long").as("k"))
+          .filter(col("k") <= 30)
+        val byDay = lt.groupBy("k").agg(count(lit(1)).as("d"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        byDay
+          .withColumn("n_risk", sum("d").over(w))
+          .select(col("k"), col("d").cast("long").as("churned"),
+            col("n_risk").cast("long").as("n_risk"),
+            expr("(10000 * d) div n_risk").as("hazard_bp"))
+          .orderBy("k")
+      },
+      Some("""WITH lt AS (SELECT user_id,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+        |      AS k
+        |  FROM events GROUP BY 1 HAVING k <= 30),
+        |bd AS (SELECT k, CAST(count(*) AS BIGINT) AS d FROM lt GROUP BY 1),
+        |rz AS (SELECT k, d, sum(d) OVER (ORDER BY k DESC) AS n_risk
+        |  FROM bd)
+        |SELECT k, d AS churned, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST((10000 * d) // n_risk AS BIGINT) AS hazard_bp
+        |FROM rz ORDER BY k""".stripMargin),
+      "discrete hazard table — at-risk / churned / hazard bp per lifetime day"),
+
+    // q237 — DEGREE MIXING independence: is a node's degree class
+    // independent of its neighbors' degree class? Chi-square over the
+    // (bitlen(du), bitlen(dv)) contingency of the co-purchase edge
+    // list — the integer assortativity probe (rank/Pearson
+    // assortativity needs n ≲ 2·10⁴ in long arithmetic; the
+    // bitlen-binned chi-square has no such bound). Reuses q217's
+    // statistic over q192's binning.
+    Q("q237_degree_mixing_chi2",
+      (s, d) => {
+        val e = graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem"), col("l_orderkey"), col("l_partkey"))
+        val dv = e.select(col("u").as("v"), col("du").as("dv")).distinct()
+        graft.operators.Stats.chiSquareBp(
+          e.join(dv, "v"),
+          length(bin(col("du"))), length(bin(col("dv"))))
+      },
+      Some("""WITH g AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey k, l_partkey p FROM lineitem),
+        |pr AS MATERIALIZED (SELECT a.p u, b.p v FROM g a
+        |  JOIN g b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+        |dg AS (SELECT u, count(*) du FROM e GROUP BY 1),
+        |j AS (SELECT length(bin(da.du)) AS ba, length(bin(db.du)) AS bb
+        |  FROM e JOIN dg da ON da.u = e.u JOIN dg db ON db.u = e.v),
+        |o AS (SELECT ba, bb, CAST(count(*) AS HUGEINT) AS ob
+        |  FROM j GROUP BY 1, 2),
+        |rt AS (SELECT ba, CAST(sum(ob) AS HUGEINT) AS r FROM o GROUP BY 1),
+        |ct AS (SELECT bb, CAST(sum(ob) AS HUGEINT) AS c FROM o GROUP BY 1),
+        |nt AS (SELECT CAST(sum(ob) AS HUGEINT) AS nn FROM o)
+        |SELECT
+        |  CAST(sum((10000 * (o.ob * nt.nn - rt.r * ct.c)
+        |      * (o.ob * nt.nn - rt.r * ct.c)) // (nt.nn * rt.r * ct.c))
+        |    AS BIGINT) AS chi2_bp,
+        |  CAST(count(*) - count(DISTINCT o.ba) - count(DISTINCT o.bb) + 1
+        |    AS BIGINT) AS dof,
+        |  CAST(max(nt.nn) AS BIGINT) AS n
+        |FROM o JOIN rt USING (ba) JOIN ct USING (bb), nt""".stripMargin),
+      "degree-mixing chi-square — integer assortativity probe over bitlen degree classes"),
+
+    // q238 — TIME-WEIGHTED AVERAGE: each event's value holds until the
+    // user's next event; the mean weighted by holding duration is the
+    // finance-style TWA that a plain mean misstates whenever sampling
+    // is irregular. Exact: micros × value-bp in DECIMAL, one division
+    // per user at the end. One user-keyed shuffle feeds both the lead
+    // window and the final agg.
+    Q("q238_time_weighted_avg",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            round(col("value") * 10000).cast("long").as("vbp"))
+          .withColumn("nxt", lead("us", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            sum((col("nxt") - col("us")).cast("decimal(38,0)") * col("vbp"))
+              .as("wsum"),
+            sum(col("nxt") - col("us")).cast("decimal(38,0)").as("dur"))
+          .select(col("user_id"),
+            expr("CAST(wsum div dur AS BIGINT)").as("twa_bp"),
+            col("dur").cast("long").as("dur_us"))
+          .orderBy("user_id").limit(100)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 10000) AS BIGINT) AS vbp
+        |  FROM events),
+        |l AS (SELECT user_id, us, vbp, lead(us) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e),
+        |a AS (SELECT user_id,
+        |    CAST(sum(CAST(nxt - us AS HUGEINT) * vbp) AS HUGEINT) AS wsum,
+        |    CAST(sum(nxt - us) AS HUGEINT) AS dur
+        |  FROM l WHERE nxt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(wsum // dur AS BIGINT) AS twa_bp,
+        |  CAST(dur AS BIGINT) AS dur_us
+        |FROM a ORDER BY user_id LIMIT 100""".stripMargin),
+      "time-weighted average value per user — duration-weighted exact decimal fold"))
 }

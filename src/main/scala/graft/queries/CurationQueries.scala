@@ -962,6 +962,62 @@ object CurationQueries {
         |  CAST(count(DISTINCT sens) AS BIGINT) AS l_div
         |FROM q GROUP BY 1, 2
         |ORDER BY class_size, nat, seg LIMIT 20""".stripMargin),
-      "k-anonymity/l-diversity risk list — smallest quasi-identifier classes")
+      "k-anonymity/l-diversity risk list — smallest quasi-identifier classes"),
+
+    // q239 — DATA-CONTRACT audit: the declarative rule table a landing
+    // zone evaluates before publishing a batch — range, enum,
+    // referential, and a deliberately-too-strict enum rule so the
+    // report carries a live failure (an all-green audit tests nothing).
+    // Each rule is one conditional count over a shared scan (the
+    // violation counts fold in ONE agg); the FK rule is a broadcast
+    // anti-join count. Output: one row per rule, violations + verdict.
+    Q("q239_data_contract",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val custKeys = Tables(s, d, "customer").select(
+          col("c_custkey").as("o_custkey"))
+        val scanRules = o.agg(
+          sum(when(col("o_totalprice") < 0, 1L).otherwise(0L))
+            .as("totalprice_nonneg"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("status_enum"),
+          sum(when(col("o_orderdate") < "1992-01-01" ||
+            col("o_orderdate") >= "1999-01-01", 1L).otherwise(0L))
+            .as("orderdate_range"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("priority_strict"))
+        val fk = o.join(broadcast(custKeys), Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("custkey_fk"))
+        val wide = scanRules.crossJoin(fk)
+        val rules = Seq("custkey_fk", "orderdate_range", "priority_strict",
+          "status_enum", "totalprice_nonneg")
+        rules.map { r =>
+          wide.select(lit(r).as("rule"),
+            col(r).cast("long").as("violations"),
+            (col(r) === 0).as("pass"))
+        }.reduce(_ unionAll _).orderBy("rule")
+      },
+      Some("""WITH s AS (SELECT
+        |    CAST(count(*) FILTER (o_totalprice < 0) AS BIGINT)
+        |      AS totalprice_nonneg,
+        |    CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P'))
+        |      AS BIGINT) AS status_enum,
+        |    CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate >= TIMESTAMP '1999-01-01') AS BIGINT)
+        |      AS orderdate_range,
+        |    CAST(count(*) FILTER (o_orderpriority NOT IN
+        |      ('1-URGENT','2-HIGH')) AS BIGINT) AS priority_strict
+        |  FROM orders),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS custkey_fk
+        |  FROM orders o WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT rule, violations, violations = 0 AS pass FROM (
+        |  SELECT 'custkey_fk' AS rule, custkey_fk AS violations FROM f
+        |  UNION ALL SELECT 'orderdate_range', orderdate_range FROM s
+        |  UNION ALL SELECT 'priority_strict', priority_strict FROM s
+        |  UNION ALL SELECT 'status_enum', status_enum FROM s
+        |  UNION ALL SELECT 'totalprice_nonneg', totalprice_nonneg FROM s)
+        |ORDER BY rule""".stripMargin),
+      "declarative data-contract audit — enum/range/FK rules, one scan + one anti-join")
   )
 }

@@ -146,6 +146,19 @@ class StatsSpec extends SparkSpec {
       === ((66664L, 1L, 60L)))
   }
 
+  test("mannWhitneyU2: doubled midranks handle the cross-group tie exactly") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: midranks 1, 2.5, 2.5, 4 ->
+    // U_A = 0.5 (the tied pair contributes 1/2), U_B = 3.5;
+    // in doubled units u2_a = 1, u2_b = 7, and u2_a + u2_b = 2·2·2.
+    val d = Seq((1L, 1, 0), (2L, 1, 0), (2L, 0, 1), (3L, 0, 1))
+      .toDF("v", "a", "b")
+    val got = Stats.mannWhitneyU2(d, col("v"), col("a"), col("b"),
+      x => (x / lit(10)).cast("long")).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((2L, 2L, 1L, 7L)))
+  }
+
   test("chiSquareBp: perfect independence is exactly zero") {
     import spark.implicits._
     // o = r·c/N for every cell → every numerator is exactly 0

@@ -868,6 +868,70 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("qid", "dims")
   }
 
+  /** MMR DIVERSIFICATION (maximal marginal relevance, Carbonell &
+    * Goldstein 1998): re-rank a relevance top-`candK` so each pick
+    * balances relevance against similarity to what was already picked —
+    *
+    *   score(c) = λ·rel_bp(c) − (1−λ)·maxₚ cos_bp(c, p)
+    *
+    * in integer hundredth-weights (λ = lamPct/100), ties to the
+    * smallest id. The serving-side answer to "the top 10 are ten
+    * near-copies" — which is precisely what a deduplicated corpus
+    * still produces for a hot query.
+    *
+    * Scale shape: the candidate set is a top-k artifact (candK rows —
+    * broadcast-small BY CONSTRUCTION, like every reranker input); the
+    * candidate×candidate cosine table is candK² rows computed once;
+    * each greedy round is one small agg with a 1-row driver argmax
+    * (q193's bounded-driver bargain — `pickK` scalars total).
+    */
+  def mmrDiversify(corpus: DataFrame, id: Column, vec: Column,
+                   queryId: Long, candK: Int, pickK: Int,
+                   lamPct: Int): DataFrame = {
+    require(pickK >= 1 && candK >= pickK, "mmrDiversify needs candK >= pickK >= 1")
+    require(lamPct >= 0 && lamPct <= 100, "lamPct is a percentage")
+    ArrayCosine.register(corpus.sparkSession)
+    val c = corpus.select(id.as("vec_id"), toDouble(vec).as("v"))
+    val qv = c.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    val cand = c.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("v"),
+        round(cos(col("v"), col("qv")) * 10000, 0).cast("long").as("rel_bp"))
+      .orderBy(col("rel_bp").desc, col("vec_id"))
+      .limit(candK)
+      .cache()
+    val psim = cand.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(cand.select(col("vec_id").as("ib"), col("v").as("vb")))
+      .select(col("ia"), col("ib"),
+        round(cos(col("va"), col("vb")) * 10000, 0).cast("long").as("sim_bp"))
+      .cache()
+    var picked = Vector.empty[(Long, Long, Long)] // (vec_id, rel, score)
+    for (r <- 1 to pickK) {
+      val remaining = cand.filter(!col("vec_id").isin(picked.map(_._1): _*))
+      val scored =
+        if (picked.isEmpty)
+          remaining.select(col("vec_id"), col("rel_bp"),
+            (col("rel_bp") * lamPct).as("mmr"))
+        else
+          remaining
+            .join(psim.filter(col("ib").isin(picked.map(_._1): _*)),
+              col("vec_id") === col("ia"))
+            .groupBy("vec_id", "rel_bp")
+            .agg(max("sim_bp").as("ms"))
+            .select(col("vec_id"), col("rel_bp"),
+              (col("rel_bp") * lamPct - col("ms") * (100 - lamPct)).as("mmr"))
+      val top = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .collect().head
+      picked :+= ((top.getLong(0), top.getLong(1), top.getLong(2)))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id0, rel, mmr), i) => (i + 1L, id0, rel, mmr) }
+      .toDF("pick", "vec_id", "rel_bp", "mmr_score")
+  }
+
   /** LATE-INTERACTION MaxSim retrieval (the ColBERT scoring shape,
     * Khattab & Zaharia 2020): query and document arrive as BAGS of
     * sub-vectors, and the score is Σᵢ maxⱼ cos(qᵢ, dⱼ) — each query

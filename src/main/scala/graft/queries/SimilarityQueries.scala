@@ -1043,6 +1043,58 @@ object SimilarityQueries {
         |  FROM sc QUALIFY rn <= 10)
         |SELECT qid, vec_id, maxsim_bp FROM rk
         |ORDER BY qid, vec_id""".stripMargin),
-      "ColBERT-style MaxSim over 4x16-dim sub-vector bags — exact integer max/sum tree")
+      "ColBERT-style MaxSim over 4x16-dim sub-vector bags — exact integer max/sum tree"),
+
+    // q240 — MMR DIVERSIFIED re-ranking: 3 greedy picks from the
+    // cosine top-20 at λ=0.70, score = 70·rel_bp − 30·max-sim-to-picked
+    // in exact integer hundredth-weights, ties to smallest id — the
+    // serving-side fix for "the top 10 are ten near-copies". Candidate
+    // set and its pairwise-cosine table are top-k artifacts (20 / 400
+    // rows); each greedy round is one small agg + a 1-row driver
+    // argmax (q193's bounded-driver bargain). Oracle unrolls all
+    // three rounds.
+    Q("q240_mmr_diversify",
+      (s, d) => Similarity.mmrDiversify(
+        Tables(s, d, "embeddings").filter(col("vec_id") % 4 === 0),
+        col("vec_id"), col("embedding"),
+        queryId = 0L, candK = 20, pickK = 3, lamPct = 70),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |q AS (SELECT v qv FROM e WHERE vec_id = 0),
+        |cand AS (SELECT vec_id, v,
+        |    CAST(round(list_cosine_similarity(v, qv) * 10000) AS BIGINT)
+        |      rel_bp
+        |  FROM e, q WHERE vec_id <> 0
+        |  ORDER BY rel_bp DESC, vec_id LIMIT 20),
+        |ps AS (SELECT a.vec_id ia, b.vec_id ib,
+        |    CAST(round(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT)
+        |      sim_bp
+        |  FROM cand a, cand b),
+        |p1 AS (SELECT vec_id, rel_bp, CAST(rel_bp * 70 AS BIGINT) mmr
+        |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+        |s2 AS (SELECT c.vec_id, c.rel_bp,
+        |    CAST(c.rel_bp * 70 - 30 * max(ps.sim_bp) AS BIGINT) mmr
+        |  FROM cand c JOIN ps ON ps.ia = c.vec_id
+        |    AND ps.ib IN (SELECT vec_id FROM p1)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+        |  GROUP BY 1, 2),
+        |p2 AS (SELECT vec_id, rel_bp, mmr FROM s2
+        |  ORDER BY mmr DESC, vec_id LIMIT 1),
+        |s3 AS (SELECT c.vec_id, c.rel_bp,
+        |    CAST(c.rel_bp * 70 - 30 * max(ps.sim_bp) AS BIGINT) mmr
+        |  FROM cand c JOIN ps ON ps.ia = c.vec_id
+        |    AND (ps.ib IN (SELECT vec_id FROM p1)
+        |      OR ps.ib IN (SELECT vec_id FROM p2))
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM p2)
+        |  GROUP BY 1, 2),
+        |p3 AS (SELECT vec_id, rel_bp, mmr FROM s3
+        |  ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS pick, vec_id, rel_bp,
+        |  mmr AS mmr_score FROM p1
+        |UNION ALL SELECT 2, vec_id, rel_bp, mmr FROM p2
+        |UNION ALL SELECT 3, vec_id, rel_bp, mmr FROM p3
+        |ORDER BY pick""".stripMargin),
+      "MMR diversified top-3 from the cosine top-20 — exact integer greedy re-ranking")
   )
 }

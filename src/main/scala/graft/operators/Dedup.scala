@@ -929,4 +929,45 @@ object Dedup {
         expr("(10000 * coalesce(smin, 0)) div (ta + tb - coalesce(smin, 0))")
           .as("wjacc_bp"))
   }
+
+  /** CONTENT-DEFINED CHUNKING: cut each document where a rolling 4-char
+    * polynomial hash (base-31 over code points) lands on a multiple of
+    * `mask` — the Rabin-style boundary rule that keeps chunk boundaries
+    * STABLE under insertions (a fixed-width chunker shifts every chunk
+    * after an edit; CDC re-synchronizes at the next content-defined
+    * cut, so chunk-level dedup still matches the unedited tail). Output
+    * is one row per (doc, chunk) with the chunk text — exact chunk
+    * dedup is then a plain groupBy on the chunk string.
+    *
+    * Expected chunk length = `mask` chars (uniform hash); chunks
+    * shorter than `minLen` are dropped from the output (boundary noise,
+    * the same role as a CDC minimum-chunk floor).
+    *
+    * Scale shape: pure per-row expression work — the position sweep is
+    * a codegen'd array program (sequence → filter → zip → substr), no
+    * shuffle until the consumer's chunk groupBy; cost is O(len) per doc
+    * with a 4-char window, independent of corpus size.
+    */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+                mask: Int = 64, minLen: Int = 8): DataFrame = {
+    require(mask >= 2, "mask must be >= 2")
+    val t = df.select(id.as("doc_id"), text.as("txt"))
+      .filter(col("txt").isNotNull && length(col("txt")) >= 4)
+    val ln = length(col("txt"))
+    def code(p: Column) = ascii(col("txt").substr(p, lit(1)))
+    val cutEnds = transform(
+      filter(sequence(lit(1), ln - 3), i =>
+        (code(i) * 29791 + code(i + 1) * 961 + code(i + 2) * 31 +
+          code(i + 3)) % mask === 0),
+      c => c + 3)
+    t.withColumn("segs", arrays_zip(
+        concat(array(lit(0)), cutEnds).as("s"),
+        concat(cutEnds, array(ln)).as("e")))
+      .select(col("doc_id"), col("txt"), explode(col("segs")).as("z"))
+      .filter(col("z.e") > col("z.s"))
+      .select(col("doc_id"),
+        col("txt").substr(col("z.s") + 1, col("z.e") - col("z.s"))
+          .as("chunk"))
+      .filter(length(col("chunk")) >= minLen)
+  }
 }

@@ -33,11 +33,31 @@ object Retrieval {
   def bm25ScoreBp(df: DataFrame, id: Column, text: Column,
                   qterms: Seq[String]): DataFrame = {
     val w = df.select(id.as("doc_id"), words(text).as("ws"))
-    val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-    val g = dl.agg(sum("dl").as("t"), count(lit(1)).as("n"))
     val tf = w.select(col("doc_id"), explode(col("ws")).as("term"))
       .filter(col("term").isin(qterms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25Core(w, tf)
+  }
+
+  /** [[bm25ScoreBp]] with a DATA-DEPENDENT term set: the query terms
+    * arrive as a (small) DataFrame instead of a literal list, so a
+    * data-derived vocabulary (PRF expansion, a learned synonym table)
+    * can drive the scorer without a driver round-trip. The membership
+    * test becomes a broadcast semi-shaped join on the token stream —
+    * same posting-list-only shuffle as the literal form.
+    */
+  def bm25ScoreBpDyn(df: DataFrame, id: Column, text: Column,
+                     terms: DataFrame): DataFrame = {
+    val w = df.select(id.as("doc_id"), words(text).as("ws"))
+    val tf = w.select(col("doc_id"), explode(col("ws")).as("term"))
+      .join(broadcast(terms.select(col("term"))), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25Core(w, tf)
+  }
+
+  private def bm25Core(w: DataFrame, tf: DataFrame): DataFrame = {
+    val dl = w.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val g = dl.agg(sum("dl").as("t"), count(lit(1)).as("n"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val den = lit(20L) * col("tf") * col("t") + lit(6L) * col("t") +
       lit(18L) * col("dl") * col("n")
@@ -50,6 +70,44 @@ object Retrieval {
       .select(col("doc_id"), contrib.as("c"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nh"), sum("c").as("score_bp"))
+  }
+
+  /** PSEUDO-RELEVANCE-FEEDBACK expansion (the RM3 shape): score the
+    * seed query, harvest expansion terms from the top-`k` documents
+    * (highest total tf inside the feedback set, tie term asc, seed
+    * terms and terms shorter than `minTermLen` excluded), rescore with
+    * the expansion vocabulary, and fuse as rm3 = 2·seed + 1·expansion —
+    * integer weights, so the fused score stays exact.
+    *
+    * Scale shape: the feedback set is a TakeOrdered top-k (never a
+    * global sort); expansion-term harvest joins the token stream
+    * against the BROADCAST top-k doc list; both scoring passes are the
+    * bm25 posting-list shape; the final fusion is one full-outer join
+    * on doc_id between two already-aggregated score tables.
+    */
+  def prfExpand(df: DataFrame, id: Column, text: Column,
+                seed: Seq[String], k: Int, m: Int,
+                minTermLen: Int): DataFrame = {
+    val seedScores = bm25ScoreBp(df, id, text, seed)
+      .select(col("doc_id"), col("score_bp").as("seed_bp"))
+    val top = seedScores
+      .orderBy(col("seed_bp").desc, col("doc_id")).limit(k)
+      .select("doc_id")
+    val tok = df.select(id.as("doc_id"), explode(words(text)).as("term"))
+    val expTerms = tok.join(broadcast(top), "doc_id")
+      .filter(!col("term").isin(seed: _*) &&
+        length(col("term")) >= minTermLen)
+      .groupBy("term").agg(count(lit(1)).as("tfq"))
+      .orderBy(col("tfq").desc, col("term")).limit(m)
+      .select("term")
+    val expScores = bm25ScoreBpDyn(df, id, text, expTerms)
+      .select(col("doc_id"), col("score_bp").as("exp_bp"))
+    seedScores.join(expScores, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("seed_bp"), lit(0L)).as("seed_bp"),
+        coalesce(col("exp_bp"), lit(0L)).as("exp_bp"))
+      .withColumn("rm3_bp",
+        lit(2L) * col("seed_bp") + col("exp_bp"))
   }
 
   /** TF-IDF-WEIGHTED gram cosine similarity self-join — the weighted

@@ -294,4 +294,52 @@ object Stats {
           .cast("long").as("dof"),
         max(col("nn")).cast("long").as("n"))
   }
+
+  /** HBOS-flavored multivariate rarity: per feature, a global
+    * equi-width histogram (`buckets` bins over [min, max]); a row's
+    * rarity is the PRODUCT of its bins' occupancy counts — the exact
+    * integer monotone of the histogram-based outlier score (HBOS sums
+    * log inverse densities; the count product ranks identically with
+    * no libm in sight, the no-float contract). Smallest product = the
+    * row sitting in the jointly emptiest corner of feature space.
+    *
+    * Bin index = ((v−lo)·buckets) div (hi−lo+1) over long-cast values —
+    * operands kept non-negative so Spark trunc and DuckDB floor agree;
+    * the product escalates to DECIMAL(38) (three 10⁹-row bins already
+    * overflow a long at corpus scale).
+    *
+    * Scale shape: one scan computes every feature; the per-feature
+    * min/max and the bin-occupancy tables are ≤`buckets`-row aggregates
+    * (map-side combined), broadcast back — the corpus is never
+    * shuffled, so the operator is a scan plus k micro-aggregates
+    * regardless of data size. Input must carry `featureCols` as
+    * long-castable columns; rows with any NULL feature are dropped
+    * (rarity undefined).
+    */
+  def hbosRarity(df: DataFrame, featureCols: Seq[String],
+                 buckets: Int = 16): DataFrame = {
+    require(featureCols.nonEmpty, "hbosRarity needs >= 1 feature")
+    require(buckets >= 2, "buckets must be >= 2")
+    val base0 = featureCols.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f, col(f).cast("long"))
+    }
+    val base = base0.filter(featureCols.map(col(_).isNotNull).reduce(_ && _))
+    val aggs = featureCols.flatMap(f =>
+      Seq(min(col(f)).as(s"lo_$f"), max(col(f)).as(s"hi_$f")))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val binned = featureCols.foldLeft(base.crossJoin(broadcast(stats))) {
+      (acc, f) =>
+        acc.withColumn(s"bin_$f",
+          graft.functions.IntMath.intDiv(
+            (col(f) - col(s"lo_$f")) * lit(buckets.toLong),
+            col(s"hi_$f") - col(s"lo_$f") + lit(1L)).cast("long"))
+    }.drop(featureCols.flatMap(f => Seq(s"lo_$f", s"hi_$f")): _*)
+    featureCols.foldLeft(binned) { (acc, f) =>
+      val occ = binned.groupBy(s"bin_$f")
+        .agg(count(lit(1)).cast("decimal(38,0)").as(s"occ_$f"))
+      acc.join(broadcast(occ), s"bin_$f")
+    }.withColumn("rarity",
+      featureCols.map(f => col(s"occ_$f")).reduce(_ * _)
+        .cast("decimal(38,0)"))
+  }
 }

@@ -1018,6 +1018,52 @@ object CurationQueries {
         |  UNION ALL SELECT 'status_enum', status_enum FROM s
         |  UNION ALL SELECT 'totalprice_nonneg', totalprice_nonneg FROM s)
         |ORDER BY rule""".stripMargin),
-      "declarative data-contract audit — enum/range/FK rules, one scan + one anti-join")
+      "declarative data-contract audit — enum/range/FK rules, one scan + one anti-join"),
+
+    // q242 — HBOS multivariate anomaly: rank documents by the PRODUCT
+    // of their per-feature histogram-bin occupancies (chars × tokens ×
+    // distinct-tokens, 16 equi-width bins each) — the exact integer
+    // monotone of the histogram-based outlier score, no libm. MAD
+    // (q122) flags univariate tails; HBOS flags the jointly-empty
+    // corner a doc sits in even when every marginal looks ordinary.
+    // One scan + three ≤16-row broadcast occupancy tables
+    // (operators/Stats.hbosRarity) — the corpus is never shuffled.
+    Q("q242_hbos_anomaly",
+      (s, d) => {
+        import graft.functions.TextFunctions.words
+        val f = Tables(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("f1"),
+            size(words(col("text"))).cast("long").as("f2"),
+            size(array_distinct(words(col("text")))).cast("long").as("f3"))
+        graft.operators.Stats.hbosRarity(f, Seq("f1", "f2", "f3"), 16)
+          .select(col("doc_id"), col("rarity").cast("long").as("rarity"),
+            col("f1").as("n_chars"), col("f2").as("n_tokens"),
+            col("f3").as("n_distinct"))
+          .orderBy("rarity", "doc_id").limit(15)
+      },
+      Some("""WITH f AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS f1,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)),
+        |      '\s+', ' ', 'g'), ' ')) AS BIGINT) AS f2,
+        |    CAST(len(list_distinct(string_split(regexp_replace(
+        |      lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS f3
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT min(f1) l1, max(f1) h1, min(f2) l2, max(f2) h2,
+        |    min(f3) l3, max(f3) h3 FROM f),
+        |b AS (SELECT doc_id, f1, f2, f3,
+        |    ((f1 - l1) * 16) // (h1 - l1 + 1) AS b1,
+        |    ((f2 - l2) * 16) // (h2 - l2 + 1) AS b2,
+        |    ((f3 - l3) * 16) // (h3 - l3 + 1) AS b3
+        |  FROM f, s),
+        |c1 AS (SELECT b1, CAST(count(*) AS BIGINT) n1 FROM b GROUP BY 1),
+        |c2 AS (SELECT b2, CAST(count(*) AS BIGINT) n2 FROM b GROUP BY 1),
+        |c3 AS (SELECT b3, CAST(count(*) AS BIGINT) n3 FROM b GROUP BY 1)
+        |SELECT doc_id, CAST(n1 * n2 * n3 AS BIGINT) AS rarity,
+        |  f1 AS n_chars, f2 AS n_tokens, f3 AS n_distinct
+        |FROM b JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
+        |ORDER BY rarity, doc_id LIMIT 15""".stripMargin),
+      "HBOS multivariate anomaly — product of histogram occupancies, jointly-empty corners first")
   )
 }

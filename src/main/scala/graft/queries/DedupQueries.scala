@@ -1147,6 +1147,48 @@ object DedupQueries {
         |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
         |    AS canonical_doc
         |FROM jm GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
-      "canonical-per-cluster keep list — longest document wins, id tiebreak")
+      "canonical-per-cluster keep list — longest document wins, id tiebreak"),
+
+    // q243 — CONTENT-DEFINED CHUNK dedup: Rabin-style rolling-hash cuts
+    // (4-char base-31 window, boundary at hash ≡ 0 mod 64 → ~64-char
+    // expected chunks) make chunk boundaries survive insertions, so
+    // chunk-level exact dedup catches the shared tails a fixed-width
+    // chunker (q51) loses after any edit. Top duplicated chunks across
+    // documents — the cross-doc boilerplate CDC exists to find. Pure
+    // per-row array codegen until the single chunk groupBy
+    // (operators/Dedup.cdcChunks).
+    Q("q243_cdc_chunk_dedup",
+      (s, d) => graft.operators.Dedup.cdcChunks(
+          Tables(s, d, "documents"), col("doc_id"), col("text"))
+        .groupBy("chunk")
+        .agg(countDistinct("doc_id").cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_occ"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk"))
+        .limit(15),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS ln
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 4),
+        |c AS (SELECT doc_id, text, ln,
+        |    list_transform(list_filter(range(1, ln - 2),
+        |      i -> (ord(text[i]) * 29791 + ord(text[i+1]) * 961 +
+        |            ord(text[i+2]) * 31 + ord(text[i+3])) % 64 = 0),
+        |      x -> x + 3) AS cuts
+        |  FROM d),
+        |z AS (SELECT doc_id, text,
+        |    unnest(list_zip(list_prepend(0, cuts), list_append(cuts, ln)))
+        |      AS seg
+        |  FROM c),
+        |ch AS (SELECT doc_id,
+        |    substr(text, seg[1] + 1, seg[2] - seg[1]) AS chunk
+        |  FROM z WHERE seg[2] > seg[1]),
+        |agg AS (SELECT chunk,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(length(chunk) AS BIGINT) AS chunk_len
+        |  FROM ch WHERE length(chunk) >= 8 GROUP BY 1)
+        |SELECT chunk, n_docs, n_occ, chunk_len FROM agg WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, chunk LIMIT 15""".stripMargin),
+      "content-defined chunking dedup — rolling-hash cuts stable under edits, top shared chunks")
   )
 }

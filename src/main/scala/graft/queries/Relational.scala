@@ -1319,6 +1319,16 @@ object Relational {
       (s, d) => {
         val ob = "graft_q229_orders_b"
         val lb = "graft_q229_lineitem_b"
+        // Idempotent layout rebuild: an interrupted prior run can leave the
+        // warehouse directory behind with no catalog entry, and saveAsTable
+        // (even mode=overwrite) refuses to create over an orphaned location.
+        Seq(ob, lb).foreach { name =>
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ob)
@@ -1342,6 +1352,67 @@ object Relational {
         |    AS BIGINT) AS revenue_u
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
-      "bucketed+sorted co-located join — exchange paid at layout time, not query time")
+      "bucketed+sorted co-located join — exchange paid at layout time, not query time"),
+
+    // q244 — MOST-SPECIFIC-MATCH rule join (the config-cascade /
+    // longest-prefix-match pattern): rules exist at three
+    // specificities — (brand, type) cells and type groups carrying at
+    // least the AVERAGE load of their level (1/150 resp. 1/6 of
+    // parts — enough supporting data), plus a global default — and
+    // each part binds to the MOST specific rule that exists. Instead of
+    // cascade of sequential left joins re-scanning the probe per level,
+    // both rule tables are tiny aggregates broadcast onto ONE probe
+    // pass; specificity resolution is a per-row CASE. Ratio (not
+    // absolute) thresholds keep the rule derivation scale-free.
+    Q("q244_rule_fallback_join",
+      (s, d) => {
+        val p = t(s, d, "part").select(col("p_brand"), col("p_type"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("pc"))
+        val tot = p.agg(count(lit(1)).as("tot"))
+        val l2 = p.groupBy("p_brand", "p_type")
+          .agg(count(lit(1)).as("n2")).crossJoin(broadcast(tot))
+          .filter(col("n2") * 150 >= col("tot"))
+          .select(col("p_brand"), col("p_type"), lit(1).as("f2"))
+        val l1 = p.groupBy("p_type")
+          .agg(count(lit(1)).as("n1")).crossJoin(broadcast(tot))
+          .filter(col("n1") * 6 >= col("tot"))
+          .select(col("p_type"), lit(1).as("f1"))
+        p.join(broadcast(l2), Seq("p_brand", "p_type"), "left")
+          .join(broadcast(l1), Seq("p_type"), "left")
+          .select(col("pc"),
+            when(col("f2").isNotNull, lit(2))
+              .when(col("f1").isNotNull, lit(1)).otherwise(lit(0))
+              .as("lvl"),
+            when(col("f2").isNotNull,
+                concat(col("p_brand"), lit("/"), col("p_type")))
+              .when(col("f1").isNotNull, col("p_type"))
+              .otherwise(lit("default")).as("rule_key"))
+          .groupBy("lvl", "rule_key")
+          .agg(count(lit(1)).cast("long").as("n_parts"),
+            expr("CAST(sum(pc) div count(1) AS BIGINT)").as("avg_price_c"))
+          .orderBy(col("lvl").desc, col("rule_key"))
+      },
+      Some("""WITH p AS (SELECT p_brand, p_type,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc FROM part),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM p),
+        |l2 AS (SELECT p_brand, p_type, 1 AS f2
+        |  FROM (SELECT p_brand, p_type, count(*) AS n2 FROM p GROUP BY 1, 2), tot
+        |  WHERE n2 * 150 >= tot),
+        |l1 AS (SELECT p_type, 1 AS f1
+        |  FROM (SELECT p_type, count(*) AS n1 FROM p GROUP BY 1), tot
+        |  WHERE n1 * 6 >= tot),
+        |m AS (SELECT p.pc,
+        |    CASE WHEN l2.f2 IS NOT NULL THEN 2
+        |         WHEN l1.f1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+        |    CASE WHEN l2.f2 IS NOT NULL THEN p.p_brand || '/' || p.p_type
+        |         WHEN l1.f1 IS NOT NULL THEN p.p_type
+        |         ELSE 'default' END AS rule_key
+        |  FROM p
+        |  LEFT JOIN l2 ON p.p_brand = l2.p_brand AND p.p_type = l2.p_type
+        |  LEFT JOIN l1 ON p.p_type = l1.p_type)
+        |SELECT lvl, rule_key, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(CAST(sum(pc) AS HUGEINT) // count(*) AS BIGINT) AS avg_price_c
+        |FROM m GROUP BY 1, 2 ORDER BY lvl DESC, rule_key""".stripMargin),
+      "most-specific-match rule join — broadcast rule cascade resolved in one probe pass")
   )
 }

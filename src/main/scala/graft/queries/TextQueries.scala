@@ -1032,6 +1032,48 @@ object TextQueries {
           |FROM cells JOIN t USING (lang) JOIN p USING (lang_guess)
           |ORDER BY lang, lang_guess""".stripMargin
       }),
-      "lang-id confusion matrix vs labels — exact recall/precision per cell")
+      "lang-id confusion matrix vs labels — exact recall/precision per cell"),
+
+    // q241 — PSEUDO-RELEVANCE-FEEDBACK retrieval (the RM3 shape): the
+    // seed query's BM25 top-10 docs vote expansion terms (highest tf in
+    // the feedback set, len ≥ 3, seed excluded, term-asc tie), the
+    // corpus is rescored against the expansion vocabulary through the
+    // DATA-DEPENDENT bm25ScoreBpDyn (broadcast term join — no driver
+    // round-trip), and rm3 = 2·seed + 1·expansion in exact integer
+    // weights. The feedback set is a TakeOrdered top-10, never a global
+    // sort; both scoring passes shuffle only posting lists.
+    Q("q241_prf_expansion",
+      (s, d) => graft.operators.Retrieval.prfExpand(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          Seq("spark", "join", "window"), k = 10, m = 3, minTermLen = 3)
+        .orderBy(col("rm3_bp").desc, col("doc_id")).limit(10),
+      Some(s"""$bm25Ctes,
+        |top10 AS MATERIALIZED (SELECT doc_id FROM c
+        |  ORDER BY score_bp DESC, doc_id LIMIT 10),
+        |exp AS MATERIALIZED (SELECT term FROM tok JOIN top10 USING (doc_id)
+        |  WHERE term NOT IN ('spark', 'join', 'window')
+        |    AND length(term) >= 3
+        |  GROUP BY term ORDER BY count(*) DESC, term LIMIT 3),
+        |tf2 AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE term IN (SELECT term FROM exp) GROUP BY 1, 2),
+        |df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2
+        |  GROUP BY 1),
+        |sc2 AS (SELECT tf2.doc_id,
+        |    (2 * (n + 1) * 10000 + (df + 1)) // (2 * (df + 1)) AS idf_bp,
+        |    (2 * (44 * tf * t) * 10000 + (20 * tf * t + 6 * t + 18 * dl.dl * n))
+        |      // (2 * (20 * tf * t + 6 * t + 18 * dl.dl * n)) AS tfn_bp
+        |  FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id), g),
+        |c2 AS (SELECT doc_id,
+        |    CAST(sum((2 * idf_bp * tfn_bp + 10000) // 20000) AS BIGINT)
+        |      AS exp_score
+        |  FROM sc2 GROUP BY doc_id)
+        |SELECT COALESCE(c.doc_id, c2.doc_id) AS doc_id,
+        |  CAST(COALESCE(score_bp, 0) AS BIGINT) AS seed_bp,
+        |  CAST(COALESCE(exp_score, 0) AS BIGINT) AS exp_bp,
+        |  CAST(2 * COALESCE(score_bp, 0) + COALESCE(exp_score, 0) AS BIGINT)
+        |    AS rm3_bp
+        |FROM c FULL OUTER JOIN c2 ON c.doc_id = c2.doc_id
+        |ORDER BY rm3_bp DESC, doc_id LIMIT 10""".stripMargin),
+      "pseudo-relevance-feedback expansion (RM3) — feedback top-10 votes terms, 2:1 integer fusion")
   )
 }

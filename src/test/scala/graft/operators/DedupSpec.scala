@@ -341,4 +341,60 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
     assert(got === Seq((0L, 0L)))
   }
+
+  /** Mirror of cdcChunks' cut rule for spec oracles: cut after the 4-char
+    * window ending at i+3 whenever its base-31 hash ≡ 0 (mod mask).
+    */
+  private def cdcOracle(text: String, mask: Int, minLen: Int): Seq[String] = {
+    val cuts = (0 until math.max(0, text.length - 3)).filter { i0 =>
+      val h = text(i0) * 29791 + text(i0 + 1) * 961 +
+        text(i0 + 2) * 31 + text(i0 + 3)
+      h % mask == 0
+    }.map(_ + 4) // 1-based position of the cut end
+    val bounds = 0 +: cuts :+ text.length
+    bounds.sliding(2).collect {
+      case Seq(s, e) if e > s => text.substring(s, e)
+    }.filter(_.length >= minLen).toSeq
+  }
+
+  test("cdcChunks: chunks equal the reference cut program; concat restores") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "spark join window batch stream merge sort filter scan table",
+      "abc") // under the 4-char window -> dropped entirely
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(d, col("doc_id"), col("text"),
+        mask = 16, minLen = 1)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      if (t.length >= 4)
+        assert(got(i.toLong) === cdcOracle(t, 16, 1), s"doc $i")
+      else assert(!got.contains(i.toLong))
+    }
+    // minLen = 1 keeps every segment, so chunks concatenate to the doc
+    texts.filter(_.length >= 4).zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong).mkString === t)
+    }
+  }
+
+  test("cdcChunks: boundaries re-synchronize after a prefix insertion") {
+    import spark.implicits._
+    val base = "spark join window batch stream merge sort filter scan " +
+      "table group agg hash shuffle broadcast exchange partition prune"
+    val edited = "XQZV" + base // 4-char insertion at the front
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(d, col("doc_id"), col("text"),
+        mask = 16, minLen = 1)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+    // every base chunk after the first boundary reappears verbatim in
+    // the edited doc — the fixed-width chunker property CDC exists to beat
+    val tail = chunks(1L).drop(1)
+    val editedSet = chunks(2L).toSet
+    assert(tail.nonEmpty && tail.forall(editedSet.contains),
+      s"tail chunks must survive the edit: $tail vs $editedSet")
+  }
 }

@@ -139,4 +139,37 @@ class RetrievalSpec extends SparkSpec {
       Seq("x", "y", "z"), k = 10).as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L)))
   }
+
+  test("bm25ScoreBpDyn: identical scores to the literal-term form") {
+    import spark.implicits._
+    val terms = Seq("spark", "join", "window").toDF("term")
+    val fixed = Retrieval.bm25ScoreBp(docs, col("doc_id"), col("text"),
+        Seq("spark", "join", "window"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dyn = Retrieval.bm25ScoreBpDyn(docs, col("doc_id"), col("text"),
+        terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dyn === fixed)
+  }
+
+  test("prfExpand: rm3 = 2*seed + exp; seed terms never expand") {
+    // seed hits doc 1 only; docs 1,2 share "alpha" (len>=3) -> alpha is
+    // an expansion term and rescores doc 2 even though the seed missed it
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark alpha alpha beta"),
+      (2L, "alpha gamma gamma gamma"),
+      (3L, "delta delta delta delta"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.prfExpand(d, col("doc_id"), col("text"),
+        Seq("spark"), k = 10, m = 2, minTermLen = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got.values.foreach { case (s, e, rm3) => assert(rm3 === 2 * s + e) }
+    assert(got(1L)._1 > 0L, "seed hit keeps its seed score")
+    assert(got.contains(2L) && got(2L)._1 === 0L && got(2L)._2 > 0L,
+      "expansion-only doc enters with seed_bp = 0")
+    assert(!got.contains(3L), "doc hitting neither vocabulary is absent")
+  }
 }

@@ -14,6 +14,29 @@ class StatsSpec extends SparkSpec {
     rows.toDF("g", "i", "x", "y")
   }
 
+  test("hbosRarity: rarity is the product of per-feature bin occupancies") {
+    import spark.implicits._
+    // f1 in [0, 9], 2 buckets: bin = (v*2) div 10 -> 0,0,0,1
+    // f2 in [0, 1], 2 buckets: bin = (v*2) div 2  -> 0,1,1,1
+    val d = Seq((1L, 0L, 0L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 9L, 1L))
+      .toDF("id", "f1", "f2")
+    val got = Stats.hbosRarity(d, Seq("f1", "f2"), buckets = 2)
+      .select(col("id"), col("rarity").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // occ f1: bin0=3, bin1=1; occ f2: bin0=1, bin1=3
+    assert(got === Map(1L -> 3L, 2L -> 9L, 3L -> 9L, 4L -> 3L))
+  }
+
+  test("hbosRarity: NULL features drop the row; constant feature is one bin") {
+    import spark.implicits._
+    val d = Seq((1L, Some(5L), 7L), (2L, None, 7L), (3L, Some(5L), 7L))
+      .toDF("id", "f1", "f2")
+    val got = Stats.hbosRarity(d, Seq("f1", "f2"), buckets = 4)
+      .select(col("id"), col("rarity").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 4L, 3L -> 4L), "2 rows x 2 features -> 2*2")
+  }
+
   test("spearmanByGroup: perfect monotone 10000, perfect reverse -10000") {
     val d = xy(
       ("up", 1L, 10L, 100L), ("up", 2L, 20L, 200L), ("up", 3L, 30L, 300L),

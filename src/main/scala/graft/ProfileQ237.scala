@@ -47,6 +47,7 @@ object ProfileQ237 {
     val g = li.select(col("l_orderkey").as("gk"), col("l_partkey").as("it"))
       .distinct()
     val arr = g.groupBy("gk").agg(sort_array(collect_set(col("it"))).as("a"))
+      .filter(size(col("a")) >= 2)
     val fan = arr.select(explode(flatten(transform(
         sequence(lit(0), size(col("a")) - 2),
         i => transform(sequence(i + 1, size(col("a")) - 1),

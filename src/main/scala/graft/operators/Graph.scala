@@ -20,8 +20,9 @@ object Graph {
     *
     * Scale shape: pair enumeration is the ARRAY FAN-OUT — collect_set
     * per group (dedups inside the agg state, no separate distinct
-    * pass), sort_array for determinism, then a codegen'd
-    * nested-sequence explode of the C(n,2) pairs: ONE shuffle on the
+    * pass), sort_array for determinism, then the codegen'd
+    * transform/slice explode of the C(n,2) pairs (functions/
+    * ArrayPairs): ONE shuffle on the
     * group key where the basket-keyed self-join paid shuffle + join +
     * dedup (measured 8.1 s → 3.3 s on the sf0.1 co-purchase graph —
     * the q218 frequent-triples lesson applied at the source). Fan-out
@@ -38,11 +39,8 @@ object Graph {
     // The distinct pair table feeds BOTH union branches of the
     // symmetrization and, through them, the degree aggregate — cache it
     // so the build runs once, not per consumer.
-    val pairs = arr.select(explode(flatten(transform(
-        sequence(lit(0), size(col("a")) - 2),
-        i => transform(sequence(i + 1, size(col("a")) - 1),
-          j => struct(element_at(col("a"), i + 1).as("u"),
-            element_at(col("a"), j + 1).as("v")))))).as("p"))
+    val pairs = arr
+      .select(explode(graft.functions.ArrayPairs.pairs(col("a"))).as("p"))
       .select(col("p.u"), col("p.v"))
       .distinct()
       .cache()

@@ -342,14 +342,16 @@ object AnalyticsQueries {
     // deduplicates orientation; ONE co-partitioned shuffle.
     Q("q129_basket_pairs",
       (s, d) => {
-        val li = Tables(s, d, "lineitem")
+        // Array fan-out, not a basket self-join: collect_set dedups the
+        // (order, supplier) rows inside the agg state; the sorted array
+        // emits its C(n,2) pairs in codegen (functions/ArrayPairs).
+        val arr = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .distinct()
-        val a = li.select(col("ok"), col("sk").as("s_a"))
-        val b = li.select(col("ok"), col("sk").as("s_b"))
-        a.join(b, "ok")
-          .filter(col("s_a") < col("s_b"))
-          .groupBy("s_a", "s_b")
+          .groupBy("ok")
+          .agg(sort_array(collect_set(col("sk"))).as("a"))
+        arr.select(explode(graft.functions.ArrayPairs.pairs(col("a")))
+            .as("p"))
+          .groupBy(col("p.u").as("s_a"), col("p.v").as("s_b"))
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("s_a"), col("s_b"))
           .limit(20)

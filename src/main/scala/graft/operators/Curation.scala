@@ -534,4 +534,51 @@ object Curation {
       .orderBy((col("class_size") +: qNames.map(col)): _*)
       .limit(top)
   }
+
+  /** BUDGET-CONSTRAINED greedy selection: rows in (quality desc, id
+    * asc) order while the running weight total stays within budget =
+    * (Σweight · budgetNum) div budgetDen — the "best docs until the
+    * token budget runs out" curation primitive.
+    *
+    * Semantically identical to a global cumulative-sum window, but
+    * computed WITHOUT a global sort of the corpus: per-quality-value
+    * bins aggregate their weight (bounded by the quality domain — bp
+    * scores give ≤ 10⁴+1 bins), a tiny descending window over the bin
+    * table finds the fully-included bins and THE one boundary bin, and
+    * only boundary-bin rows (one quality value) pay an ordered prefix
+    * window. At 100 TB the corpus-sized stages are one groupBy(quality)
+    * with map-side combine and two broadcast semi-joins; nothing global
+    * ever sees more than one bin.
+    *
+    * Returns the selected rows as (id, w, q). Budget arithmetic is
+    * exact-integer; weights must be non-negative longs.
+    */
+  def budgetSelect(df: DataFrame, id: Column, weight: Column,
+                   quality: Column, budgetNum: Long,
+                   budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget must be a ratio >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val f = df.select(id.as("id"), weight.cast("long").as("w"),
+      quality.cast("long").as("q"))
+    val budget = f.agg(
+      expr(s"(sum(w) * $budgetNum) div $budgetDen").as("b"))
+    // ≤ |quality domain| rows: the window is driver-scale by contract.
+    val bins = f.groupBy("q").agg(sum("w").as("qt"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum", sum("qt").over(Window.orderBy(col("q").desc)))
+    val full = bins.filter(col("cum") <= col("b")).select("q")
+    val boundary = bins
+      .filter(col("cum") > col("b") && col("cum") - col("qt") < col("b"))
+      .select(col("q"), (col("b") - (col("cum") - col("qt"))).as("rem"))
+    val selFull = f.join(broadcast(full), "q")
+    // One quality value's rows: the unpartitioned window is bin-bounded.
+    val selBoundary = f.join(broadcast(boundary), "q")
+      .withColumn("c2", sum("w").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("c2") <= col("rem"))
+      .select("q", "id", "w")
+    selFull.select("id", "w", "q")
+      .unionAll(selBoundary.select("id", "w", "q"))
+  }
 }

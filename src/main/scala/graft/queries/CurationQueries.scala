@@ -1064,6 +1064,49 @@ object CurationQueries {
         |  f1 AS n_chars, f2 AS n_tokens, f3 AS n_distinct
         |FROM b JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
         |ORDER BY rarity, doc_id LIMIT 15""".stripMargin),
-      "HBOS multivariate anomaly — product of histogram occupancies, jointly-empty corners first")
+      "HBOS multivariate anomaly — product of histogram occupancies, jointly-empty corners first"),
+
+    // q245 — TOKEN-BUDGET curation: keep the highest-quality documents
+    // (type-token ratio in exact bp) until 25% of the corpus's tokens
+    // are spent — the data-mixing "best docs under budget" primitive.
+    // The oracle is the textbook global cumulative-sum window; the
+    // Spark side computes the IDENTICAL selection with no global sort:
+    // per-quality-bin totals (≤ 10⁴+1 rows), a tiny bin-table window
+    // for the cutoff, and an ordered prefix over the single boundary
+    // bin only (operators/Curation.budgetSelect).
+    Q("q245_budget_select",
+      (s, d) => {
+        import graft.functions.TextFunctions.words
+        import graft.functions.IntMath
+        val f = Tables(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("tokens"),
+            size(array_distinct(words(col("text")))).cast("long").as("nd"))
+          .withColumn("qbp", IntMath.bp(col("nd"), col("tokens")))
+        Curation.budgetSelect(f, col("doc_id"), col("tokens"), col("qbp"),
+            budgetNum = 1L, budgetDen = 4L)
+          .join(f.select(col("doc_id").as("id"), col("source")), "id")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("w").cast("long").as("sel_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (SELECT doc_id, source,
+        |    CAST(len(ws) AS BIGINT) AS tokens,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS nd
+        |  FROM (SELECT doc_id, source,
+        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |        ' ') AS ws
+        |    FROM documents WHERE text IS NOT NULL)),
+        |q AS (SELECT doc_id, source, tokens,
+        |    (2 * nd * 10000 + tokens) // (2 * tokens) AS qbp FROM f),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) // 4 AS b FROM q),
+        |sel AS (SELECT source, tokens,
+        |    sum(tokens) OVER (ORDER BY qbp DESC, doc_id) AS cum FROM q)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS sel_tokens
+        |FROM sel, tot WHERE cum <= b GROUP BY 1 ORDER BY 1""".stripMargin),
+      "token-budget curation — greedy best-quality selection without a global sort")
   )
 }

@@ -281,4 +281,24 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq(("LA", "gold", 1L, 1L), ("NY", "base", 2L, 1L),
       ("NY", "gold", 3L, 2L)))
   }
+
+  test("budgetSelect: equals the global greedy cumsum, boundary bin split") {
+    import spark.implicits._
+    // total w = 9; quality bins: q10 = {1,2} (w 3+3), q5 = {3 w1, 5 w2},
+    // q1 = {4 w0... keep positive} -> use w1
+    val d = Seq((1L, 3L, 10L), (2L, 3L, 10L), (3L, 1L, 5L),
+      (5L, 2L, 5L), (4L, 1L, 1L)).toDF("id", "w", "q")
+    def sel(num: Long, den: Long): Set[Long] =
+      Curation.budgetSelect(d, col("id"), col("w"), col("q"), num, den)
+        .select("id").as[Long].collect().toSet
+    // budget = 10*8/10 = 8: q10 full (cum 6), boundary q5 rem 2 ->
+    // id 3 (c2=1) in, id 5 (c2=3) out
+    assert(sel(8L, 10L) === Set(1L, 2L, 3L))
+    // budget = 6: q10 exactly fits, boundary rem 0 -> nothing partial
+    assert(sel(6L, 10L) === Set(1L, 2L))
+    // budget = 9: q5 fully included (cum 9), q1 boundary rem 0
+    assert(sel(9L, 10L) === Set(1L, 2L, 3L, 5L))
+    // budget = everything
+    assert(sel(1L, 1L) === Set(1L, 2L, 3L, 4L, 5L))
+  }
 }

@@ -2158,5 +2158,63 @@ object AnalyticsQueries {
         |SELECT user_id, CAST(wsum // dur AS BIGINT) AS twa_bp,
         |  CAST(dur AS BIGINT) AS dur_us
         |FROM a ORDER BY user_id LIMIT 100""".stripMargin),
-      "time-weighted average value per user — duration-weighted exact decimal fold"))
+      "time-weighted average value per user — duration-weighted exact decimal fold"),
+
+    // q246 — INCREMENTAL SESSIONIZATION under late data: the last two
+    // days of the feed arrive as a delta batch; instead of
+    // re-sessionizing the corpus, only the AFFECTED users (those in
+    // the delta — sessions can extend or merge across the cut) replay
+    // their history, and everyone else's base sessions are reused
+    // untouched. The ORACLE is the full recompute over all events —
+    // green means the incremental algebra is EXACTLY lossless, the
+    // q80/q172 batch-equivalence pattern applied to backfill merge.
+    // Scale shape: one semi-join prunes the replay to delta users; the
+    // untouched side is an anti-join passthrough; both sessionize
+    // passes are the single user-keyed exchange of q20.
+    Q("q246_incremental_sessions",
+      (s, d) => {
+        def sess(ev: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          ev.withColumn("prev", lag("us", 1).over(w))
+            .withColumn("new_sess",
+              when(col("prev").isNull ||
+                col("us") - col("prev") > 1800L * 1000000L, 1).otherwise(0))
+            .withColumn("session_id", sum("new_sess").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy("user_id", "session_id")
+            .agg(count(lit(1)).cast("long").as("n_events"))
+        }
+        val ev = Tables(s, d, "events").select(col("user_id"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        val cut = ev.agg((max("us") - 2L * 86400000000L).as("cut"))
+        val evc = ev.crossJoin(broadcast(cut))
+        val base = evc.filter(col("us") < col("cut")).drop("cut")
+        val affected = evc.filter(col("us") >= col("cut"))
+          .select("user_id").distinct()
+        val untouched = sess(base)
+          .join(affected, Seq("user_id"), "left_anti")
+        val replayed = sess(ev.join(affected, Seq("user_id"), "left_semi"))
+        untouched.unionAll(replayed)
+          .groupBy(col("n_events"))
+          .agg(count(lit(1)).cast("long").as("n_sessions"))
+          .orderBy("n_events")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
+      "incremental sessionization — delta-user replay + untouched passthrough equals the full recompute"))
 }

@@ -154,4 +154,14 @@ class PlansSpec extends SparkSpec {
         s"join inputs shuffled despite bucketing:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q129: basket pairs plan no join at all — pure agg + array fan-out") {
+    val p = plan("q129_basket_pairs")
+    assert(!p.contains("Join"),
+      s"pair enumeration regressed to a self-join:\n$p")
+    assert(p.contains("partial_collect_set") || p.contains("collect_set"),
+      "basket collection lost from the plan")
+    assert(p.contains("Generate explode"),
+      "array fan-out explode missing from the plan")
+  }
 }

@@ -954,6 +954,10 @@ object Dedup {
     val t = df.select(id.as("doc_id"), text.as("txt"))
       .filter(col("txt").isNotNull && length(col("txt")) >= 4)
     val ln = length(col("txt"))
+    // NOTE: substr-per-position, NOT a materialized code-point array —
+    // an aliased `transform(split(txt,''), ascii)` column gets INLINED
+    // into the filter lambda by projection collapse and recomputed at
+    // every position (O(len²): measured 12 s -> 190 s at sf0.1).
     def code(p: Column) = ascii(col("txt").substr(p, lit(1)))
     val cutEnds = transform(
       filter(sequence(lit(1), ln - 3), i =>

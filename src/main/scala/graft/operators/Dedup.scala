@@ -943,12 +943,31 @@ object Dedup {
     * shorter than `minLen` are dropped from the output (boundary noise,
     * the same role as a CDC minimum-chunk floor).
     *
-    * Scale shape: pure per-row expression work — the position sweep is
-    * a codegen'd array program (sequence → filter → zip → substr), no
-    * shuffle until the consumer's chunk groupBy; cost is O(len) per doc
-    * with a 4-char window, independent of corpus size.
+    * Scale shape: pure per-row expression work — the whole sweep is the
+    * native one-pass `CdcChunks` codegen kernel (decode code points
+    * once, roll the 4-char hash, slice segments), no shuffle until the
+    * consumer's chunk groupBy; cost is O(len) per doc, independent of
+    * corpus size. (The previous composed array program paid an O(p)
+    * UTF8String seek per `substr(txt, p, 1)` probe — O(len²) per doc,
+    * 12.1 s at sf0.1; the kernel is spec-pinned chunk-for-chunk equal
+    * to it, see `cdcChunksComposed` + DedupSpec/KernelUnicodeSpec.)
     */
   def cdcChunks(df: DataFrame, id: Column, text: Column,
+                mask: Int = 64, minLen: Int = 8): DataFrame = {
+    require(mask >= 2, "mask must be >= 2")
+    df.select(id.as("doc_id"), text.as("txt"))
+      .filter(col("txt").isNotNull && length(col("txt")) >= 4)
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunksNative.chunksCol(
+          col("txt"), mask, minLen)).as("chunk"))
+  }
+
+  /** The pre-round-9 composed-expression form of [[cdcChunks]], kept as
+    * the executable reference the native kernel is spec-pinned against
+    * (bit-equal chunks on ASCII and multi-byte text). Not used by any
+    * query — O(len²) per doc, see the kernel's Scaladoc.
+    */
+  private[graft] def cdcChunksComposed(df: DataFrame, id: Column, text: Column,
                 mask: Int = 64, minLen: Int = 8): DataFrame = {
     require(mask >= 2, "mask must be >= 2")
     val t = df.select(id.as("doc_id"), text.as("txt"))

@@ -60,6 +60,30 @@ class KernelUnicodeSpec extends SparkSpec {
     assert(native === agg)
   }
 
+  test("cdc chunk kernel matches composed form on multi-byte text") {
+    // supplementary chars (emoji) are one UTF8String char and one code
+    // point — the kernel's codePoints() indexing must line up with the
+    // composed form's substr/ascii char indexing
+    def pull(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // doc 4 (emoji) excluded from the comparison: supplementary-plane
+    // code points overflow the composed form's ANSI Int column (it
+    // throws); the exact-Long kernel strictly extends it there.
+    val bmp = df.filter(col("doc_id") =!= 4L)
+    val native = pull(graft.operators.Dedup.cdcChunks(
+      bmp, col("doc_id"), col("text"), mask = 5, minLen = 1))
+    val composed = pull(graft.operators.Dedup.cdcChunksComposed(
+      bmp, col("doc_id"), col("text"), mask = 5, minLen = 1))
+    assert(native === composed)
+    // supplementary-plane doc: kernel stays defined, and with minLen=1
+    // the chunks partition the doc exactly
+    val emoji = pull(graft.operators.Dedup.cdcChunks(
+      df.filter(col("doc_id") === 4L), col("doc_id"), col("text"),
+      mask = 5, minLen = 1))
+    assert(emoji(4L).mkString === docs.toMap.apply(4L))
+  }
+
   test("kernel hash60 matches the DuckDB-replayable md5 formula for unicode") {
     // hash60("0#" + gram) must equal conv(substr(md5(...),1,15),16,10)
     // for a multi-byte gram — the exact formula the oracles inline.

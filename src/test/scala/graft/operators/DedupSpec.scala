@@ -380,6 +380,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks native kernel is chunk-for-chunk equal to the composed form") {
+    import spark.implicits._
+    // real corpus (sf0.001 documents) + adversarial hand cases: doc at
+    // exactly the 4-char window, cut landing on the final position,
+    // minLen swallowing boundary fragments
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hand = Seq(
+      900L -> "abcd", 901L -> "abcde", 902L -> ("xy" * 200),
+      903L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val d = real.unionByName(hand)
+    for ((mask, minLen) <- Seq((64, 8), (16, 1), (7, 3))) {
+      def pull(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String)].collect().groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSeq }
+      val native = pull(Dedup.cdcChunks(d, col("doc_id"), col("text"),
+        mask, minLen))
+      val composed = pull(Dedup.cdcChunksComposed(d, col("doc_id"),
+        col("text"), mask, minLen))
+      assert(native === composed, s"mask=$mask minLen=$minLen")
+    }
+  }
+
   test("cdcChunks: boundaries re-synchronize after a prefix insertion") {
     import spark.implicits._
     val base = "spark join window batch stream merge sort filter scan " +

@@ -705,7 +705,7 @@ object Similarity {
     * and hardNegatives (one knnJoin through TopKPerKey; self excluded
     * after the fact, hence k+1 in).
     */
-  private def rankedNeighbors(df: DataFrame, id: Column, vec: Column,
+  private[graft] def rankedNeighbors(df: DataFrame, id: Column, vec: Column,
                               k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
@@ -717,19 +717,26 @@ object Similarity {
       .withColumn("cu", round(col("cos_sim") * 10000).cast("long"))
   }
 
-  def mutualNnMargin(df: DataFrame, id: Column, vec: Column,
-                     k: Int): DataFrame = {
-    require(k >= 1, "mutualNnMargin needs k >= 1")
-    val topk = rankedNeighbors(df, id, vec, k)
-    val sums = topk.groupBy("query_id").agg(sum("cu").as("s"))
+  /** Mutual top-1 pairs (src < dst, with the pair cosine/cu) from a
+    * ranked-neighbor table — the mutuality core shared by the exact and
+    * IVF mining paths and by the recall audit.
+    */
+  private def mutualTop1(topk: DataFrame): DataFrame = {
     val top1 = topk.filter(col("rn") === 1)
       .select(col("query_id").as("src"), col("vec_id").as("dst"),
         col("cos_sim"), col("cu"))
-    val mutual = top1.as("x").join(
+    top1.as("x").join(
         top1.select(col("src").as("dst"), col("dst").as("src")).as("y"),
         Seq("src", "dst"))
       .filter(col("src") < col("dst"))
-    mutual
+  }
+
+  /** Margin assembly over any ranked-neighbor table (exact or IVF):
+    * mutuality + neighborhood sums + the integer margin quotient.
+    */
+  private def marginFromTopk(topk: DataFrame, k: Int): DataFrame = {
+    val sums = topk.groupBy("query_id").agg(sum("cu").as("s"))
+    mutualTop1(topk)
       .join(sums.select(col("query_id").as("src"), col("s").as("sx")), "src")
       .join(sums.select(col("query_id").as("dst"), col("s").as("sy")), "dst")
       .filter(col("cu") > 0 && (col("sx") + col("sy")) > 0)
@@ -737,6 +744,94 @@ object Similarity {
         col("cos_sim"),
         expr(s"(2 * $k * cu * 10000) div (sx + sy)").as("margin_bp"))
   }
+
+  def mutualNnMargin(df: DataFrame, id: Column, vec: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "mutualNnMargin needs k >= 1")
+    marginFromTopk(rankedNeighbors(df, id, vec, k), k)
+  }
+
+  /** Top-k neighbors per vector restricted to the query's `nprobe`
+    * nearest IVF buckets — the 100 TB substitute for the exact scored
+    * pass under [[mutualNnMargin]]/[[hardNegatives]] (the swap the
+    * exact variants' Scaladoc promises). Quantizer build, assignment
+    * ordering, rounding, and tiebreaks are EXACTLY ivfTopK's (per-label
+    * 6-dp centroids; rounded-4-dp cosine, min-label ties), so the
+    * DuckDB oracle replays the lists bit-for-bit; the rank-1 of the
+    * per-row probe ranking IS the row's assigned bucket, so every
+    * vector's own bucket is always probed.
+    *
+    * Scale shape — what changes vs the exact pass: the corpus is never
+    * broadcast. Candidates carry their assigned bucket, queries explode
+    * to (query, probe-bucket) rows, and the scored space is a
+    * BUCKET-KEYED equi-join (shuffle on bucket — at 100 TB the
+    * bucket-partitioned persisted layout of ivfTopKPartitioned serves
+    * it with no shuffle at all), scanning nprobe/C of the pair space
+    * instead of all of it. Per-query top-k still runs on TopKPerKey.
+    * Probe ranking is a per-row sorted array over the ONE broadcast
+    * centroid row — no exchange, same as assignment.
+    */
+  private[graft] def rankedNeighborsIvf(df: DataFrame, id: Column,
+      vec: Column, label: Column, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "rankedNeighborsIvf needs k >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    ArrayCosine.register(df.sparkSession)
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"), label.as("lbl"))
+    val cents = centroidsWide(e)
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("c_lbl"), col("cv")))).as("cents"))
+    // all C centroids ranked per row (sim desc, label asc — the
+    // assignToNearest fold's exact ordering; spec-pinned equal)
+    val rankedArr = array_sort(
+      transform(col("cents"), c => struct(
+        round(cos(col("v"), c.getField("cv")), 4).as("sim"),
+        c.getField("c_lbl").as("lbl"))),
+      (l, r) =>
+        when(l.getField("sim") > r.getField("sim"), -1)
+          .when(l.getField("sim") < r.getField("sim"), 1)
+          .when(l.getField("lbl") < r.getField("lbl"), -1)
+          .when(l.getField("lbl") > r.getField("lbl"), 1)
+          .otherwise(0))
+    val base = e.crossJoin(broadcast(centArr)).withColumn("ranked", rankedArr)
+    val assigned = base.select(col("vec_id"), col("v"),
+      element_at(col("ranked"), 1).getField("lbl").as("bucket"))
+    val probes = base.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      explode(transform(slice(col("ranked"), 1, nprobe),
+        p => p.getField("lbl"))).as("pb"))
+    val scored = assigned.join(probes, col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"), "cos_sim",
+        desc = true, tiebreak = Seq("vec_id"), k = k)
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .withColumn("cu", round(col("cos_sim") * 10000).cast("long"))
+  }
+
+  /** [[mutualNnMargin]] over IVF neighbor lists instead of the exact
+    * scored pass — same output contract (margins computed over the IVF
+    * neighborhoods). Pair recall vs exact is the caller's audit
+    * ([[mutualTop1Pairs]] / [[mutualTop1PairsIvf]], q247/q249).
+    */
+  def mutualNnMarginIvf(df: DataFrame, id: Column, vec: Column,
+      label: Column, k: Int, nprobe: Int): DataFrame = {
+    marginFromTopk(rankedNeighborsIvf(df, id, vec, label, k, nprobe), k)
+  }
+
+  /** Exact mutual top-1 pairs, unfiltered by margin guards — the audit
+    * ground truth for the IVF mining path.
+    */
+  def mutualTop1Pairs(df: DataFrame, id: Column, vec: Column): DataFrame =
+    mutualTop1(rankedNeighbors(df, id, vec, 1))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"))
+
+  /** IVF-list mutual top-1 pairs (see [[rankedNeighborsIvf]]). */
+  def mutualTop1PairsIvf(df: DataFrame, id: Column, vec: Column,
+      label: Column, nprobe: Int): DataFrame =
+    mutualTop1(rankedNeighborsIvf(df, id, vec, label, 1, nprobe))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"))
 
   /** Contrastive HARD-NEGATIVE mining: for every anchor that has a
     * mutual-top-1 positive, emit the triplet (anchor, positive,
@@ -755,8 +850,17 @@ object Similarity {
     * probe are joins keyed on ids. At 100 TB the pass swaps for ANN
     * lists; the triplet assembly is unchanged.
     */
-  def hardNegatives(df: DataFrame, id: Column, vec: Column): DataFrame = {
-    val topk = rankedNeighbors(df, id, vec, 2)
+  def hardNegatives(df: DataFrame, id: Column, vec: Column): DataFrame =
+    hardNegativesFromTopk(rankedNeighbors(df, id, vec, 2))
+
+  /** [[hardNegatives]] over IVF neighbor lists — the 100 TB mining
+    * regime (see [[rankedNeighborsIvf]]); same triplet contract.
+    */
+  def hardNegativesIvf(df: DataFrame, id: Column, vec: Column,
+      label: Column, nprobe: Int): DataFrame =
+    hardNegativesFromTopk(rankedNeighborsIvf(df, id, vec, label, 2, nprobe))
+
+  private def hardNegativesFromTopk(topk: DataFrame): DataFrame = {
     val top1 = topk.filter(col("rn") === 1)
       .select(col("query_id").as("anchor_id"),
         col("vec_id").as("positive_id"),

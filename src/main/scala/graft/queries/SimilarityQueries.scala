@@ -1095,6 +1095,202 @@ object SimilarityQueries {
         |UNION ALL SELECT 2, vec_id, rel_bp, mmr FROM p2
         |UNION ALL SELECT 3, vec_id, rel_bp, mmr FROM p3
         |ORDER BY pick""".stripMargin),
-      "MMR diversified top-3 from the cosine top-20 — exact integer greedy re-ranking")
+      "MMR diversified top-3 from the cosine top-20 — exact integer greedy re-ranking"),
+
+    // q247 — the documented 100 TB swap for q191, now code: mutual-NN
+    // margin mining over IVF neighbor lists (nprobe=2 of the 10 label
+    // buckets) instead of the exact all-pairs scored pass. The corpus
+    // is never broadcast: candidates carry their assigned bucket and
+    // the scored space is a bucket-keyed equi-join scanning ~nprobe/C
+    // of the pair space. Each IVF pair carries an in_exact audit flag
+    // (is it also an exact-mutual pair) — approximation visible in the
+    // result, not asserted away (operators/Similarity.rankedNeighborsIvf).
+    Q("q247_mutual_nn_ivf",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        graft.operators.Similarity.mutualNnMarginIvf(
+            e, col("vec_id"), col("embedding"), col("label"),
+            k = 4, nprobe = 2)
+          .join(graft.operators.Similarity.mutualTop1Pairs(
+              e, col("vec_id"), col("embedding"))
+              .withColumn("ex", lit(1)),
+            Seq("vec_a", "vec_b"), "left")
+          .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+            col("margin_bp"), col("ex").isNotNull.as("in_exact"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id,
+        |    embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
+        |cw AS MATERIALIZED (
+        |  SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |    FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim)
+        |  GROUP BY lbl),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, cw.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, cw.cv), 4) DESC,
+        |      cw.c_lbl) AS prn
+        |  FROM e, cw),
+        |a AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN a ON a.bucket = p.pb AND a.vec_id <> p.query_id)),
+        |tk AS MATERIALIZED (SELECT * FROM r WHERE rn <= 4),
+        |sm AS (SELECT query_id, CAST(sum(cu) AS BIGINT) AS sv
+        |  FROM tk GROUP BY 1),
+        |t1 AS (SELECT query_id AS src, vec_id AS dst, cos_sim, cu
+        |  FROM tk WHERE rn = 1),
+        |mu AS (SELECT x.src, x.dst, x.cos_sim, x.cu FROM t1 x
+        |  JOIN t1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst),
+        |xr AS MATERIALIZED (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT a2.vec_id AS query_id, b2.vec_id AS vec_id,
+        |      round(list_cosine_similarity(b2.v, a2.v), 4) AS cos_sim
+        |    FROM e a2 JOIN e b2 ON b2.vec_id <> a2.vec_id)),
+        |xt1 AS (SELECT query_id AS src, vec_id AS dst FROM xr
+        |  WHERE rn = 1),
+        |xmu AS MATERIALIZED (SELECT x.src, x.dst FROM xt1 x
+        |  JOIN xt1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst)
+        |SELECT mu.src AS vec_a, mu.dst AS vec_b, mu.cos_sim,
+        |  CAST((2 * 4 * mu.cu * 10000) // (sx.sv + sy.sv) AS BIGINT)
+        |    AS margin_bp,
+        |  xmu.src IS NOT NULL AS in_exact
+        |FROM mu JOIN sm sx ON sx.query_id = mu.src
+        |        JOIN sm sy ON sy.query_id = mu.dst
+        |LEFT JOIN xmu ON xmu.src = mu.src AND xmu.dst = mu.dst
+        |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      "mutual-NN margin mining over IVF lists (bucket-keyed scored join) with per-pair exact-mutual audit flag"),
+
+    // q248 — hard-negative triplets over the SAME IVF lists (nprobe=2):
+    // the q194 contract in the 100 TB regime — anchor/positive from
+    // IVF mutual top-1, negative = IVF rank-2, integer contrastive gap.
+    Q("q248_hard_negatives_ivf",
+      (s, d) => graft.operators.Similarity.hardNegativesIvf(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          col("label"), nprobe = 2)
+        .orderBy("anchor_id"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id,
+        |    embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
+        |cw AS MATERIALIZED (
+        |  SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |    FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim)
+        |  GROUP BY lbl),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, cw.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, cw.cv), 4) DESC,
+        |      cw.c_lbl) AS prn
+        |  FROM e, cw),
+        |a AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN a ON a.bucket = p.pb AND a.vec_id <> p.query_id)),
+        |t1 AS (SELECT query_id AS anchor_id, vec_id AS positive_id,
+        |    cos_sim AS cos_pos, cu AS cu_pos FROM r WHERE rn = 1),
+        |mu AS (SELECT x.* FROM t1 x JOIN t1 y
+        |  ON y.anchor_id = x.positive_id
+        |  AND y.positive_id = x.anchor_id),
+        |t2 AS (SELECT query_id AS anchor_id, vec_id AS negative_id,
+        |    cos_sim AS cos_neg, cu AS cu_neg FROM r WHERE rn = 2)
+        |SELECT mu.anchor_id, mu.positive_id, t2.negative_id, mu.cos_pos,
+        |  t2.cos_neg, CAST(mu.cu_pos - t2.cu_neg AS BIGINT) AS gap_bp
+        |FROM mu JOIN t2 USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin),
+      "contrastive triplets mined from IVF neighbor lists (the at-scale q194)"),
+
+    // q249 — the pair-recall scoreboard for the IVF mining path: exact
+    // vs IVF mutual top-1 pair sets full-outer-joined on the pair key,
+    // counted in one aggregate; recall_bp = how many exact-mutual pairs
+    // the nprobe=2 probe regime recovers (exact-integer quotient; the
+    // exact set is provably non-empty — the globally closest pair is
+    // always mutual).
+    Q("q249_ann_pair_recall",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val ex = graft.operators.Similarity.mutualTop1Pairs(
+          e, col("vec_id"), col("embedding")).withColumn("ex", lit(1L))
+        val iv = graft.operators.Similarity.mutualTop1PairsIvf(
+          e, col("vec_id"), col("embedding"), col("label"), nprobe = 2)
+          .withColumn("iv", lit(1L))
+        ex.join(iv, Seq("vec_a", "vec_b"), "full_outer")
+          .agg(sum(coalesce(col("iv"), lit(0L))).as("n_ivf"),
+            sum(coalesce(col("ex"), lit(0L))).as("n_exact"),
+            sum(coalesce(col("ex"), lit(0L)) * coalesce(col("iv"), lit(0L)))
+              .as("n_common"))
+          .select(col("n_ivf"), col("n_exact"), col("n_common"),
+            expr("(n_common * 10000) div n_exact").as("recall_bp"))
+      },
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id,
+        |    embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
+        |cw AS MATERIALIZED (
+        |  SELECT lbl AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT lbl, t.dim, round(avg(v[t.dim]), 6) AS cd
+        |    FROM e, generate_series(1, 64) AS t(dim) GROUP BY lbl, t.dim)
+        |  GROUP BY lbl),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, cw.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, cw.cv), 4) DESC,
+        |      cw.c_lbl) AS prn
+        |  FROM e, cw),
+        |a AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN a ON a.bucket = p.pb AND a.vec_id <> p.query_id)),
+        |it1 AS (SELECT query_id AS src, vec_id AS dst FROM r
+        |  WHERE rn = 1),
+        |imu AS MATERIALIZED (SELECT x.src, x.dst FROM it1 x
+        |  JOIN it1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst),
+        |xr AS (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT a2.vec_id AS query_id, b2.vec_id AS vec_id,
+        |      round(list_cosine_similarity(b2.v, a2.v), 4) AS cos_sim
+        |    FROM e a2 JOIN e b2 ON b2.vec_id <> a2.vec_id)),
+        |xt1 AS (SELECT query_id AS src, vec_id AS dst FROM xr
+        |  WHERE rn = 1),
+        |xmu AS MATERIALIZED (SELECT x.src, x.dst FROM xt1 x
+        |  JOIN xt1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst),
+        |j AS (SELECT coalesce(i.cnt, 0) AS n_ivf,
+        |    coalesce(x.cnt, 0) AS n_exact, coalesce(c.cnt, 0) AS n_common
+        |  FROM (SELECT CAST(count(*) AS BIGINT) cnt FROM imu) i,
+        |       (SELECT CAST(count(*) AS BIGINT) cnt FROM xmu) x,
+        |       (SELECT CAST(count(*) AS BIGINT) cnt FROM imu
+        |          JOIN xmu USING (src, dst)) c)
+        |SELECT n_ivf, n_exact, n_common,
+        |  CAST((n_common * 10000) // n_exact AS BIGINT) AS recall_bp
+        |FROM j""".stripMargin),
+      "exact-vs-IVF mutual-pair recall scoreboard (the q247 audit, one row)")
   )
 }

@@ -226,6 +226,42 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketDirs.nonEmpty)
   }
 
+  test("rankedNeighborsIvf: nprobe=C equals the exact neighbor lists") {
+    // with every bucket probed, the IVF candidate set is the full
+    // corpus, so lists must equal the exact scored pass row-for-row
+    val nLabels = emb.select("label").distinct().count().toInt
+    def pull(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rn", "cu").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    val ivf = pull(Similarity.rankedNeighborsIvf(emb, col("vec_id"),
+      col("embedding"), col("label"), k = 3, nprobe = nLabels))
+    val exact = pull(Similarity.rankedNeighbors(emb, col("vec_id"),
+      col("embedding"), k = 3))
+    assert(ivf === exact)
+  }
+
+  test("rankedNeighborsIvf rank-1 probe bucket equals assignToNearest's fold") {
+    // the per-row sorted probe array and the argmax fold must agree on
+    // every vector (same rounded cosine + min-label tie rule), so a
+    // query's own bucket is always probed
+    import graft.functions.ArrayCosine
+    ArrayCosine.register(spark)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label").as("lbl"))
+    val cents = Similarity.centroidsWide(e)
+    val fold = Similarity.assignToNearest(e.drop("lbl"), cents)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaRanked = Similarity.rankedNeighborsIvf(emb, col("vec_id"),
+      col("embedding"), col("label"), k = 1, nprobe = 1)
+    // nprobe=1 scores exactly the rank-1 bucket's candidates; recover
+    // each query's probed bucket by joining candidates back to fold
+    val probed = viaRanked.select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> fold(r.getLong(1))).toMap
+    probed.foreach { case (q, b) => assert(b === fold(q), s"query $q") }
+  }
+
   test("mutualNnMargin: mutual pairs only, hand-computed integer margins") {
     import spark.implicits._
     // 1≡2 and 3≡4 (two identical clusters on orthogonal axes); 5 leans

@@ -81,15 +81,25 @@ object AsOfJoin {
     * unix_micros) so the gap arithmetic is exact integers. Output =
     * every left column + near_id / direction ('b'/'f', null when the
     * key has no right rows at all) / gap_us.
+    *
+    * Tie rule when several right rows share one (key, time): the window
+    * order includes `__rid`, so the backward carry resolves to the MAX
+    * right id at that time and the forward carry to the MIN — fully
+    * deterministic in both engines with no caller dedupe contract
+    * (unlike [[asof]], which requires unique (key, time) because a tied
+    * payload has no well-defined winner).
     */
   def asofNearest(left: DataFrame, right: DataFrame,
                   leftKey: Column, rightKey: Column,
                   leftTime: Column, rightTime: Column,
                   rightId: Column): DataFrame = {
-    val internal = Set("__k", "__t", "__side", "__rid")
-    val clashes = left.columns.toSet & internal
+    val internal = Set("__k", "__t", "__side", "__rid",
+      "__bt", "__bid", "__ft", "__fid")
+    val outputs = Set("near_id", "direction", "gap_us")
+    val clashes = left.columns.toSet & (internal ++ outputs)
     require(clashes.isEmpty,
-      s"asofNearest reserves ${internal.mkString(", ")}; rename: ${clashes.mkString(", ")}")
+      s"asofNearest reserves ${(internal ++ outputs).mkString(", ")}; " +
+        s"rename: ${clashes.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val lAligned = left.select(
       (Seq(leftKey.as("__k"), leftTime.cast("long").as("__t"),
@@ -99,7 +109,10 @@ object AsOfJoin {
       (Seq(rightKey.as("__k"), rightTime.cast("long").as("__t"),
         lit(0).as("__side"), rightId.cast("long").as("__rid")) ++
         leftCols.map(n => lit(null).cast(left.schema(n).dataType).as(n))): _*)
-    val order = Seq(col("__t"), col("__side"))
+    // __rid in the order makes tied right rows deterministic (left rows
+    // carry a null __rid and only tie among themselves, where order is
+    // irrelevant — each sees the same right rows either way)
+    val order = Seq(col("__t"), col("__side"), col("__rid"))
     val wb = Window.partitionBy("__k").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy("__k").orderBy(order: _*)
@@ -107,21 +120,22 @@ object AsOfJoin {
     val rt = when(col("__side") === 0, col("__t"))
     val rid = when(col("__side") === 0, col("__rid"))
     val enriched = rAligned.union(lAligned)
-      .withColumn("bt", last(rt, ignoreNulls = true).over(wb))
-      .withColumn("bid", last(rid, ignoreNulls = true).over(wb))
-      .withColumn("ft", first(rt, ignoreNulls = true).over(wf))
-      .withColumn("fid", first(rid, ignoreNulls = true).over(wf))
+      .withColumn("__bt", last(rt, ignoreNulls = true).over(wb))
+      .withColumn("__bid", last(rid, ignoreNulls = true).over(wb))
+      .withColumn("__ft", first(rt, ignoreNulls = true).over(wf))
+      .withColumn("__fid", first(rid, ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
-    val backWins = col("ft").isNull ||
-      (col("bt").isNotNull && col("__t") - col("bt") <= col("ft") - col("__t"))
+    val backWins = col("__ft").isNull ||
+      (col("__bt").isNotNull &&
+        col("__t") - col("__bt") <= col("__ft") - col("__t"))
     enriched.select((leftCols.map(col) ++ Seq(
-      when(col("bt").isNull && col("ft").isNull, lit(null).cast("long"))
-        .when(backWins, col("bid")).otherwise(col("fid")).as("near_id"),
-      when(col("bt").isNull && col("ft").isNull, lit(null).cast("string"))
+      when(col("__bt").isNull && col("__ft").isNull, lit(null).cast("long"))
+        .when(backWins, col("__bid")).otherwise(col("__fid")).as("near_id"),
+      when(col("__bt").isNull && col("__ft").isNull, lit(null).cast("string"))
         .when(backWins, lit("b")).otherwise(lit("f")).as("direction"),
-      when(col("bt").isNull && col("ft").isNull, lit(null).cast("long"))
-        .when(backWins, col("__t") - col("bt"))
-        .otherwise(col("ft") - col("__t")).as("gap_us"))): _*)
+      when(col("__bt").isNull && col("__ft").isNull, lit(null).cast("long"))
+        .when(backWins, col("__t") - col("__bt"))
+        .otherwise(col("__ft") - col("__t")).as("gap_us"))): _*)
   }
 
   private def payloadType(right: DataFrame,

@@ -116,7 +116,9 @@ object Graph {
     // the upstream pair build + degree join re-execute per hop
     // (measured 6.6 s -> ~3 s at sf0.1, 3 hops)
     val e = edges.select("u", "v").cache()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var visited = e.agg(min(col("u")).as("node")).cache()
+    cached += visited
     var frontier = visited
     var rows = Vector.empty[(Long, Long, Long)]
     var cum = 1L
@@ -125,12 +127,16 @@ object Graph {
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .cache()
+      cached += next
       val size = next.count()
       cum += size
       rows :+= ((h.toLong, size, cum))
       visited = visited.unionAll(next).distinct().cache()
+      cached += visited
       frontier = next
     }
+    // result rows are already on the driver — release every hop cache
+    cached.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     rows.toDF("hop", "frontier_size", "cumulative_visited")
   }
@@ -370,9 +376,11 @@ object Graph {
         .agg(max("dg")).as[Long].head()
     }
     var e = e0
+    val keeps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val roundStats = (1 to rounds).map { rnd =>
       val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
       val keep = deg.filter(col("dg") >= k).select("u").cache()
+      keeps += keep
       // localCheckpoint, not persist: each round's edge set nests the
       // previous round's cached plan, and the CacheManager stops
       // matching those nested-InMemoryRelation subtrees at depth >= 2
@@ -392,6 +400,12 @@ object Graph {
           col("nodes").cast("long").as("nodes"),
           col("edges").cast("long").as("edges"))
     }
-    roundStats.reduce(_ unionAll _).orderBy("rnd")
+    // materialize the `rounds` stat rows, then release every per-round
+    // cache — a long bench session must not accumulate block-manager
+    // residue that evicts later queries' caches
+    val out = roundStats.reduce(_ unionAll _).orderBy("rnd")
+      .localCheckpoint(eager = true)
+    (keeps :+ e0 :+ d0).foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -37,14 +37,21 @@ object Itemsets {
     * combined agg per Lₖ; every Lₖ table rides as a broadcast; the
     * support thresholds are exact integer cross-multiplications
     * (sup·supDen ≥ n·supNum — no division anywhere). Per-basket
-    * fan-out is C(|L1 items in basket|, 3) — pathologically wide
-    * baskets would be capped upstream, the same loud contract as
-    * every dedup maxDf.
+    * fan-out is C(|L1 items in basket|, 3), bounded by the EXPLICIT
+    * `maxBasket` cap: baskets holding more L1-surviving items are
+    * DROPPED from pair/triple enumeration entirely (their support
+    * contributions vanish — the same loud drop contract as every
+    * dedup maxDf; below the cap, capped == uncapped exactly,
+    * spec-pinned). The result is materialized before return and the
+    * intermediate caches released (a 246-query bench session must not
+    * accumulate block-manager residue).
     */
   def frequentTriples(df: DataFrame, basket: Column, item: Column,
-                      supNum: Int, supDen: Int, k: Int): DataFrame = {
+                      supNum: Int, supDen: Int, k: Int,
+                      maxBasket: Int = 10000): DataFrame = {
     require(supNum >= 1 && supDen >= supNum,
       "frequentTriples needs a relative support in (0, 1]")
+    require(maxBasket >= 3, "maxBasket must be >= 3 (a triple needs 3 items)")
     val b = df.select(basket.as("bk"), item.as("it")).distinct().cache()
     val nB = b.agg(countDistinct("bk").as("nb"))
     def frequent(counted: DataFrame, supCol: Column): DataFrame =
@@ -55,6 +62,7 @@ object Itemsets {
       .select("it")
     val arr = b.join(broadcast(l1), "it")
       .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
       .cache()
     // x at 0-based i; candidates after it start at 1-based i+2
     val pairs = arr
@@ -74,7 +82,7 @@ object Itemsets {
       .select(col("x"), col("y"),
         explode(slice(col("items"), col("i") + col("j") + lit(3),
           size(col("items")))).as("z"))
-    tri
+    val out = tri
       .join(broadcast(l2), Seq("x", "y"), "left_semi")
       .join(broadcast(l2.select(col("x"), col("y").as("z"))),
         Seq("x", "z"), "left_semi")
@@ -85,5 +93,10 @@ object Itemsets {
       .agg(count(lit(1)).cast("long").as("sup"))
       .orderBy(col("sup").desc, col("item1"), col("item2"), col("item3"))
       .limit(k)
+      // materialize the k result rows, then release the round caches
+      // (the Bpe.learnMerges pattern)
+      .localCheckpoint(eager = true)
+    Seq(b, arr, l2).foreach(_.unpersist(blocking = false))
+    out
   }
 }

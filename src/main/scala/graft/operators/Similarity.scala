@@ -1026,7 +1026,10 @@ object Similarity {
             .select(col("vec_id"), col("rel_bp"),
               (col("rel_bp") * lamPct - col("ms") * (100 - lamPct)).as("mmr"))
       val top = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1)
-        .collect().head
+        .collect().headOption.getOrElse(throw new IllegalArgumentException(
+          s"mmrDiversify: candidate pool exhausted after ${picked.size} " +
+            s"of $pickK picks (corpus minus the query row must hold at " +
+            "least pickK candidates)"))
       picked :+= ((top.getLong(0), top.getLong(1), top.getLong(2)))
     }
     val spark = corpus.sparkSession

@@ -1945,16 +1945,16 @@ object AnalyticsQueries {
         |  FROM events WHERE event_type = 'purchase'),
         |w AS (SELECT *,
         |  last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-        |    OVER (PARTITION BY k ORDER BY t, side
+        |    OVER (PARTITION BY k ORDER BY t, side, pid
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) bt,
         |  last_value(CASE WHEN side = 0 THEN pid END IGNORE NULLS)
-        |    OVER (PARTITION BY k ORDER BY t, side
+        |    OVER (PARTITION BY k ORDER BY t, side, pid
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) bid,
         |  first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-        |    OVER (PARTITION BY k ORDER BY t, side
+        |    OVER (PARTITION BY k ORDER BY t, side, pid
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) ft,
         |  first_value(CASE WHEN side = 0 THEN pid END IGNORE NULLS)
-        |    OVER (PARTITION BY k ORDER BY t, side
+        |    OVER (PARTITION BY k ORDER BY t, side, pid
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) fid
         |  FROM u)
         |SELECT eid AS event_id, k AS user_id,

@@ -56,4 +56,28 @@ class ItemsetsSpec extends SparkSpec {
       .collect().map(r => r.getLong(3)).toSeq
     assert(got === Seq(2L))
   }
+
+  test("frequentTriples maxBasket: no-op below the cap, wide baskets dropped") {
+    // baskets 1-3 hold {A,B,C}; basket 4 holds 6 L1-frequent items
+    val rows = (1L to 3L).flatMap(b => Seq("A", "B", "C").map(b -> _)) ++
+      Seq("A", "B", "C", "D", "E", "F").map(4L -> _) ++
+      (5L to 8L).flatMap(b => Seq("D", "E", "F").map(b -> _))
+    val d = baskets(rows: _*)
+    def run(cap: Int) = Itemsets.frequentTriples(d, col("bk"), col("it"),
+        supNum = 1, supDen = 4, k = 100, maxBasket = cap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // cap above every basket width: identical to the default
+    assert(run(10) === run(10000))
+    // cap at 5 drops ONLY basket 4 from enumeration: ABC loses its
+    // 4th occurrence, DEF its 5th; cross triples (needing basket 4)
+    // vanish entirely
+    val capped = run(5)
+    assert(capped(("A", "B", "C", 3L)) && capped(("D", "E", "F", 4L)))
+    assert(capped.forall(t => Set(t._1, t._2, t._3).subsetOf(Set("A", "B", "C"))
+      || Set(t._1, t._2, t._3).subsetOf(Set("D", "E", "F"))))
+    val uncapped = run(10000)
+    assert(uncapped(("A", "B", "C", 4L)) && uncapped(("D", "E", "F", 5L)))
+  }
 }

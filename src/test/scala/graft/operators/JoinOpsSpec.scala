@@ -77,6 +77,37 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(5L) === ((None, None, None)))
   }
 
+  test("asofNearest: tied right rows at one (key, time) resolve deterministically") {
+    import spark.implicits._
+    // two purchases at the same micro-timestamp: backward carry must
+    // pick the MAX right id, forward carry the MIN — the engine- and
+    // run-independent rule the __rid window order pins (and the q226
+    // oracle replays)
+    val left = Seq((1L, 1L, 150L), (2L, 1L, 50L)).toDF("id", "k", "t")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L)).toDF("rk", "rt", "rid")
+    def run() = AsOfJoin.asofNearest(left, right,
+        leftKey = col("k"), rightKey = col("rk"),
+        leftTime = col("t"), rightTime = col("rt"),
+        rightId = col("rid"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    val out = run()
+    assert(out(1L) === ((9L, "b", 50L))) // backward tie -> max rid
+    assert(out(2L) === ((7L, "f", 50L))) // forward tie  -> min rid
+    assert(run() === out)
+  }
+
+  test("asofNearest rejects left columns clashing with working/output names") {
+    import spark.implicits._
+    val bad = Seq((1L, 100L, 0L)).toDF("k", "t", "near_id")
+    val right = Seq((1L, 90L, 7L)).toDF("rk", "rt", "rid")
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoin.asofNearest(bad, right, col("k"), col("rk"),
+        col("t"), col("rt"), col("rid"))
+    }
+    assert(err.getMessage.contains("near_id"))
+  }
+
   test("range join: window start inclusive, end exclusive, bucket boundary crossed") {
     import spark.implicits._
     val w = 3600L * 1000000L // 1 hour

@@ -272,27 +272,51 @@ object Analytics {
     *   frontier(r) ⟺ r.gain = max gain at r.cost
     *                 AND max gain at any STRICTLY cheaper cost < r.gain
     * — so the plan is (1) one algebraic groupBy(cost) collapsing the
-    * corpus to |distinct costs| rows, (2) a prefix-max scan over that
-    * tiny cost-sorted table, (3) one broadcast join back to recover the
-    * surviving rows. The only corpus-sized work is the scan and the
-    * groupBy exchange; the global-order window touches |distinct
-    * costs| rows, never the corpus (same bargain as every "small
-    * ordered table" window here — at 100 TB the cost domain is the
-    * bounded thing, prices not rows).
+    * corpus to |distinct costs| rows, (2) a TWO-LEVEL prefix-max over
+    * that table — range-bucket the cost domain into `preBuckets`
+    * buckets (monotone in cost, so strictly-cheaper = earlier bucket ∪
+    * earlier-in-bucket), take per-bucket maxima, run the global window
+    * only over the ≤ preBuckets bucket rows, and the per-cost window
+    * partitioned BY bucket — (3) one broadcast join back to recover
+    * the surviving rows. No window ever sees more than ~|distinct
+    * costs|/preBuckets rows, so a CONTINUOUS cost domain (|costs| ≈
+    * |rows|) cannot collapse the prefix scan onto one partition (the
+    * Rank.globalRank bargain; previously this window was unpartitioned
+    * and fine only for bounded integer cost domains).
     *
     * `cost` must be integer-typed (cast decimals to scaled longs first
     * — the same engine-stable rule as every oracle contract in this
     * repo).
     */
   def paretoFrontier2d(df: DataFrame, id: Column, cost: Column,
-                       gain: Column): DataFrame = {
+                       gain: Column, preBuckets: Int = 256): DataFrame = {
+    require(preBuckets >= 2, "preBuckets must be >= 2")
     val base = df.select(id.as("id"), cost.cast("long").as("cost"),
       gain.cast("long").as("gain"))
     val perCost = base.groupBy("cost").agg(max("gain").as("mg"))
-    val wPrefix = Window.orderBy("cost")
+    val mm = perCost.agg(min("cost").cast("double").as("pf_lo"),
+      max("cost").cast("double").as("pf_hi"))
+    val pre = when(col("pf_hi") === col("pf_lo"), lit(0))
+      .otherwise(least(lit(preBuckets - 1),
+        floor((col("cost").cast("double") - col("pf_lo")) /
+          (col("pf_hi") - col("pf_lo")) * preBuckets)))
+      .cast("int")
+    val b = perCost.crossJoin(broadcast(mm))
+      .withColumn("pf_bucket", pre).drop("pf_lo", "pf_hi")
+    // bucket-level running max over the ≤ preBuckets-row side table —
+    // the deliberate tiny single-partition window (same class as
+    // Rank.globalRank's offsets)
+    val prevBuckets = b.groupBy("pf_bucket").agg(max("mg").as("bm"))
+      .withColumn("pf_prev",
+        max("bm").over(Window.orderBy("pf_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("pf_bucket", "pf_prev")
+    val wIn = Window.partitionBy("pf_bucket").orderBy("cost")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontierCosts = perCost
-      .withColumn("pm", max("mg").over(wPrefix))
+    val frontierCosts = b.join(broadcast(prevBuckets), "pf_bucket")
+      // greatest ignores nulls: max over strictly-cheaper costs =
+      // earlier-in-bucket running max ∪ previous buckets' max
+      .withColumn("pm", greatest(max("mg").over(wIn), col("pf_prev")))
       .filter(col("pm").isNull || col("pm") < col("mg"))
       .select(col("cost"), col("mg").as("gain"))
     base.join(broadcast(frontierCosts), Seq("cost", "gain"), "left_semi")

@@ -209,6 +209,27 @@ class AnalyticsSpec extends SparkSpec {
       (4L, -1L, 1L), (5L, 0L, 1L), (6L, -1L, 0L)))
   }
 
+  test("paretoFrontier2d: continuous cost domain (all costs distinct) stays exact") {
+    import spark.implicits._
+    // every cost unique -> |distinct costs| == |rows|, the regime the
+    // two-level bucketed prefix exists for; preBuckets far below and
+    // above the row count must agree with brute force
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 500L).map(i => (i, i * 13 % 9973, rnd.nextInt(1000).toLong))
+    val want = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    for (pb <- Seq(4, 64, 4096)) {
+      val got = Analytics.paretoFrontier2d(
+          pts.toDF("id", "cost", "gain"),
+          col("id"), col("cost"), col("gain"), preBuckets = pb)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === want, s"preBuckets=$pb")
+    }
+  }
+
   test("paretoFrontier2d: duplicate frontier points all survive") {
     import spark.implicits._
     val d = Seq((1L, 10L, 5L), (2L, 10L, 5L), (3L, 10L, 4L), (4L, 20L, 9L))

@@ -88,14 +88,19 @@ class PlansSpec extends SparkSpec {
       "wedge/edge stats lost their map-side combine")
   }
 
-  test("q185: per-cost partial_max before the prefix window; semi-join back") {
+  test("q185: per-cost partial_max; bucket-partitioned prefix window; semi-join back") {
     val p = plan("q185_pareto_frontier")
     assert(p.contains("partial_max"),
       "per-cost max lost its map-side combine — corpus reaches the window")
     assert(p.contains("LeftSemi"),
       "frontier recovery must be a semi-join, not a full join")
-    assert(occurrences(p, "Exchange SinglePartition") === 1,
-      s"prefix-max window must run once over the collapsed cost table:\n$p")
+    // the per-cost running max must ride a window PARTITIONED by the
+    // range bucket — a continuous cost domain (|costs| ≈ |rows|) must
+    // never collapse the prefix scan onto one partition; the only
+    // single-partition windows allowed ride the ≤ preBuckets-row
+    // bucket table (Rank.globalRank's bargain)
+    assert(p.contains("hashpartitioning(pf_bucket"),
+      s"per-cost prefix window lost its bucket partitioning:\n$p")
   }
 
   test("q186: delta fold collapses before the day window") {

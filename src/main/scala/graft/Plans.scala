@@ -103,7 +103,44 @@ object Plans {
     "q209_personalized_pagerank" -> "q180's superstep shape with a sparse score table: contributions filtered to s>0 (the reachable frontier), teleport only at the broadcast seed row; per-superstep caches keep lineage linear; top-k via TakeOrderedAndProject.",
     "q210_compaction_plan" -> "one algebraic groupBy(source) with partial combine; the exchange carries |sources| rows; the ceil is a per-row projection.",
     "q211_dup_pressure" -> "text hashes to 8-byte keys BEFORE the distinct (the q23 shuffle discipline); per-source counts and distinct counts share the source-keyed exchange; ratio is a projection over |sources| rows.",
-    "q212_inverted_partitioned" -> "the postings build pays its shuffle once at layout time (partitionBy bucket write); the probe must show PartitionFilters on the bucket (file-level pruning — 1/16 of the index scanned) + TakeOrderedAndProject.")
+    "q212_inverted_partitioned" -> "the postings build pays its shuffle once at layout time (partitionBy bucket write); the probe must show PartitionFilters on the bucket (file-level pruning — 1/16 of the index scanned) + TakeOrderedAndProject.",
+    "q213_bpe_merges" -> "corpus collapses ONCE to the frequency-weighted vocab agg; each round = one weighted pair agg with partial_ combine over the vocab + a 1-row winner broadcast + per-row replace; rounds chain off localCheckpoints (no lineage growth), never re-scan parquet.",
+    "q214_ks_two_sample" -> "NO single-partition window over the fact: distinct-value collapse with partial combine, $25-bucket offsets through a |buckets|-row window, within-bucket prefix windows partitioned by bucket; D-fold is an algebraic max over the value table.",
+    "q215_target_encoding_loo" -> "customer dim and the 5-row segment aggregate both behind BroadcastExchange; the fact side has NO exchange before the final projection (loo is per-row arithmetic).",
+    "q216_phrase_search" -> "isin(phrase terms) filter on the exploded token stream BEFORE any exchange (only |phrase| posting lists shuffle); the hit join is equi on (doc_id, pos−offset); top-k via TakeOrderedAndProject.",
+    "q217_chi_square" -> "one (a,b) hash agg with partial_ combine collapses the fact; margins ride back as broadcast joins over the |cells| table; one row out — no second fact scan.",
+    "q218_frequent_triples" -> "ONE basket-keyed exchange builds the sorted L1-survivor arrays (size <= maxBasket enforced); pair and triple enumeration are per-row posexplode/slice codegen fan-out (no basket self-joins); every Lk prunes as a broadcast semi-join probe BEFORE the count agg; supports are integer cross-multiplications.",
+    "q219_label_propagation" -> "per round: one score-to-edges join + one target-keyed (node, label) count agg with partial combine + deterministic max-struct tiebreak fold; round state rides localCheckpoint (lineage truncated); community rollup is a tiny second agg + TakeOrderedAndProject.",
+    "q220_ndcg_graded" -> "queries (vec_id < 4) behind BroadcastExchange; ONE corpus-slice scan through the codegen'd cosine; per-query top-10 via TopKPerKey; gains/discounts are exact-integer projections; ideal ranking from the same top-k artifact, not a second scan.",
+    "q221_kcore_peel" -> "per round: degree agg with partial combine + two endpoint LeftSemi probes; each round's edge set is localCheckpointed (no nested-cache replay); only (nodes, edges) scalars leave the round; k arrives as a broadcast order statistic.",
+    "q222_bpe_fertility" -> "merge table learned once (q213's shape) and applied as a fold of literal replaces over the vocab agg — the corpus collapses once, application is per-row; fertility/bp rollup is a 1-row algebraic agg.",
+    "q223_k_anonymity" -> "ONE (nation, segment) hash agg with partial count + partial distinct over the shifted-cents band; riskiest classes via TakeOrderedAndProject — no window, no self-join.",
+    "q224_matryoshka_recall" -> "queries broadcast; one corpus scan PER ranking with the prefix truncation inside the codegen'd cosine (slice) — no re-materialized truncated vector table; rankings collapse via TopKPerKey before broadcast-sized overlap joins.",
+    "q225_langid_confusion" -> "guess is a scan-side marker projection; ONE (lang, guess) agg with partial combine; both margins ride back as broadcast joins over the <= |langs|² cell table.",
+    "q226_asof_nearest" -> "union + ONE user-keyed exchange feeding BOTH running frames (backward last / forward first share the (t, side, rid) sort — the rid makes tied right rows deterministic); direction/gap are post-window projections; no range theta-join.",
+    "q227_er_pipeline" -> "blocking windows partition by the 2-char block; verify joins keyed on doc ids; components run the capped union-find; every lineage count is a 1-row agg crossJoined — the corpus never self-joins.",
+    "q228_streaming_percentiles" -> "per-batch state contributes (group, priority-cents, n) partials merged by addition (state bounded by distinct values per group); percentile finish is the integer cross-multiplication over the state table — no history rescan, no sort of the raw feed.",
+    "q229_bucketed_colocated_join" -> "both facts written bucketed+sorted by the join key; the query-time join shows ZERO Exchange on either side (PlansSpec-asserted) — the shuffle was paid once at layout time.",
+    "q230_wap_manifest" -> "both manifests are per-partition algebraic (count, DECIMAL hash-sum) aggs with partial combine; the audit is a partition-keyed join of two |partitions|-row tables; verdict is a projection.",
+    "q231_weighted_jaccard" -> "tf postings ride the df-capped bounded_long_list buckets (one gram-keyed shuffle); Σmin streams off the posting join keyed on (doc_a, doc_b, gram); Σmax is computed as Ta+Tb−Σmin from broadcast totals — the union multiset never materializes.",
+    "q232_score_calibration" -> "decile rank comes from Rank.globalRank (bucket-partitioned windows + 256-row offset broadcast — no single-partition fact window); the decile formula is an exact integer projection; final agg is 10 rows.",
+    "q233_colbert_maxsim" -> "query chunks behind BroadcastExchange; corpus explodes ONCE to (doc, chunk); per-chunk cosines integerize to bp BEFORE the max/sum tree (exact integer agg); per-doc score is one (doc) agg + TakeOrderedAndProject.",
+    "q234_cluster_canonical" -> "the only window partitions by cluster_id over the membership table (cluster-sized); component build is the capped union-find; keep-list join keyed on doc_id.",
+    "q235_mann_whitney" -> "value-level collapse with partial combine; doubled midranks through the two-level bucketed prefix (no single-partition window); U statistics are algebraic folds; the 2Ua+2Ub=2·na·nb invariant is computed, not assumed.",
+    "q236_hazard_table" -> "ONE per-user min/max agg (partial combine) collapses the feed; lifetime-day table is <= 31 rows; at-risk reverse running sum rides that tiny table's window; hazard is an exact bp projection.",
+    "q237_degree_mixing_chi2" -> "edges from the ArrayPairs codegen fan-out (no basket self-join); degree join keyed on the node; bitlen binning is a per-row projection; ONE (du_bin, dv_bin) agg with partial combine + broadcast margins — no join in the stats fold.",
+    "q238_time_weighted_avg" -> "ONE user-keyed exchange feeds both the lead window and the final per-user agg (partitioning reused); micros×bp products stay DECIMAL inside the projection; one division per user at the end.",
+    "q239_data_contract" -> "all conditional rule counts fold in ONE agg over a shared scan; the FK rule is a broadcast anti-join count; output assembles from 1-row aggregates — the batch is scanned twice total (rules + FK), never per rule.",
+    "q240_mmr_diversify" -> "candidate set and pairwise-cosine table are top-k artifacts (20/400 rows, broadcast-sized); each greedy round is one small agg + a LIMIT 1 driver argmax (bounded-driver contract, exhaustion guarded); the corpus is scanned once for the top-20.",
+    "q241_prf_expansion" -> "feedback set = TakeOrdered top-10 (no global sort); expansion terms from a feedback-doc-keyed agg; BOTH scoring passes shuffle only isin-filtered posting lists; the expansion vocabulary joins as a broadcast (bm25ScoreBpDyn — no driver round-trip).",
+    "q242_hbos_anomaly" -> "three <= 16-row occupancy tables ride back as BroadcastExchanges onto ONE corpus scan; the product score is a per-row projection; top-k via TakeOrderedAndProject — the corpus is never shuffled.",
+    "q243_cdc_chunk_dedup" -> "the ENTIRE cut sweep is the one-pass graft_cdc_chunks codegen kernel on the scan projection (no sequence/filter array program, no per-position substr seeks); zero exchanges before the chunk groupBy (partial combine) + TakeOrderedAndProject.",
+    "q244_rule_fallback_join" -> "both rule levels are tiny aggregates behind BroadcastExchange probed in ONE pass over the part scan; specificity pick is a coalesce projection — no cascade of sequential probe-rescanning joins.",
+    "q245_budget_select" -> "NO global sort: per-quality-bin totals (<= 10001 rows) with partial combine; the cutoff bin from that table's window; the ordered prefix window runs ONLY over the boundary bin's rows; everything else is broadcast-joined projections.",
+    "q246_incremental_sessions" -> "delta users isolate via a LeftSemi (replay) / LeftAnti (passthrough) split on the SAME base scan; only affected users' events re-window; the merge is a union — proven equal to the full recompute by the oracle, at delta-sized cost.",
+    "q247_mutual_nn_ivf" -> "the scored space is a BUCKET-KEYED equi-join (corpus never broadcast, ~nprobe/C of the pair space); probe ranking is a per-row sorted array over ONE broadcast centroid row (no exchange); per-query top-k via TopKPerKey; the exact audit side is the q191 shape, present only for the in_exact flag.",
+    "q248_hard_negatives_ivf" -> "pure IVF path (no exact pass anywhere): bucket-keyed scored join + TopKPerKey; mutuality LeftSemi on the (anchor, positive) pair; rank-2 probe joins on the anchor id.",
+    "q249_ann_pair_recall" -> "both pair sets collapse to (vec_a, vec_b) keys before ONE full-outer join; the scoreboard is a single algebraic agg over that pair-sized table; recall_bp is an exact integer quotient over a provably nonzero denominator.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

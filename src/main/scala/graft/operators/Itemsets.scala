@@ -46,9 +46,17 @@ object Itemsets {
     * intermediate caches released (a 246-query bench session must not
     * accumulate block-manager residue).
     */
+  /** @param materialize eagerly localCheckpoint the k result rows and
+    *   release the staircase caches (the default — bench-session
+    *   hygiene). `false` returns the lazy plan (caches left alive) for
+    *   plan introspection: PlansSpec asserts the staircase shape on
+    *   this form, since the materialized form's plan is just the
+    *   checkpoint scan.
+    */
   def frequentTriples(df: DataFrame, basket: Column, item: Column,
                       supNum: Int, supDen: Int, k: Int,
-                      maxBasket: Int = 10000): DataFrame = {
+                      maxBasket: Int = 10000,
+                      materialize: Boolean = true): DataFrame = {
     require(supNum >= 1 && supDen >= supNum,
       "frequentTriples needs a relative support in (0, 1]")
     require(maxBasket >= 3, "maxBasket must be >= 3 (a triple needs 3 items)")
@@ -82,7 +90,7 @@ object Itemsets {
       .select(col("x"), col("y"),
         explode(slice(col("items"), col("i") + col("j") + lit(3),
           size(col("items")))).as("z"))
-    val out = tri
+    val lazyOut = tri
       .join(broadcast(l2), Seq("x", "y"), "left_semi")
       .join(broadcast(l2.select(col("x"), col("y").as("z"))),
         Seq("x", "z"), "left_semi")
@@ -93,10 +101,13 @@ object Itemsets {
       .agg(count(lit(1)).cast("long").as("sup"))
       .orderBy(col("sup").desc, col("item1"), col("item2"), col("item3"))
       .limit(k)
+    if (!materialize) lazyOut
+    else {
       // materialize the k result rows, then release the round caches
       // (the Bpe.learnMerges pattern)
-      .localCheckpoint(eager = true)
-    Seq(b, arr, l2).foreach(_.unpersist(blocking = false))
-    out
+      val out = lazyOut.localCheckpoint(eager = true)
+      Seq(b, arr, l2).foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 }

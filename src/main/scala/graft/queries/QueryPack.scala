@@ -23,9 +23,10 @@ final case class Q(
 
 object QueryPack {
   lazy val all: Seq[Q] =
-    Relational.qs ++ DedupQueries.qs ++ SimilarityQueries.qs ++
-      TextQueries.qs ++ MultimodalQueries.qs ++ PipelineQueries.qs ++
-      CurationQueries.qs ++ AnalyticsQueries.qs
+    Relational.qs ++ JoinQueries.qs ++ DedupQueries.qs ++
+      SimilarityQueries.qs ++ TextQueries.qs ++ MultimodalQueries.qs ++
+      PipelineQueries.qs ++ CurationQueries.qs ++ AnalyticsQueries.qs ++
+      GraphStatsQueries.qs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

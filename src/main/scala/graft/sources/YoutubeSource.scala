@@ -135,6 +135,20 @@ class YoutubeMicroBatchStream(options: Map[String, String])
   private def units: Seq[String] =
     YoutubeDataSource.transportFor(options).listUnits(options)
 
+  // RATE LIMIT / backpressure: at most this many units admitted per
+  // trigger (the reference's 5-minute poll under API-quota pressure —
+  // a lagging consumer drains a large backlog in bounded batches
+  // instead of one giant catch-up batch). Unset = drain everything
+  // available. Composes with Trigger.AvailableNow: the drain becomes a
+  // MULTI-TRIGGER staircase of capped batches, each committed to the
+  // checkpoint, until the pinned backlog end is reached.
+  private val maxPerTrigger: Option[Int] =
+    options.get("maxUnitsPerTrigger").map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxUnitsPerTrigger must be >= 1, got $n")
+      n
+    }
+
   // Trigger.AvailableNow contract: pin the backlog end at query start
   // so the drain terminates even while new units keep appearing.
   @volatile private var availableNowTarget: Option[Int] = None
@@ -142,9 +156,16 @@ class YoutubeMicroBatchStream(options: Map[String, String])
     availableNowTarget = Some(units.size)
 
   override def initialOffset(): Offset = YoutubeOffset(0)
-  // SupportsAdmissionControl route: the engine calls the 2-arg form
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    YoutubeOffset(availableNowTarget.getOrElse(units.size))
+  // SupportsAdmissionControl route: the engine calls the 2-arg form;
+  // the source self-caps (admission decided here, not via ReadLimit
+  // parsing, so the cap also holds under composite AvailableNow limits)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(units.size)
+    val s = start.asInstanceOf[YoutubeOffset].n
+    YoutubeOffset(maxPerTrigger
+      .map(m => math.min(target.toLong, s.toLong + m).toInt)
+      .getOrElse(target))
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")

@@ -103,6 +103,62 @@ class PlansSpec extends SparkSpec {
       s"per-cost prefix window lost its bucket partitioning:\n$p")
   }
 
+  test("q218: Apriori staircase — codegen fan-out, broadcast closure probes, no self-join") {
+    // asserted on the unmaterialized form (the query's default
+    // materializes via localCheckpoint for cache hygiene, which hides
+    // the staircase behind the checkpoint scan)
+    val baskets = graft.util.Tables(spark, sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        (org.apache.spark.sql.functions.col("l_partkey") % 50).as("it"))
+    val p = graft.operators.Itemsets.frequentTriples(baskets,
+        org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("it"),
+        supNum = 1, supDen = 2, k = 20, materialize = false)
+      .queryExecution.explainString(SimpleMode)
+    assert(occurrences(p, "SortMergeJoin") === 0,
+      s"pair/triple enumeration must be the codegen fan-out, not basket self-joins:\n$p")
+    assert(occurrences(p, "LeftSemi") >= 3,
+      "the three Apriori closure probes must be semi-joins")
+    assert(occurrences(p, "Generate") >= 2,
+      "pair and triple fan-outs must be explode Generates over the basket array")
+    assert(p.contains("partial_count"),
+      "support counts lost their map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort")
+  }
+
+  test("q237: whole-graph stats fold has no sort-merge join; edges from the array fan-out") {
+    val p = plan("q237_degree_mixing_chi2")
+    assert(occurrences(p, "SortMergeJoin") === 0,
+      s"degree/margin joins must all broadcast; edges come from the ArrayPairs fan-out:\n$p")
+    assert(occurrences(p, "Generate") >= 1,
+      "edge enumeration must be the ArrayPairs explode, not a self-join")
+    assert(p.contains("partial_count"),
+      "the contingency agg lost its map-side combine")
+  }
+
+  test("q243: one-pass native CDC kernel; zero exchanges before the chunk agg") {
+    val p = plan("q243_cdc_chunk_dedup")
+    assert(p.contains("graft_cdc_chunks"),
+      "the cut sweep must be the native one-pass kernel")
+    assert(!p.contains("sequence("),
+      "the composed per-position array program must be gone")
+    // exactly the two agg exchanges ((chunk, doc_id) distinct pre-agg,
+    // then (chunk)); nothing shuffles before the Generate
+    assert(occurrences(p, "Exchange") === 2,
+      s"unexpected exchange structure:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort")
+  }
+
+  test("q246: incremental sessionization splits replay/passthrough as semi/anti joins") {
+    val p = plan("q246_incremental_sessions")
+    assert(p.contains("LeftSemi"),
+      "affected users' replay must be a semi-join on the delta user set")
+    assert(p.contains("LeftAnti"),
+      "untouched users' passthrough must be an anti-join on the delta user set")
+  }
+
   test("q186: delta fold collapses before the day window") {
     val p = plan("q186_sweep_concurrency")
     assert(p.contains("partial_sum"),

@@ -67,6 +67,42 @@ class YoutubeSourceSpec extends SparkSpec {
     assert(got === (1 to 4).map(i => s"""{"doc":$i}"""))
   }
 
+  test("maxUnitsPerTrigger: lagging drain proceeds in capped multi-trigger batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = new java.io.File(scratch("yt_src_rate")); dir.mkdirs()
+    (1 to 7).foreach { i =>
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, f"resp$i%02d.json").toPath, s"""{"doc":$i}""")
+    }
+    val out = scratch("yt_src_rate_out")
+    val ckpt = scratch("yt_src_rate_ckpt")
+    val q = spark.readStream.format("graft-youtube")
+      .option("path", dir.getPath)
+      .option("maxUnitsPerTrigger", "3").load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the full 7-unit backlog drains (AvailableNow pins the end)...
+    assert(spark.read.parquet(out).orderBy("unit")
+      .collect().map(_.getString(1)).toSeq ===
+      (1 to 7).map(i => s"""{"doc":$i}"""))
+    // ...but as a 3+3+1 staircase of committed batches, never one
+    // giant catch-up batch: the checkpoint's offset log holds one
+    // entry per capped trigger
+    val batches = new java.io.File(ckpt, "offsets")
+      .listFiles().map(_.getName).filter(_.forall(_.isDigit)).sorted
+    assert(batches.length === 3, s"expected 3 capped triggers, got ${batches.toSeq}")
+  }
+
+  test("maxUnitsPerTrigger rejects non-positive caps") {
+    val err = intercept[Exception] {
+      new YoutubeMicroBatchStream(Map("maxUnitsPerTrigger" -> "0"))
+    }
+    assert(err.getMessage.contains("maxUnitsPerTrigger"))
+  }
+
   test("transport option swaps the fetch implementation") {
     val df = spark.read.format("graft-youtube")
       .option("transport", classOf[CannedTransport].getName)

@@ -339,38 +339,146 @@ object Dedup {
   def minhashLsh(df: DataFrame, id: Column, text: Column, n: Int,
                  numPerm: Int, bands: Int, thr: Double,
                  maxBucket: Int): DataFrame = {
-    val bandSize = numPerm / bands
     // Cached (gram arrays): consumed by the signature build and both
     // verify-stage joins; released by the runner's clearCache().
     val d = gramSets(df, id, text, n).cache()
-    // Signature = native per-row kernel (MinHashSigExpr): one md5 per
-    // gram + numPerm cheap permutations min-combined in ONE array pass
-    // — NO shuffle (the aggregate formulation this replaces is kept as
-    // minhashSignaturesAgg for the equality property).
-    val sig = d.select(col("doc_id"),
-        graft.functions.MinHashNative.signatureCol(col("grams"), numPerm)
-          .as("sig"))
-      .filter(col("sig").isNotNull)
-    val bandCols = (0 until bands).map(b => bandSignature(col("sig"), b, bandSize))
-    val banded = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_sig")))
-    // Band buckets via the bounded aggregate: buckets larger than
-    // maxBucket eval to NULL and are dropped (degenerate-signature
-    // guard), the rest emit their candidate pairs per-row — replacing
-    // the previous window-count guard (a full sort of the banded
-    // table) plus band-key self-join with ONE aggregation.
-    val cand = bucketPairs(
-        banded.groupBy("band_id", "band_sig")
-          .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
-            .as("docs"))
-          .filter(col("docs").isNotNull)
-          .select(sort_array(col("docs")).as("docs")))
-      .distinct()
+    val cand = lshCandFromGrams(d, numPerm, bands, maxBucket)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(jaccard(col("ga"), col("gb")), 4).as("jaccard"))
+      .filter(col("jaccard") >= thr)
+  }
+
+  /** (doc_id, band_id, band_sig) rows for every document — the MinHash
+    * banding stage shared by the one-shot, quality-audit, and
+    * incremental LSH paths. Signature = native per-row kernel
+    * (MinHashSigExpr): one md5 per gram + numPerm cheap permutations
+    * min-combined in ONE array pass — NO shuffle (the aggregate
+    * formulation is kept as minhashSignaturesAgg for the equality
+    * property).
+    */
+  private def bandedSignatures(d: DataFrame, numPerm: Int,
+                               bands: Int): DataFrame = {
+    val bandSize = numPerm / bands
+    val sig = d.select(col("doc_id"),
+        graft.functions.MinHashNative.signatureCol(col("grams"), numPerm)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandCols = (0 until bands).map(b => bandSignature(col("sig"), b, bandSize))
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_sig")))
+  }
+
+  /** Band buckets via the bounded aggregate: buckets larger than
+    * maxBucket eval to NULL and are dropped (degenerate-signature
+    * guard), the rest emit their candidate pairs per-row — replacing
+    * the previous window-count guard (a full sort of the banded table)
+    * plus band-key self-join with ONE aggregation.
+    */
+  private def lshCandFromGrams(d: DataFrame, numPerm: Int, bands: Int,
+                               maxBucket: Int): DataFrame =
+    bucketPairs(
+        bandedSignatures(d, numPerm, bands)
+          .groupBy("band_id", "band_sig")
+          .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
+            .as("docs"))
+          .filter(col("docs").isNotNull)
+          .select(sort_array(col("docs")).as("docs")))
+      .distinct()
+
+  /** LSH candidate pairs WITHOUT the exact-Jaccard verify — the
+    * banding stage of [[minhashLsh]] exposed on its own, for the
+    * banding-quality scoreboard (q250: recall/precision of the
+    * candidate generator against the capped-exact ground truth).
+    */
+  def lshCandidates(df: DataFrame, id: Column, text: Column, n: Int,
+                    numPerm: Int, bands: Int, maxBucket: Int): DataFrame =
+    lshCandFromGrams(gramSets(df, id, text, n), numPerm, bands, maxBucket)
+
+  /** INCREMENTAL MinHash-LSH index maintenance — the q246
+    * batch-equivalence pattern applied to near-dup dedup: a delta of
+    * new documents arrives, and instead of re-running LSH over the
+    * corpus, the maintained result is assembled from
+    *
+    *   kept = stored base pairs whose generating band bucket is STILL
+    *          within `maxBucket` after the delta lands (bucket sizes
+    *          merge by addition — a bucket crossing the cap RETIRES
+    *          its stored pairs, exactly as the full recompute would
+    *          drop the now-degenerate bucket);
+    *   new  = delta members × members of their merged under-cap
+    *          buckets (per-doc signature work on the DELTA ONLY).
+    *
+    * This equals the full-recompute pair set EXACTLY, because bucket
+    * sizes only grow under insertion: a full-under-cap bucket was
+    * base-under-cap, so every both-base survivor was stored, and every
+    * delta-touching pair comes from a merged under-cap bucket probed
+    * by the delta side. The q251 oracle IS the full recompute — green
+    * means the incremental algebra is lossless; DedupSpec drives the
+    * retirement branch (a bucket crossing the cap) by hand.
+    *
+    * In production the base side is the PERSISTED index — (bucket key,
+    * member list, size) plus the verified pair set with generating
+    * bucket keys; here both are computed in-query from the base
+    * predicate (the same simulation contract as q246's base sessions).
+    *
+    * Output: (doc_a, doc_b, jaccard, status 'kept'|'new'), thr-filtered
+    * like [[minhashLsh]].
+    */
+  def minhashLshIncremental(df: DataFrame, id: Column, text: Column,
+                            isDelta: Column, n: Int, numPerm: Int,
+                            bands: Int, thr: Double,
+                            maxBucket: Int): DataFrame = {
+    val flags = df.select(id.as("doc_id"), isDelta.as("is_delta"))
+    val d = gramSets(df, id, text, n).cache()
+    val banded = bandedSignatures(d, numPerm, bands)
+      .join(flags, "doc_id").cache()
+    val bandedBase = banded.filter(!col("is_delta"))
+    val bandedDelta = banded.filter(col("is_delta"))
+    // the stored index: member lists for base-under-cap buckets (NULL
+    // past the cap — those buckets are already degenerate) + base sizes
+    val baseBuckets = bandedBase.groupBy("band_id", "band_sig")
+      .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
+          .as("docs"),
+        count(lit(1)).as("base_n"))
+    val deltaCounts = bandedDelta.groupBy("band_id", "band_sig")
+      .agg(count(lit(1)).as("delta_n"))
+    // merge-by-addition: the only per-bucket maintenance state
+    val alive = baseBuckets.select(col("band_id"), col("band_sig"),
+        col("base_n"))
+      .join(deltaCounts, Seq("band_id", "band_sig"), "full_outer")
+      .filter(coalesce(col("base_n"), lit(0L)) +
+        coalesce(col("delta_n"), lit(0L)) <= maxBucket)
+      .select("band_id", "band_sig")
+    // stored pairs carry their generating bucket key → retirement is a
+    // semi-join against the surviving buckets
+    val storedPairs = baseBuckets.filter(col("docs").isNotNull)
+      .select(col("band_id"), col("band_sig"),
+        explode(graft.functions.ArrayPairs.pairs(
+          sort_array(col("docs")))).as("p"))
+      .select(col("band_id"), col("band_sig"),
+        col("p.u").as("doc_a"), col("p.v").as("doc_b"))
+    val kept = storedPairs
+      .join(alive, Seq("band_id", "band_sig"), "left_semi")
+      .select("doc_a", "doc_b").distinct()
+    val newPairs = bandedDelta
+      .join(alive, Seq("band_id", "band_sig"), "left_semi")
+      .select(col("band_id"), col("band_sig"), col("doc_id").as("dd"))
+      .join(banded.select(col("band_id"), col("band_sig"),
+        col("doc_id").as("od")), Seq("band_id", "band_sig"))
+      .filter(col("dd") =!= col("od"))
+      .select(least(col("dd"), col("od")).as("doc_a"),
+        greatest(col("dd"), col("od")).as("doc_b"))
+      .distinct()
+    val cand = kept.withColumn("status", lit("kept"))
+      .unionAll(newPairs.withColumn("status", lit("new")))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("ga"), col("gb")), 4).as("jaccard"),
+        col("status"))
       .filter(col("jaccard") >= thr)
   }
 

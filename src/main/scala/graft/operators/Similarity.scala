@@ -576,7 +576,16 @@ object Similarity {
               queries: DataFrame, qid: Column, qvec: Column,
               k: Int): DataFrame = {
     ArrayCosine.register(corpus.sparkSession)
-    val c = corpus.select(id.as("vec_id"), toDouble(vec).as("v"))
+    // Scoring-parallelism guard: the M×N scored pass inherits the
+    // CORPUS SCAN's partitioning (the broadcast side adds none, and
+    // nothing shuffles before TopKPerKey's partial heaps) — a small
+    // parquet file arrives as ONE split and would serialize the whole
+    // quadratic scoring budget onto one core (caught by the sf1
+    // rehearsal: 10+ min single-threaded at 20k×20k). Spread the scan
+    // when it's narrower than the cluster; never shrink a wide one.
+    val c0 = corpus.select(id.as("vec_id"), toDouble(vec).as("v"))
+    val lanes = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = if (c0.rdd.getNumPartitions < lanes) c0.repartition(lanes) else c0
     val q = queries.select(qid.as("query_id"), toDouble(qvec).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
@@ -794,12 +803,21 @@ object Similarity {
           .when(l.getField("lbl") > r.getField("lbl"), 1)
           .otherwise(0))
     val base = e.crossJoin(broadcast(centArr)).withColumn("ranked", rankedArr)
+    // Salted bucket join: the scored join's key cardinality is C
+    // buckets, which would cap scoring parallelism at C regardless of
+    // cluster width (the q41 salting pattern — semantics unchanged,
+    // every pair still meets exactly once on its (bucket, salt) key).
+    // Members take a deterministic salt; probes replicate ×salts.
+    val salts = 8
     val assigned = base.select(col("vec_id"), col("v"),
-      element_at(col("ranked"), 1).getField("lbl").as("bucket"))
+      element_at(col("ranked"), 1).getField("lbl").as("bucket"),
+      pmod(xxhash64(col("vec_id")), lit(salts)).as("__salt"))
     val probes = base.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      explode(transform(slice(col("ranked"), 1, nprobe),
-        p => p.getField("lbl"))).as("pb"))
-    val scored = assigned.join(probes, col("bucket") === col("pb"))
+        explode(transform(slice(col("ranked"), 1, nprobe),
+          p => p.getField("lbl"))).as("pb"))
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    val scored = assigned.join(probes,
+        col("bucket") === col("pb") && assigned("__salt") === probes("__salt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cos(col("v"), col("qv")), 4).as("cos_sim"))

@@ -1189,6 +1189,90 @@ object DedupQueries {
         |  FROM ch WHERE length(chunk) >= 8 GROUP BY 1)
         |SELECT chunk, n_docs, n_occ, chunk_len FROM agg WHERE n_docs >= 2
         |ORDER BY n_docs DESC, n_occ DESC, chunk LIMIT 15""".stripMargin),
-      "content-defined chunking dedup — rolling-hash cuts stable under edits, top shared chunks")
+      "content-defined chunking dedup — rolling-hash cuts stable under edits, top shared chunks"),
+
+    // q250 — LSH BANDING QUALITY scoreboard: recall/precision of q24's
+    // candidate GENERATOR (pre-verify band collisions) against q23's
+    // capped-exact ground truth (all pairs with Jaccard ≥ 0.5 over the
+    // df-capped gram sets). The q249 audit discipline applied to
+    // dedup: the banding's miss rate is measured and reported, never
+    // assumed — this is the number that decides bands×rows at a new
+    // corpus. Precision is naturally low (banding trades precision for
+    // scan savings; the verify stage restores exactness) — reporting
+    // it honestly is the point. Both pair sets full-outer-join on the
+    // pair key; one aggregate; exact integer quotients over provably
+    // nonzero denominators (q23/q24 are non-empty on this corpus).
+    Q("q250_lsh_quality",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val truth = Dedup.ngramJaccard(docs, col("doc_id"), col("text"),
+            n = 3, thr = 0.5, maxDf = 20)
+          .select("doc_a", "doc_b").withColumn("tr", lit(1L))
+        val cand = Dedup.lshCandidates(docs, col("doc_id"), col("text"),
+            n = 3, numPerm = 16, bands = 4, maxBucket = 100)
+          .withColumn("cd", lit(1L))
+        truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(sum(coalesce(col("tr"), lit(0L))).as("n_truth"),
+            sum(coalesce(col("cd"), lit(0L))).as("n_cand"),
+            sum(coalesce(col("tr"), lit(0L)) * coalesce(col("cd"), lit(0L)))
+              .as("n_hit"))
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            expr("(n_hit * 10000) div n_truth").as("recall_bp"),
+            expr("(n_hit * 10000) div n_cand").as("precision_bp"))
+      },
+      Some(s"""$gramCtes,
+        |$minhashCtes,
+        |candm AS MATERIALIZED (SELECT doc_a, doc_b FROM cand),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 20),
+        |k AS (SELECT g.doc_id, g.gram FROM g ANTI JOIN hot USING (gram)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS DOUBLE) AS shared
+        |  FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |tp AS MATERIALIZED (
+        |  SELECT doc_a, doc_b
+        |  FROM p JOIN sz sa ON doc_a = sa.doc_id
+        |         JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE round(shared / (sa.n + sb.n - shared), 4) >= 0.5),
+        |sb AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_truth,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM candm) AS n_cand,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tp
+        |     JOIN candm USING (doc_a, doc_b)) AS n_hit)
+        |SELECT n_truth, n_cand, n_hit,
+        |  CAST((n_hit * 10000) // n_truth AS BIGINT) AS recall_bp,
+        |  CAST((n_hit * 10000) // n_cand AS BIGINT) AS precision_bp
+        |FROM sb""".stripMargin),
+      "LSH banding recall/precision vs capped-exact Jaccard ground truth (one-row audit)"),
+
+    // q251 — INCREMENTAL LSH index maintenance (the q246
+    // batch-equivalence pattern applied to near-dup dedup): docs with
+    // doc_id % 10 = 0 arrive as the delta; the maintained pair set =
+    // stored base pairs pruned of retired buckets (bucket sizes merge
+    // by ADDITION; crossing maxBucket retires the bucket's pairs,
+    // exactly as the full recompute drops the now-degenerate bucket)
+    // ∪ delta-probed pairs from merged under-cap buckets — per-doc
+    // signature work lands on the DELTA ONLY. The oracle IS the full
+    // q24 recompute with the status derived from membership: green
+    // means the incremental algebra is exactly lossless (bucket sizes
+    // only grow under insertion — the monotonicity that makes kept∪new
+    // == full a theorem, DedupSpec drives the retirement branch).
+    Q("q251_lsh_incremental",
+      (s, d) => graft.operators.Dedup.minhashLshIncremental(
+          Tables(s, d, "documents"), col("doc_id"), col("text"),
+          isDelta = col("doc_id") % 10 === 0,
+          n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 100)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$gramCtes,
+        |$minhashCtes
+        |SELECT doc_a, doc_b,
+        |  round(shared / (na + nb - shared), 4) AS jaccard,
+        |  CASE WHEN doc_a % 10 <> 0 AND doc_b % 10 <> 0
+        |       THEN 'kept' ELSE 'new' END AS status
+        |FROM j WHERE round(shared / (na + nb - shared), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "incremental LSH maintenance — delta-only signatures + bucket-size merge, oracle-proven equal to the full recompute")
   )
 }

@@ -380,6 +380,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashLshIncremental: cap crossing retires stored pairs; equals full recompute") {
+    // identical texts share every band signature, so each text cluster
+    // is one bucket per band; maxBucket = 3
+    val t = "spark join window batch stream merge sort filter scan table"
+    val o = "completely different words appear inside this other document body now"
+    val d = docs(1L -> t, 2L -> t, 3L -> t, 10L -> o, 11L -> o, 99L -> t)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashLshIncremental(d, col("doc_id"), col("text"),
+      isDelta = col("doc_id") === 99L,
+      n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 3)
+    val full = Dedup.minhashLsh(d, col("doc_id"), col("text"),
+      n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 3)
+    // base t-bucket sat EXACTLY at the cap (pairs 1-2/1-3/2-3 stored);
+    // the delta copy crosses it -> those pairs retire, matching the
+    // full recompute dropping the degenerate bucket
+    assert(pairs(full) === Set((10L, 11L)))
+    assert(pairs(inc) === pairs(full))
+    val st = inc.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(st((10L, 11L)) === "kept")
+  }
+
+  test("minhashLshIncremental: delta inside the cap adds 'new' pairs, keeps base") {
+    val t = "spark join window batch stream merge sort filter scan table"
+    val o = "completely different words appear inside this other document body now"
+    val d = docs(1L -> t, 2L -> t, 10L -> o, 11L -> o, 50L -> o)
+    val inc = Dedup.minhashLshIncremental(d, col("doc_id"), col("text"),
+        isDelta = col("doc_id") === 50L,
+        n = 3, numPerm = 16, bands = 4, thr = 0.5, maxBucket = 3)
+      .collect().map(r =>
+        ((r.getLong(0), r.getLong(1)), r.getString(3))).toMap
+    assert(inc === Map(
+      (1L, 2L) -> "kept", (10L, 11L) -> "kept",
+      (10L, 50L) -> "new", (11L, 50L) -> "new"))
+  }
+
   test("cdcChunks native kernel is chunk-for-chunk equal to the composed form") {
     import spark.implicits._
     // real corpus (sf0.001 documents) + adversarial hand cases: doc at

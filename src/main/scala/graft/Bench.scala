@@ -24,6 +24,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size file splits to the BENCH scale, not the 128 MB cluster
+      // default: the test tables arrive as 1-2 splits under the
+      // default, so every narrow pre-shuffle segment (tokenize, gram
+      // build, signature kernels) serializes onto one core — the sf1
+      // rehearsal measured a 760 s single-task shuffle-map stage that
+      // 32 splits turn into ~25 s. At 100 TB the same knob is set by
+      // the data (thousands of row groups); locally it must be set by
+      // hand, exactly as the brief's spill-aware sizing rule says.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "4m"))
       .config("spark.sql.adaptive.enabled", "true")
       // let AQE coalesce partitions when materializing CACHED plans too
       // (default false pins cached shuffles at the static partition count

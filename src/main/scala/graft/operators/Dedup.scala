@@ -308,11 +308,34 @@ object Dedup {
     val need = graft.functions.IntMath.intDiv(
       lit(thrBp) * col("sz") + lit(9999L), lit(10000L))
     val prefix = ranked.filter(col("rn") <= col("sz") - need + 1)
+    // PPJoin's LENGTH filter inside the fan-out: J(a,b) ≤ min/max of
+    // the set sizes, so a pair with size ratio < thr can never verify
+    // — prune it at emission, before the distinct and the verify
+    // joins. Sizes ride the postings as packed (sz << 40 | doc_id)
+    // longs (the q73 packing precedent; contract: doc ids < 2⁴⁰,
+    // gram-set sizes < 2²³), so the sorted bucket is size-ordered and
+    // the prune is one shift-compare per emitted pair in codegen.
+    // On a CLOSED vocabulary (see SCALING.md's sf1 triage) prefix
+    // postings stay dense and the pair space is inherently quadratic —
+    // this filter cuts the constant; the 100 TB escalation for such
+    // corpora is the capped q23 or LSH q24 path, documented not
+    // defaulted (losslessness is this operator's contract).
+    val idMask = (1L << 40) - 1
+    val packed = prefix.select(col("token"),
+      (shiftleft(col("sz"), 40) + col("doc_id")).as("pk"))
     val cand = bucketPairs(
-      prefix.groupBy(col("token"))
-        .agg(graft.functions.BoundedLongList(col("doc_id"), maxPost).as("docs"))
-        .filter(col("docs").isNotNull)
-        .select(sort_array(col("docs")).as("docs")))
+        packed.groupBy(col("token"))
+          .agg(graft.functions.BoundedLongList(col("pk"), maxPost).as("docs"))
+          .filter(col("docs").isNotNull)
+          .select(sort_array(col("docs")).as("docs")))
+      // ascending packed order ⟹ sz(doc_a) ≤ sz(doc_b)
+      .filter(shiftrightunsigned(col("doc_a"), 40) * 10000 >=
+        lit(thrBp) * shiftrightunsigned(col("doc_b"), 40))
+      .select(
+        least(col("doc_a").bitwiseAND(idMask),
+          col("doc_b").bitwiseAND(idMask)).as("doc_a"),
+        greatest(col("doc_a").bitwiseAND(idMask),
+          col("doc_b").bitwiseAND(idMask)).as("doc_b"))
       .distinct()
     val sets = grams.select(col("doc_id"), array_sort(col("grams")).as("toks"))
     cand

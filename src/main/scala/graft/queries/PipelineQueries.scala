@@ -887,7 +887,7 @@ object PipelineQueries {
         |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
         |FROM cnt JOIN tot ON cnt.g = tot.g
         |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
-      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230)
+      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230, q252)
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only
@@ -1067,4 +1067,103 @@ object PipelineQueries {
       |  TRUE AS audit_ok
       |FROM r GROUP BY source ORDER BY source""".stripMargin),
     "write-audit-publish: partitioned staging write audited by per-partition checksum manifest")
+
+  // q252 — STREAMING COUNT-MIN heavy hitters: q118's sketch as the
+  // fourth member of the mergeable-state family (q204 checksums, q228
+  // value-count distributions, q101 scalar aggs). Maintained state =
+  // the d×w CMS cell matrix (merged across micro-batches by plain
+  // CELL-WISE ADDITION — the sketch's defining property) plus the term
+  // dictionary (merged by union; bounded by vocabulary — the exactness
+  // contract's price; a recall-lossy production variant would keep a
+  // candidate heap instead, documented not defaulted). Finish = probe
+  // every dictionary term's d cells, est = min, top-10 by estimate
+  // with a read-time exact-count audit column. However the feed splits
+  // into batches, the final cells provably equal the one-pass batch
+  // sketch — the oracle IS the batch CMS.
+  private lazy val q252 = Q("q252_streaming_cms_hh",
+    (s, d) => {
+      import graft.functions.TextFunctions.{words, hash60}
+      val run = streamSinkRuns.incrementAndGet()
+      val cmsD = 4
+      val cmsW = 256
+      def probeCells(df: DataFrame): DataFrame =
+        df.select(col("term"),
+            explode(array((0 until cmsD).map(r =>
+              struct(lit(r).as("r"),
+                (hash60(col("term"), 101 + r) % cmsW).cast("int")
+                  .as("bkt"))): _*)).as("rb"))
+          .select(col("term"), col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val feed = graft.util.TmpDirs.perProcess("graft_q252_feed")
+      docs.repartition(3).write.mode("overwrite").parquet(feed)
+      val stateBase = graft.util.TmpDirs.perProcess(s"graft_q252_state_$run")
+      @volatile var last = -1L
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val query = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val termCnt = batch
+            .select(explode(words(col("text"))).as("term"))
+            .filter(length(col("term")) > 0)
+            .groupBy("term").agg(count(lit(1)).cast("long").as("cnt"))
+          val cells = probeCells(termCnt.select("term"))
+            .join(termCnt, "term")
+            .groupBy("r", "bkt").agg(sum("cnt").as("bsum"))
+          val dict = termCnt.select("term")
+          val (mCells, mDict) =
+            if (last < 0) (cells, dict)
+            else (
+              s.read.parquet(s"$stateBase/cells${last % 2}")
+                .unionByName(cells)
+                .groupBy("r", "bkt").agg(sum("bsum").as("bsum")),
+              s.read.parquet(s"$stateBase/dict${last % 2}")
+                .unionByName(dict).distinct())
+          mCells.write.mode("overwrite")
+            .parquet(s"$stateBase/cells${batchId % 2}")
+          mDict.write.mode("overwrite")
+            .parquet(s"$stateBase/dict${batchId % 2}")
+          last = batchId
+          ()
+        }
+        .option("checkpointLocation",
+          graft.util.TmpDirs.perProcess(s"graft_q252_ckpt_$run"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val cells = s.read.parquet(s"$stateBase/cells${last % 2}")
+      val dict = s.read.parquet(s"$stateBase/dict${last % 2}")
+      val est = probeCells(dict)
+        .join(broadcast(cells), Seq("r", "bkt"))
+        .groupBy("term").agg(min("bsum").as("cms_est"))
+      val exact = s.read.parquet(feed)
+        .select(explode(words(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).cast("long").as("exact_cnt"))
+      est.join(exact, "term")
+        .select(col("term"), col("cms_est").cast("long").as("cms_est"),
+          col("exact_cnt"),
+          (col("cms_est") - col("exact_cnt")).cast("long").as("overcount"))
+        .orderBy(col("cms_est").desc, col("term"))
+        .limit(10)
+    },
+    Some("""WITH w AS (SELECT
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |tok AS (SELECT unnest(ws) AS term FROM w),
+      |exact AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+      |  WHERE len(term) > 0 GROUP BY term),
+      |rb AS (SELECT term, cnt, r.r,
+      |    CAST(('0x' || substring(md5((101 + r.r)::VARCHAR || '#' || term), 1, 15))::BIGINT
+      |      % 256 AS INTEGER) AS bkt
+      |  FROM exact, generate_series(0, 3) AS r(r)),
+      |sums AS (SELECT r, bkt, CAST(sum(cnt) AS BIGINT) AS bsum
+      |  FROM rb GROUP BY r, bkt),
+      |est AS (SELECT rb.term, min(s.bsum) AS cms_est
+      |  FROM rb JOIN sums s ON s.r = rb.r AND s.bkt = rb.bkt
+      |  GROUP BY rb.term)
+      |SELECT e.term, e.cms_est, x.cnt AS exact_cnt,
+      |  CAST(e.cms_est - x.cnt AS BIGINT) AS overcount
+      |FROM est e JOIN exact x ON x.term = e.term
+      |ORDER BY cms_est DESC, e.term LIMIT 10""".stripMargin),
+    "streaming-maintained count-min cells (merge = cell-wise addition) -> estimate-ordered heavy hitters with exact audit")
 }

@@ -27,7 +27,11 @@ rng = np.random.default_rng(42)
 
 def write(name, table):
     os.makedirs(OUT, exist_ok=True)
-    pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
+    # row groups sized so file scans can split ~64 ways (parquet cannot
+    # split below a row group; pyarrow's 1M-row default would make the
+    # 50k-row documents table ONE unsplittable group)
+    pq.write_table(table, os.path.join(OUT, f"{name}.parquet"),
+                   row_group_size=max(1024, table.num_rows // 64))
     print(f"{name}: {table.num_rows} rows")
 
 

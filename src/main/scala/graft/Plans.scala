@@ -140,6 +140,9 @@ object Plans {
     "q246_incremental_sessions" -> "delta users isolate via a LeftSemi (replay) / LeftAnti (passthrough) split on the SAME base scan; only affected users' events re-window; the merge is a union — proven equal to the full recompute by the oracle, at delta-sized cost.",
     "q247_mutual_nn_ivf" -> "the scored space is a BUCKET-KEYED equi-join (corpus never broadcast, ~nprobe/C of the pair space); probe ranking is a per-row sorted array over ONE broadcast centroid row (no exchange); per-query top-k via TopKPerKey; the exact audit side is the q191 shape, present only for the in_exact flag.",
     "q248_hard_negatives_ivf" -> "pure IVF path (no exact pass anywhere): bucket-keyed scored join + TopKPerKey; mutuality LeftSemi on the (anchor, positive) pair; rank-2 probe joins on the anchor id.",
+    "q250_lsh_quality" -> "both pair sets collapse to (doc_a, doc_b) before ONE full-outer join; the LSH side is the banding stage alone (bounded band buckets, per-row pair emission); the truth side is the capped posting machinery; scoreboard is one aggregate over the pair-sized table.",
+    "q251_lsh_incremental" -> "delta-only banded signatures; bucket sizes merge by ADDITION (one (band,sig) agg); stored pairs carry their generating bucket key so retirement is a semi-join against surviving buckets; new pairs = delta rows joined to surviving-bucket members; verify joins keyed on doc ids.",
+    "q252_streaming_cms_hh" -> "per-batch state = d*w CMS cells merged by cell-wise addition + term dictionary by union (no history rescan); finish probes each term's d cells (min) over a broadcast of the 1024-cell state; top-10 via TakeOrderedAndProject with a read-time exact audit.",
     "q249_ann_pair_recall" -> "both pair sets collapse to (vec_a, vec_b) keys before ONE full-outer join; the scoreboard is a single algebraic agg over that pair-sized table; recall_bp is an exact integer quotient over a provably nonzero denominator.")
 
   def main(args: Array[String]): Unit = {

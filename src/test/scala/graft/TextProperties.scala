@@ -253,4 +253,33 @@ object TextProperties extends Properties("graft.text") {
       }).toMap
       got == expected
     }
+
+  /** The CDC kernel's cut program against an independent Scala
+    * reference (not the composed Spark form — a second implementation
+    * of the spec): chunks partition the doc at minLen=1, every cut
+    * follows a hash-zero 4-char window, and the kernel agrees
+    * chunk-for-chunk on arbitrary ASCII text and (mask, minLen).
+    */
+  property("cdc kernel == reference cut program on arbitrary ascii") =
+    forAll(Gen.resize(300, Gen.listOf(Gen.choose(32.toChar, 126.toChar)))
+        .map(_.mkString),
+      Gen.choose(2, 97), Gen.choose(1, 12)) { (text, mask, minLen) =>
+      import spark.implicits._
+      def ref(t: String): Seq[String] = {
+        if (t.length < 4) return Seq.empty
+        val cuts = (0 until t.length - 3).filter { i =>
+          (t(i) * 29791L + t(i + 1) * 961L + t(i + 2) * 31L +
+            t(i + 3)) % mask == 0
+        }.map(_ + 4)
+        val bounds = 0 +: cuts :+ t.length
+        bounds.sliding(2).collect {
+          case Seq(s, e) if e > s => t.substring(s, e)
+        }.filter(_.length >= minLen).toSeq
+      }
+      val got = graft.operators.Dedup.cdcChunks(
+          Seq(1L -> text).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), mask, minLen)
+        .collect().map(_.getString(1)).toSeq
+      got == ref(text)
+    }
 }

@@ -151,6 +151,26 @@ class PlansSpec extends SparkSpec {
       "top-k must not materialize a global sort")
   }
 
+  test("q251: incremental LSH — bucket-key joins only, retirement as a semi-join") {
+    val p = plan("q251_lsh_incremental")
+    assert(p.contains("LeftSemi"),
+      "stored-pair retirement must be a semi-join against surviving buckets")
+    assert(p.contains("bounded_long_list"),
+      "the stored index's member lists must ride the bounded aggregate")
+    assert(occurrences(p, "Generate") >= 1,
+      "stored pairs must come from the per-row bucket fan-out, not a self-join")
+    assert(!p.contains("CartesianProduct"),
+      "no pair space may materialize outside bucket keys")
+  }
+
+  test("q247: IVF mining scores through TopKPerKey on a salted bucket join") {
+    val p = plan("q247_mutual_nn_ivf")
+    assert(p.contains("TopKPerKey"),
+      "per-query top-k must run on the TopKPerKey node")
+    assert(p.contains("__salt"),
+      "the bucket-keyed scored join must carry the parallelism salt")
+  }
+
   test("q246: incremental sessionization splits replay/passthrough as semi/anti joins") {
     val p = plan("q246_incremental_sessions")
     assert(p.contains("LeftSemi"),

@@ -380,6 +380,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccard length filter: lossless vs brute force incl. ratio-pruned pairs") {
+    // doc 2 is doc 1 plus a long tail: high overlap but size ratio
+    // below thr, so the in-fan-out length filter prunes the pair —
+    // which is exactly right, since J <= min/max < thr; docs 3/4 are
+    // near-identical and must survive. Brute force is the judge.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      1L -> base,
+      2L -> (base + " " + ("iota kappa lambda mu nu xi omicron pi rho " * 4)),
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "one two three four five six seven eight nine zzz")
+    val got = Dedup.prefixJaccard(d, col("doc_id"), col("text"),
+        n = 3, thr = 0.6, maxPost = 1000)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same gram sets
+    val sets = Dedup.gramSets(d, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      s = sets(a).intersect(sets(b)).size
+      j = s.toDouble / (sets(a).size + sets(b).size - s)
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.6
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.contains((3L, 4L)) && !want.exists(p => p._1 == 1L))
+  }
+
   test("minhashLshIncremental: cap crossing retires stored pairs; equals full recompute") {
     // identical texts share every band signature, so each text cluster
     // is one bucket per band; maxBucket = 3

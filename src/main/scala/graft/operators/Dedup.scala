@@ -301,19 +301,30 @@ object Dedup {
       .partitionBy("doc_id").orderBy(col("df").asc, col("token").asc)
     val ranked = tok.join(dfreq, "token")
       .withColumn("rn", row_number().over(wDoc))
-    // prefix length = |x| - ceil(thr·|x|) + 1. thr is carried as exact
-    // basis points (math.round, never thr*10000 cast — 0.6*10000 is
-    // 5999.999… in IEEE) and the ceil is pure long arithmetic.
+    // prefix length = |x| - ceil(t_eff·|x|) + 1. thr is carried as
+    // exact basis points (math.round, never thr*10000 cast — 0.6*10000
+    // is 5999.999… in IEEE) and the ceil is pure long arithmetic.
+    // t_eff = (2·thrBp − 1) / 20000 — the HALF-UP slack: the verify
+    // stage thresholds the ROUNDED-4dp jaccard, so the smallest exact
+    // J that can still qualify is thr − 0.00005 (it rounds up to thr).
+    // Every pruning bound below (prefix length, size-ratio filter)
+    // must therefore admit down to t_eff, or a pair in the half-up
+    // band [thr − 0.00005, thr) would be pruned yet verify-eligible —
+    // a losslessness hole (round-9 advisor finding).
     val thrBp = math.round(thr * 10000)
+    val effNum = 2 * thrBp - 1 // t_eff numerator over 20000
     val need = graft.functions.IntMath.intDiv(
-      lit(thrBp) * col("sz") + lit(9999L), lit(10000L))
+      lit(effNum) * col("sz") + lit(19999L), lit(20000L))
     val prefix = ranked.filter(col("rn") <= col("sz") - need + 1)
     // PPJoin's LENGTH filter inside the fan-out: J(a,b) ≤ min/max of
-    // the set sizes, so a pair with size ratio < thr can never verify
-    // — prune it at emission, before the distinct and the verify
-    // joins. Sizes ride the postings as packed (sz << 40 | doc_id)
+    // the set sizes, so a pair with size ratio < t_eff can never
+    // verify — prune it at emission, before the distinct and the
+    // verify joins (t_eff, not thr: the half-up band must survive).
+    // Sizes ride the postings as packed (sz << 40 | doc_id)
     // longs (the q73 packing precedent; contract: doc ids < 2⁴⁰,
-    // gram-set sizes < 2²³), so the sorted bucket is size-ordered and
+    // gram-set sizes < 2²³ — GUARDED at pack time below, so a
+    // violating id fails loudly instead of silently corrupting the
+    // packed sort order), so the sorted bucket is size-ordered and
     // the prune is one shift-compare per emitted pair in codegen.
     // On a CLOSED vocabulary (see SCALING.md's sf1 triage) prefix
     // postings stay dense and the pair space is inherently quadratic —
@@ -321,16 +332,23 @@ object Dedup {
     // corpora is the capped q23 or LSH q24 path, documented not
     // defaulted (losslessness is this operator's contract).
     val idMask = (1L << 40) - 1
-    val packed = prefix.select(col("token"),
-      (shiftleft(col("sz"), 40) + col("doc_id")).as("pk"))
+    val pk = when(col("doc_id").between(0, idMask) && col("sz") < (1L << 23),
+        shiftleft(col("sz"), 40) + col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("prefixJaccard packed-long contract violated " +
+          "(need 0 <= doc_id < 2^40, |grams| < 2^23): doc_id="),
+        col("doc_id").cast("string"),
+        lit(" sz="), col("sz").cast("string"))))
+    val packed = prefix.select(col("token"), pk.as("pk"))
     val cand = bucketPairs(
         packed.groupBy(col("token"))
           .agg(graft.functions.BoundedLongList(col("pk"), maxPost).as("docs"))
           .filter(col("docs").isNotNull)
           .select(sort_array(col("docs")).as("docs")))
-      // ascending packed order ⟹ sz(doc_a) ≤ sz(doc_b)
-      .filter(shiftrightunsigned(col("doc_a"), 40) * 10000 >=
-        lit(thrBp) * shiftrightunsigned(col("doc_b"), 40))
+      // ascending packed order ⟹ sz(doc_a) ≤ sz(doc_b); admit down to
+      // t_eff = (2·thrBp − 1)/20000 (half-up slack, see above)
+      .filter(shiftrightunsigned(col("doc_a"), 40) * 20000 >=
+        lit(effNum) * shiftrightunsigned(col("doc_b"), 40))
       .select(
         least(col("doc_a").bitwiseAND(idMask),
           col("doc_b").bitwiseAND(idMask)).as("doc_a"),

@@ -68,10 +68,10 @@ object Itemsets {
     val l1 = frequent(
       b.groupBy("it").agg(count(lit(1)).as("sup")), col("sup"))
       .select("it")
-    val arr = b.join(broadcast(l1), "it")
+    val arrAll = b.join(broadcast(l1), "it")
       .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("items"))
-      .filter(size(col("items")) <= maxBasket)
       .cache()
+    val arr = arrAll.filter(size(col("items")) <= maxBasket)
     // x at 0-based i; candidates after it start at 1-based i+2
     val pairs = arr
       .select(posexplode(col("items")).as(Seq("i", "x")), col("items"))
@@ -106,7 +106,18 @@ object Itemsets {
       // materialize the k result rows, then release the round caches
       // (the Bpe.learnMerges pattern)
       val out = lazyOut.localCheckpoint(eager = true)
-      Seq(b, arr, l2).foreach(_.unpersist(blocking = false))
+      // The maxBasket cap DROPS over-wide baskets from enumeration
+      // (their support contributions vanish) — make that observable
+      // (no-silent-caps convention): one cheap count over the cached
+      // basket-array table, logged when nonzero so callers see that
+      // support counts shifted.
+      val dropped = arrAll.filter(size(col("items")) > maxBasket).count()
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"frequentTriples: $dropped basket(s) exceeded maxBasket=" +
+            s"$maxBasket and were dropped from pair/triple enumeration" +
+            " — support counts exclude them")
+      Seq(b, arrAll, l2).foreach(_.unpersist(blocking = false))
       out
     }
   }

@@ -1097,7 +1097,27 @@ object PipelineQueries {
       val feed = graft.util.TmpDirs.perProcess("graft_q252_feed")
       docs.repartition(3).write.mode("overwrite").parquet(feed)
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q252_state_$run")
-      @volatile var last = -1L
+      // RESTART-SAFE state resolution (round-9 advisor): state dirs are
+      // keyed BY batchId (cells_<id>/dict_<id>), and "committed" means
+      // both dirs carry their _SUCCESS marker. Each batch merges from
+      // the latest committed id STRICTLY below its own — so a resumed
+      // run re-derives its predecessor from disk (no driver-memory
+      // var to lose), and a RETRIED batchId re-reads the same
+      // predecessor and idempotently overwrites its own dirs (never
+      // the dir it reads from). All ids are retained — a retry of
+      // batch N must still find N−1 even after N once committed; the
+      // footprint is (#batches × ≤(d·w + |vocab|) rows), and a
+      // long-running production variant would GC ids < N−1 only after
+      // the checkpoint marks N durable.
+      def committedIds: Seq[Long] = {
+        val base = new java.io.File(stateBase)
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("cells_"))
+          .map(_.getName.stripPrefix("cells_").toLong)
+          .filter(id => new java.io.File(s"$stateBase/cells_$id/_SUCCESS").exists &&
+            new java.io.File(s"$stateBase/dict_$id/_SUCCESS").exists)
+          .sorted.toSeq
+      }
       val stream = s.readStream.schema(s.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
       val query = stream.writeStream
@@ -1110,19 +1130,18 @@ object PipelineQueries {
             .join(termCnt, "term")
             .groupBy("r", "bkt").agg(sum("cnt").as("bsum"))
           val dict = termCnt.select("term")
-          val (mCells, mDict) =
-            if (last < 0) (cells, dict)
-            else (
-              s.read.parquet(s"$stateBase/cells${last % 2}")
+          val prev = committedIds.filter(_ < batchId).lastOption
+          val (mCells, mDict) = prev match {
+            case None => (cells, dict)
+            case Some(p) => (
+              s.read.parquet(s"$stateBase/cells_$p")
                 .unionByName(cells)
                 .groupBy("r", "bkt").agg(sum("bsum").as("bsum")),
-              s.read.parquet(s"$stateBase/dict${last % 2}")
+              s.read.parquet(s"$stateBase/dict_$p")
                 .unionByName(dict).distinct())
-          mCells.write.mode("overwrite")
-            .parquet(s"$stateBase/cells${batchId % 2}")
-          mDict.write.mode("overwrite")
-            .parquet(s"$stateBase/dict${batchId % 2}")
-          last = batchId
+          }
+          mCells.write.mode("overwrite").parquet(s"$stateBase/cells_$batchId")
+          mDict.write.mode("overwrite").parquet(s"$stateBase/dict_$batchId")
           ()
         }
         .option("checkpointLocation",
@@ -1130,8 +1149,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      val cells = s.read.parquet(s"$stateBase/cells${last % 2}")
-      val dict = s.read.parquet(s"$stateBase/dict${last % 2}")
+      val last = committedIds.lastOption.getOrElse(
+        sys.error(s"q252: no committed CMS state under $stateBase"))
+      val cells = s.read.parquet(s"$stateBase/cells_$last")
+      val dict = s.read.parquet(s"$stateBase/dict_$last")
       val est = probeCells(dict)
         .join(broadcast(cells), Seq("r", "bkt"))
         .groupBy("term").agg(min("bsum").as("cms_est"))

@@ -409,6 +409,44 @@ class DedupSpec extends SparkSpec {
     assert(want.contains((3L, 4L)) && !want.exists(p => p._1 == 1L))
   }
 
+  test("prefixJaccard half-up band: ratio just below thr that ROUNDS to thr survives") {
+    // The verify stage thresholds round(J, 4) >= thr, so the smallest
+    // qualifying exact J is thr - 0.00005. A containment pair with
+    // size ratio in [thr - 0.00005, thr) sits exactly in that band:
+    // J = 11999/20000 = 0.59995 < 0.6, round(J, 4) = 0.6. Both the
+    // prefix-length bound and the size-ratio filter must admit it
+    // (they prune on t_eff = (2·thrBp − 1)/20000, not thr) — the
+    // round-9 advisor's losslessness hole. Minimality: for thr = 0.6
+    // the band [0.59995, 0.6) contains no fraction with denominator
+    // < 20000, so the fixture needs gram sets this large.
+    import spark.implicits._
+    val wordsB = (1 to 20002).map(i => f"w$i%06d")
+    val textB = wordsB.mkString(" ")               // 20000 3-grams
+    val textA = wordsB.take(12001).mkString(" ")   // 11999, all shared
+    val d = docs(1L -> textA, 2L -> textB)
+    val got = Dedup.prefixJaccard(d, col("doc_id"), col("text"),
+        n = 3, thr = 0.6, maxPost = 100000)
+      .select("doc_a", "doc_b", "n_a", "n_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 11999L, 20000L, 11999L, 0.6)))
+  }
+
+  test("prefixJaccard packed-long contract violations fail loudly") {
+    import spark.implicits._
+    val d = Seq((-5L, "alpha beta gamma delta"),
+                (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.prefixJaccard(d, col("doc_id"), col("text"),
+        n = 3, thr = 0.5, maxPost = 100).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("packed-long contract violated")),
+      s"expected the pack-time raise_error, got: $e")
+  }
+
   test("minhashLshIncremental: cap crossing retires stored pairs; equals full recompute") {
     // identical texts share every band signature, so each text cluster
     // is one bucket per band; maxBucket = 3

@@ -716,14 +716,45 @@ object Similarity {
     */
   private[graft] def rankedNeighbors(df: DataFrame, id: Column, vec: Column,
                               k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
-    knnJoin(e, col("vec_id"), col("v"), e, col("vec_id"), col("v"), k + 1)
+    rankedNeighborsFor(e, e, k)
+  }
+
+  /** The exact scored pass for an arbitrary QUERY SUBSET: top-k corpus
+    * neighbors per query row, with rank and the integerized 4-dp
+    * cosine. Shared by the full pass ([[rankedNeighbors]], queries =
+    * corpus) and the sampled audit ([[mutualTop1PairsSampled]],
+    * queries = an m-anchor hash sample — m×n work, linear in the
+    * corpus for fixed m). Both frames must carry (vec_id, v).
+    */
+  private def rankedNeighborsFor(corpus: DataFrame, queries: DataFrame,
+                                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    knnJoin(corpus, col("vec_id"), col("v"),
+        queries, col("vec_id"), col("v"), k + 1)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .withColumn("cu", round(col("cos_sim") * 10000).cast("long"))
+  }
+
+  /** Deterministic fixed-size anchor sample: the `m` ids with the
+    * smallest (hash60(id), id) — the q181 priority-sample discipline
+    * applied to audit scoping. Fixed SIZE (not a fixed rate): the
+    * audit's cost stays m×n as the corpus grows, and the oracle
+    * replays the selection exactly (ORDER BY md5-hash, id LIMIT m).
+    * m >= corpus makes the sample the whole corpus. Plan shape:
+    * TakeOrdered over a per-row hash projection — no global sort.
+    */
+  def anchorSampleIds(df: DataFrame, id: Column, m: Int,
+                      seed: Int): DataFrame = {
+    require(m >= 1, "anchorSampleIds needs m >= 1")
+    df.select(id.as("vec_id"),
+        graft.functions.TextFunctions
+          .hash60(id.cast("string"), seed).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(m)
+      .select("vec_id")
   }
 
   /** Mutual top-1 pairs (src < dst, with the pair cosine/cu) from a
@@ -845,11 +876,53 @@ object Similarity {
     mutualTop1(rankedNeighbors(df, id, vec, 1))
       .select(col("src").as("vec_a"), col("dst").as("vec_b"))
 
+  /** Exact mutual top-1 pairs RESTRICTED to a deterministic m-anchor
+    * hash sample — the audit ground truth at scale (round-9 verdict:
+    * the full-corpus exact pass embedded in q247/q249 was the suite's
+    * worst sf1 exponent, defeating the IVF swap at exactly the scale
+    * it targets). Each sampled anchor's top-1 is still computed over
+    * the FULL corpus (one m×n scored pass through TopKPerKey —
+    * linear in the corpus for fixed m), so the output EQUALS the
+    * full exact-mutual pair set restricted to pairs with BOTH
+    * endpoints sampled (spec-pinned): mutuality of a sampled pair
+    * needs both directions' top-1, hence both endpoints in the
+    * sample. m >= corpus degenerates to [[mutualTop1Pairs]] exactly.
+    */
+  def mutualTop1PairsSampled(df: DataFrame, id: Column, vec: Column,
+                             m: Int, seed: Int): DataFrame = {
+    val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
+    val anchors = anchorSampleIds(e, col("vec_id"), m, seed)
+    mutualTop1(rankedNeighborsFor(e, e.join(broadcast(anchors), "vec_id"), 1))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"))
+  }
+
   /** IVF-list mutual top-1 pairs (see [[rankedNeighborsIvf]]). */
   def mutualTop1PairsIvf(df: DataFrame, id: Column, vec: Column,
       label: Column, nprobe: Int): DataFrame =
     mutualTop1(rankedNeighborsIvf(df, id, vec, label, 1, nprobe))
       .select(col("src").as("vec_a"), col("dst").as("vec_b"))
+
+  /** One-row recall scoreboard of an approximate (vec_a, vec_b) pair
+    * set against a ground-truth pair set (possibly sample-restricted —
+    * [[mutualTop1PairsSampled]]): both sets collapse to pair keys,
+    * ONE full-outer join, one algebraic aggregate. recall_bp is NULL
+    * when the ground-truth set is empty (possible under sampling —
+    * reported honestly, not divided through). n_approx counts the
+    * approximate set UNRESTRICTED; n_exact/n_common count within the
+    * ground truth's scope.
+    */
+  def pairRecallScoreboard(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.withColumn("ex", lit(1L))
+      .join(approx.withColumn("iv", lit(1L)),
+        Seq("vec_a", "vec_b"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("iv"), lit(0L))), lit(0L)).as("n_ivf"),
+        coalesce(sum(coalesce(col("ex"), lit(0L))), lit(0L)).as("n_exact"),
+        coalesce(sum(coalesce(col("ex"), lit(0L)) *
+          coalesce(col("iv"), lit(0L))), lit(0L)).as("n_common"))
+      .select(col("n_ivf"), col("n_exact"), col("n_common"),
+        when(col("n_exact") > 0,
+          expr("(n_common * 10000) div n_exact")).as("recall_bp"))
 
   /** Contrastive HARD-NEGATIVE mining: for every anchor that has a
     * mutual-top-1 positive, emit the triplet (anchor, positive,

@@ -1102,21 +1102,35 @@ object SimilarityQueries {
     // buckets) instead of the exact all-pairs scored pass. The corpus
     // is never broadcast: candidates carry their assigned bucket and
     // the scored space is a bucket-keyed equi-join scanning ~nprobe/C
-    // of the pair space. Each IVF pair carries an in_exact audit flag
-    // (is it also an exact-mutual pair) — approximation visible in the
-    // result, not asserted away (operators/Similarity.rankedNeighborsIvf).
+    // of the pair space. The in_exact audit flag is SAMPLED (round-9
+    // verdict: the embedded full-corpus exact pass was the suite's
+    // worst sf1 exponent — the scale-killer of the very query built to
+    // avoid one): ground truth is the exact pass over the 1000
+    // smallest-hash anchors (m×n, linear in the corpus), so in_exact
+    // is true/false when BOTH endpoints are sampled and NULL (un-
+    // audited) otherwise — approximation AND audit scope both visible
+    // in the result, not asserted away.
     Q("q247_mutual_nn_ivf",
       (s, d) => {
         val e = Tables(s, d, "embeddings")
-        graft.operators.Similarity.mutualNnMarginIvf(
+        val sim = graft.operators.Similarity
+        val sm = sim.mutualTop1PairsSampled(
+            e, col("vec_id"), col("embedding"), m = 1000, seed = 0)
+          .withColumn("ex", lit(1))
+        val anchors = sim.anchorSampleIds(e, col("vec_id"), m = 1000,
+          seed = 0)
+        sim.mutualNnMarginIvf(
             e, col("vec_id"), col("embedding"), col("label"),
             k = 4, nprobe = 2)
-          .join(graft.operators.Similarity.mutualTop1Pairs(
-              e, col("vec_id"), col("embedding"))
-              .withColumn("ex", lit(1)),
-            Seq("vec_a", "vec_b"), "left")
+          .join(sm, Seq("vec_a", "vec_b"), "left")
+          .join(broadcast(anchors.select(col("vec_id").as("vec_a"),
+            lit(1).as("sa"))), Seq("vec_a"), "left")
+          .join(broadcast(anchors.select(col("vec_id").as("vec_b"),
+            lit(1).as("sb"))), Seq("vec_b"), "left")
           .select(col("vec_a"), col("vec_b"), col("cos_sim"),
-            col("margin_bp"), col("ex").isNotNull.as("in_exact"))
+            col("margin_bp"),
+            when(col("sa").isNotNull && col("sb").isNotNull,
+              col("ex").isNotNull).as("in_exact"))
           .orderBy("vec_a", "vec_b")
       },
       Some("""WITH e AS MATERIALIZED (SELECT vec_id,
@@ -1152,12 +1166,17 @@ object SimilarityQueries {
         |mu AS (SELECT x.src, x.dst, x.cos_sim, x.cu FROM t1 x
         |  JOIN t1 y ON y.src = x.dst AND y.dst = x.src
         |  WHERE x.src < x.dst),
+        |anc AS MATERIALIZED (SELECT vec_id FROM e
+        |  ORDER BY ('0x' || substring(md5('0#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+        |  LIMIT 1000),
         |xr AS MATERIALIZED (SELECT query_id, vec_id,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos_sim DESC, vec_id) AS rn
         |  FROM (SELECT a2.vec_id AS query_id, b2.vec_id AS vec_id,
         |      round(list_cosine_similarity(b2.v, a2.v), 4) AS cos_sim
-        |    FROM e a2 JOIN e b2 ON b2.vec_id <> a2.vec_id)),
+        |    FROM e a2 JOIN anc a0 ON a0.vec_id = a2.vec_id
+        |    JOIN e b2 ON b2.vec_id <> a2.vec_id)),
         |xt1 AS (SELECT query_id AS src, vec_id AS dst FROM xr
         |  WHERE rn = 1),
         |xmu AS MATERIALIZED (SELECT x.src, x.dst FROM xt1 x
@@ -1166,13 +1185,16 @@ object SimilarityQueries {
         |SELECT mu.src AS vec_a, mu.dst AS vec_b, mu.cos_sim,
         |  CAST((2 * 4 * mu.cu * 10000) // (sx.sv + sy.sv) AS BIGINT)
         |    AS margin_bp,
-        |  xmu.src IS NOT NULL AS in_exact
+        |  CASE WHEN s1.vec_id IS NOT NULL AND s2.vec_id IS NOT NULL
+        |       THEN xmu.src IS NOT NULL END AS in_exact
         |FROM mu JOIN sm sx ON sx.query_id = mu.src
         |        JOIN sm sy ON sy.query_id = mu.dst
         |LEFT JOIN xmu ON xmu.src = mu.src AND xmu.dst = mu.dst
+        |LEFT JOIN anc s1 ON s1.vec_id = mu.src
+        |LEFT JOIN anc s2 ON s2.vec_id = mu.dst
         |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
         |ORDER BY vec_a, vec_b""".stripMargin),
-      "mutual-NN margin mining over IVF lists (bucket-keyed scored join) with per-pair exact-mutual audit flag"),
+      "mutual-NN margin mining over IVF lists (bucket-keyed scored join) with hash-sampled exact-mutual audit flag"),
 
     // q248 — hard-negative triplets over the SAME IVF lists (nprobe=2):
     // the q194 contract in the 100 TB regime — anchor/positive from
@@ -1220,27 +1242,23 @@ object SimilarityQueries {
         |ORDER BY anchor_id""".stripMargin),
       "contrastive triplets mined from IVF neighbor lists (the at-scale q194)"),
 
-    // q249 — the pair-recall scoreboard for the IVF mining path: exact
-    // vs IVF mutual top-1 pair sets full-outer-joined on the pair key,
-    // counted in one aggregate; recall_bp = how many exact-mutual pairs
-    // the nprobe=2 probe regime recovers (exact-integer quotient; the
-    // exact set is provably non-empty — the globally closest pair is
-    // always mutual).
+    // q249 — the pair-recall scoreboard for the IVF mining path, with
+    // the SAMPLED ground truth (round-9 verdict): exact mutual pairs
+    // over the 1000 smallest-hash anchors (top-1 still over the full
+    // corpus — m×n, linear) vs the full-corpus IVF mutual set, one
+    // full-outer join + one aggregate. recall over a deterministic
+    // sample is still an honest estimate (spec-pinned against the full
+    // audit on the fixture corpus); n_ivf stays full-corpus. recall_bp
+    // is NULL if no mutual pair lands inside the sample — reported,
+    // not divided through.
     Q("q249_ann_pair_recall",
       (s, d) => {
         val e = Tables(s, d, "embeddings")
-        val ex = graft.operators.Similarity.mutualTop1Pairs(
-          e, col("vec_id"), col("embedding")).withColumn("ex", lit(1L))
+        val ex = graft.operators.Similarity.mutualTop1PairsSampled(
+          e, col("vec_id"), col("embedding"), m = 1000, seed = 0)
         val iv = graft.operators.Similarity.mutualTop1PairsIvf(
           e, col("vec_id"), col("embedding"), col("label"), nprobe = 2)
-          .withColumn("iv", lit(1L))
-        ex.join(iv, Seq("vec_a", "vec_b"), "full_outer")
-          .agg(sum(coalesce(col("iv"), lit(0L))).as("n_ivf"),
-            sum(coalesce(col("ex"), lit(0L))).as("n_exact"),
-            sum(coalesce(col("ex"), lit(0L)) * coalesce(col("iv"), lit(0L)))
-              .as("n_common"))
-          .select(col("n_ivf"), col("n_exact"), col("n_common"),
-            expr("(n_common * 10000) div n_exact").as("recall_bp"))
+        graft.operators.Similarity.pairRecallScoreboard(ex, iv)
       },
       Some("""WITH e AS MATERIALIZED (SELECT vec_id,
         |    embedding::DOUBLE[] AS v, label AS lbl FROM embeddings),
@@ -1271,12 +1289,17 @@ object SimilarityQueries {
         |imu AS MATERIALIZED (SELECT x.src, x.dst FROM it1 x
         |  JOIN it1 y ON y.src = x.dst AND y.dst = x.src
         |  WHERE x.src < x.dst),
+        |anc AS MATERIALIZED (SELECT vec_id FROM e
+        |  ORDER BY ('0x' || substring(md5('0#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+        |  LIMIT 1000),
         |xr AS (SELECT query_id, vec_id,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos_sim DESC, vec_id) AS rn
         |  FROM (SELECT a2.vec_id AS query_id, b2.vec_id AS vec_id,
         |      round(list_cosine_similarity(b2.v, a2.v), 4) AS cos_sim
-        |    FROM e a2 JOIN e b2 ON b2.vec_id <> a2.vec_id)),
+        |    FROM e a2 JOIN anc a0 ON a0.vec_id = a2.vec_id
+        |    JOIN e b2 ON b2.vec_id <> a2.vec_id)),
         |xt1 AS (SELECT query_id AS src, vec_id AS dst FROM xr
         |  WHERE rn = 1),
         |xmu AS MATERIALIZED (SELECT x.src, x.dst FROM xt1 x
@@ -1289,8 +1312,10 @@ object SimilarityQueries {
         |       (SELECT CAST(count(*) AS BIGINT) cnt FROM imu
         |          JOIN xmu USING (src, dst)) c)
         |SELECT n_ivf, n_exact, n_common,
-        |  CAST((n_common * 10000) // n_exact AS BIGINT) AS recall_bp
+        |  CASE WHEN n_exact > 0
+        |       THEN CAST((n_common * 10000) // n_exact AS BIGINT)
+        |  END AS recall_bp
         |FROM j""".stripMargin),
-      "exact-vs-IVF mutual-pair recall scoreboard (the q247 audit, one row)")
+      "exact-vs-IVF mutual-pair recall scoreboard over the hash-sampled ground truth (the q247 audit, one row)")
   )
 }

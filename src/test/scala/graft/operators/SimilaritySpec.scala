@@ -282,6 +282,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 1.0, 12500L), (3L, 4L, 1.0, 11111L)))
   }
 
+  test("mutualTop1PairsSampled: m >= corpus degenerates to the full exact set") {
+    val full = Similarity.mutualTop1Pairs(emb, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Similarity.mutualTop1PairsSampled(
+        emb, col("vec_id"), col("embedding"), m = 100000, seed = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty, "fixture corpus must have a mutual pair")
+    assert(sampled === full)
+  }
+
+  test("mutualTop1PairsSampled equals the full set restricted to sampled pairs") {
+    // the audit-scoping contract: each sampled anchor's top-1 runs over
+    // the FULL corpus, so sampling restricts WHICH pairs are audited,
+    // never what the audit says about them
+    val m = 250
+    val anchors = Similarity.anchorSampleIds(emb, col("vec_id"), m, seed = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(anchors.size === m, "fixture corpus must exceed the sample")
+    val full = Similarity.mutualTop1Pairs(emb, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = Similarity.mutualTop1PairsSampled(
+        emb, col("vec_id"), col("embedding"), m = m, seed = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled ===
+      full.filter(p => anchors.contains(p._1) && anchors.contains(p._2)))
+  }
+
+  test("sampled recall estimate tracks the full audit on the fixture corpus") {
+    // the q249 honesty pin: recall over the deterministic half-corpus
+    // sample must sit within 1500 bp of the full-audit recall (the
+    // sample is unbiased — hash order is independent of geometry; the
+    // band is wide because a 500-vector corpus has few mutual pairs)
+    def recallBp(ex: org.apache.spark.sql.DataFrame): Long = {
+      val iv = Similarity.mutualTop1PairsIvf(
+        emb, col("vec_id"), col("embedding"), col("label"), nprobe = 2)
+      val r = Similarity.pairRecallScoreboard(ex, iv).collect()(0)
+      assert(r.getLong(1) > 0, "ground truth must be non-empty")
+      r.getLong(3)
+    }
+    val full = recallBp(Similarity.mutualTop1Pairs(
+      emb, col("vec_id"), col("embedding")))
+    val sampled = recallBp(Similarity.mutualTop1PairsSampled(
+      emb, col("vec_id"), col("embedding"), m = 250, seed = 0))
+    assert(math.abs(sampled - full) <= 1500,
+      s"sampled recall $sampled bp drifted from full audit $full bp")
+  }
+
   test("halfCentroidDrift: per-dim means by id parity, orthogonal means -> 0 bp") {
     import spark.implicits._
     val d = Seq(

@@ -143,7 +143,10 @@ object Plans {
     "q250_lsh_quality" -> "both pair sets collapse to (doc_a, doc_b) before ONE full-outer join; the LSH side is the banding stage alone (bounded band buckets, per-row pair emission); the truth side is the capped posting machinery; scoreboard is one aggregate over the pair-sized table.",
     "q251_lsh_incremental" -> "delta-only banded signatures; bucket sizes merge by ADDITION (one (band,sig) agg); stored pairs carry their generating bucket key so retirement is a semi-join against surviving buckets; new pairs = delta rows joined to surviving-bucket members; verify joins keyed on doc ids.",
     "q252_streaming_cms_hh" -> "per-batch state = d*w CMS cells merged by cell-wise addition + term dictionary by union (no history rescan); finish probes each term's d cells (min) over a broadcast of the 1024-cell state; top-10 via TakeOrderedAndProject with a read-time exact audit.",
-    "q249_ann_pair_recall" -> "both pair sets collapse to (vec_a, vec_b) keys before ONE full-outer join; the scoreboard is a single algebraic agg over that pair-sized table; recall_bp is an exact integer quotient over a provably nonzero denominator.")
+    "q249_ann_pair_recall" -> "both pair sets collapse to (vec_a, vec_b) keys before ONE full-outer join; the ground truth is the m-anchor SAMPLED exact pass (m×n through TopKPerKey, linear for fixed m — never the full n² pass); the scoreboard is a single algebraic agg; recall_bp goes NULL, not divide-by-zero, on an empty sampled truth.",
+    "q253_kmeans_ivf_build" -> "C = max(10, isqrt(n)) — driver holds only the scalars n and C; every assignment pass is the shuffle-free broadcast argmax fold (ONE broadcast centroid row, no exchange over the corpus); each round's C×dim centroid agg has partial combine; per-round localCheckpoint cuts the nested-lineage replay; moved rides as a per-row audit, never collected.",
+    "q254_mutual_nn_kmeans" -> "the kmeans assignment feeds the q247 machinery UNCHANGED: salted bucket-keyed scored equi-join + TopKPerKey; C≈√n bounds per-bucket membership at ~√n, so the scored space is Θ(nprobe·n^1.5) instead of Θ(n²·nprobe/C_fixed); no exact pass anywhere.",
+    "q255_hard_negatives_kmeans" -> "q248's triplet assembly on the kmeans index: pure IVF path, bucket-keyed scored join + TopKPerKey k=2, mutuality LeftSemi, rank-2 probe joined on the anchor id.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

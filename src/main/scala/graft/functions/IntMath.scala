@@ -34,4 +34,18 @@ object IntMath {
 
   /** halfUp at basis-point scale (4 decimal digits). */
   def bp(num: Column, den: Column): Column = halfUp(num, den, 10000L)
+
+  /** Exact integer square root: the largest s with s·s <= n. Driver-side
+    * scalar arithmetic — math.sqrt only seeds the search and integer
+    * comparisons correct any ulp boundary, so no libm value reaches the
+    * result (the oracle replays it as max(s) over s·s <= n).
+    */
+  def isqrt(n: Long): Long = {
+    require(n >= 0, "isqrt needs n >= 0")
+    val cap = 3037000499L // isqrt(Long.MaxValue): keep s·s overflow-free
+    var s = math.min(math.sqrt(n.toDouble).toLong, cap)
+    while (s > 0 && s * s > n) s -= 1
+    while (s < cap && (s + 1) * (s + 1) <= n) s += 1
+    s
+  }
 }

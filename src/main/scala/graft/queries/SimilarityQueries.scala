@@ -1316,6 +1316,193 @@ object SimilarityQueries {
         |       THEN CAST((n_common * 10000) // n_exact AS BIGINT)
         |  END AS recall_bp
         |FROM j""".stripMargin),
-      "exact-vs-IVF mutual-pair recall scoreboard over the hash-sampled ground truth (the q247 audit, one row)")
+      "exact-vs-IVF mutual-pair recall scoreboard over the hash-sampled ground truth (the q247 audit, one row)"),
+
+    // q253 — the corpus-scaled IVF index BUILD (round-9 verdict #1):
+    // C = max(10, isqrt(n)) hash-seeded k-means, 2 fixed Lloyd rounds
+    // (the q180 unrolled-CTE discipline), per-vector assignment with
+    // the `moved` fixed-point residual observable per row. This is the
+    // entry point that frees the IVF family from the fixture's C=10
+    // label quantizer — per-bucket membership ~√n instead of ~n/10.
+    Q("q253_kmeans_ivf_build",
+      (s, d) => graft.operators.Similarity.kmeansBuckets(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2)
+        .select(col("vec_id"), col("bucket"), col("moved"))
+        .orderBy("vec_id"),
+      Some(s"""$kmeansCtes
+        |SELECT a2.vec_id, a2.bucket, a2.bucket <> a1.bucket AS moved
+        |FROM a2 JOIN a1 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin),
+      "corpus-scaled IVF build: C=max(10,isqrt(n)) hash-seeded k-means, fixed-round Lloyd, moved audit per vector"),
+
+    // q254 — q247's mutual-NN margin mining ON the kmeans-built index:
+    // the full at-scale composition (index build feeds the bucket-
+    // keyed scored join; C≈√n makes the probe scan ~nprobe·√n per
+    // query instead of ~n·nprobe/10). rankedNeighborsIvf derives its
+    // quantizer from per-bucket centroids of the passed assignment —
+    // one more refinement round, replayed by the oracle as c3.
+    Q("q254_mutual_nn_kmeans",
+      (s, d) => {
+        val idx = graft.operators.Similarity.kmeansBuckets(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2)
+        graft.operators.Similarity.mutualNnMarginIvf(
+            idx, col("vec_id"), col("v"), col("bucket"),
+            k = 4, nprobe = 2)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""$kmeansCtes,
+        |c3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a2 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, c.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |      c.c_lbl) AS prn
+        |  FROM e, c3 c),
+        |aa AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN aa a ON a.bucket = p.pb
+        |      AND a.vec_id <> p.query_id) s),
+        |tk AS MATERIALIZED (SELECT * FROM r WHERE rn <= 4),
+        |sm AS (SELECT query_id, CAST(sum(cu) AS BIGINT) AS sv
+        |  FROM tk GROUP BY 1),
+        |t1 AS (SELECT query_id AS src, vec_id AS dst, cos_sim, cu
+        |  FROM tk WHERE rn = 1),
+        |mu AS (SELECT x.src, x.dst, x.cos_sim, x.cu FROM t1 x
+        |  JOIN t1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst)
+        |SELECT mu.src AS vec_a, mu.dst AS vec_b, mu.cos_sim,
+        |  CAST((2 * 4 * mu.cu * 10000) // (sx.sv + sy.sv) AS BIGINT)
+        |    AS margin_bp
+        |FROM mu JOIN sm sx ON sx.query_id = mu.src
+        |        JOIN sm sy ON sy.query_id = mu.dst
+        |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      "mutual-NN margin mining on the kmeans-built corpus-scaled IVF index (the at-scale q247)"),
+
+    // q255 — q248's contrastive hard negatives ON the kmeans index:
+    // same composition, k=2 lists (positive = IVF mutual top-1,
+    // negative = rank-2), integer contrastive gap.
+    Q("q255_hard_negatives_kmeans",
+      (s, d) => {
+        val idx = graft.operators.Similarity.kmeansBuckets(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2)
+        graft.operators.Similarity.hardNegativesIvf(
+            idx, col("vec_id"), col("v"), col("bucket"), nprobe = 2)
+          .orderBy("anchor_id")
+      },
+      Some(s"""$kmeansCtes,
+        |c3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a2 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, c.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |      c.c_lbl) AS prn
+        |  FROM e, c3 c),
+        |aa AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN aa a ON a.bucket = p.pb
+        |      AND a.vec_id <> p.query_id) s),
+        |t1 AS (SELECT query_id AS anchor_id, vec_id AS positive_id,
+        |    cos_sim AS cos_pos, cu AS cu_pos FROM r WHERE rn = 1),
+        |mu AS (SELECT x.* FROM t1 x JOIN t1 y
+        |  ON y.anchor_id = x.positive_id
+        |  AND y.positive_id = x.anchor_id),
+        |t2 AS (SELECT query_id AS anchor_id, vec_id AS negative_id,
+        |    cos_sim AS cos_neg, cu AS cu_neg FROM r WHERE rn = 2)
+        |SELECT mu.anchor_id, mu.positive_id, t2.negative_id, mu.cos_pos,
+        |  t2.cos_neg, CAST(mu.cu_pos - t2.cu_neg AS BIGINT) AS gap_bp
+        |FROM mu JOIN t2 USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin),
+      "contrastive hard negatives on the kmeans-built corpus-scaled IVF index (the at-scale q248)")
   )
+
+  /** Shared oracle prefix for the q253-q255 family: the corpus-scaled
+    * k-means build replayed as unrolled CTEs — C = max(10, isqrt(n))
+    * (isqrt as max s with s·s <= n, no libm; series bound 4000 covers
+    * n <= 16M), seeds = the C smallest (md5-hash60, id) ranked into
+    * bucket labels 0..C-1, then two Lloyd rounds (assign -> 6dp
+    * centroid recompute), mirroring Similarity.kmeansBuckets(rounds=2)
+    * bit for bit.
+    */
+  // a def, not a val: qs interpolates it during object init, before a
+  // later-positioned val would be assigned
+  private def kmeansCtes: String =
+    """WITH e AS MATERIALIZED (SELECT vec_id,
+      |    embedding::DOUBLE[] AS v FROM embeddings),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |cc AS (SELECT greatest(10, (SELECT CAST(max(s.s) AS BIGINT)
+      |  FROM generate_series(1, 4000) s(s), nc
+      |  WHERE s.s * s.s <= nc.n)) AS c),
+      |sd AS MATERIALIZED (
+      |  SELECT CAST(rn - 1 AS BIGINT) AS c_lbl, v AS cv FROM (
+      |    SELECT v, row_number() OVER (ORDER BY
+      |      ('0x' || substring(md5('0#' ||
+      |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      vec_id) AS rn
+      |    FROM e) t
+      |  WHERE rn <= (SELECT c FROM cc)),
+      |a0 AS MATERIALIZED (
+      |  SELECT vec_id, v, c_lbl AS bucket FROM (
+      |    SELECT e.vec_id, e.v, s.c_lbl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC,
+      |          s.c_lbl) AS prn
+      |    FROM e, sd s) t WHERE prn = 1),
+      |c1 AS MATERIALIZED (
+      |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+      |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+      |    FROM a0 a, generate_series(1, 64) AS t(dim)
+      |    GROUP BY a.bucket, t.dim) u
+      |  GROUP BY bucket),
+      |a1 AS MATERIALIZED (
+      |  SELECT vec_id, v, c_lbl AS bucket FROM (
+      |    SELECT e.vec_id, e.v, c.c_lbl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+      |          c.c_lbl) AS prn
+      |    FROM e, c1 c) t WHERE prn = 1),
+      |c2 AS MATERIALIZED (
+      |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+      |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+      |    FROM a1 a, generate_series(1, 64) AS t(dim)
+      |    GROUP BY a.bucket, t.dim) u
+      |  GROUP BY bucket),
+      |a2 AS MATERIALIZED (
+      |  SELECT vec_id, v, c_lbl AS bucket FROM (
+      |    SELECT e.vec_id, e.v, c.c_lbl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+      |          c.c_lbl) AS prn
+      |    FROM e, c2 c) t WHERE prn = 1)""".stripMargin
 }

@@ -329,6 +329,58 @@ class SimilaritySpec extends SparkSpec {
       s"sampled recall $sampled bp drifted from full audit $full bp")
   }
 
+  test("isqrt: exact at perfect-square boundaries, no libm leakage, no overflow") {
+    import graft.functions.IntMath.isqrt
+    assert(isqrt(0L) === 0L && isqrt(1L) === 1L && isqrt(3L) === 1L)
+    assert(isqrt(4L) === 2L && isqrt(15L) === 3L && isqrt(16L) === 4L)
+    assert(isqrt(999999L) === 999L && isqrt(1000000L) === 1000L)
+    assert(isqrt(Long.MaxValue) === 3037000499L)
+    // exhaustive boundary sweep around every square up to 2000²
+    (1L to 2000L).foreach { s =>
+      assert(isqrt(s * s) === s && isqrt(s * s - 1) === s - 1)
+    }
+  }
+
+  test("kmeansBuckets: C-derivation rule, deterministic assignment, label range") {
+    // fixture corpus n = 500 -> C = max(10, isqrt(500)) = 22
+    val idx = Similarity.kmeansBuckets(
+      emb, col("vec_id"), col("embedding"), rounds = 2)
+    val n = idx.count()
+    assert(n === 500)
+    val buckets = idx.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets.forall(b => b >= 0 && b < 22),
+      s"bucket labels must be seed ranks in [0, C): $buckets")
+    assert(buckets.size > 10,
+      "corpus-scaled C must actually spread beyond the fixture's 10 labels")
+    // determinism: a second build is row-identical
+    val again = Similarity.kmeansBuckets(
+        emb, col("vec_id"), col("embedding"), rounds = 2)
+      .select("vec_id", "bucket").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    val first = idx.select("vec_id", "bucket").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet
+    assert(again === first)
+    // minC floor engages when isqrt(n) < minC
+    val small = emb.limit(50)
+    val idxS = Similarity.kmeansBuckets(
+      small, col("vec_id"), col("embedding"), rounds = 1, minC = 10)
+    assert(idxS.select("bucket").distinct().count() <= 10)
+  }
+
+  test("kmeansBuckets: a converged assignment is a fixed point of reassignment") {
+    // run enough rounds to converge on the fixture, then verify
+    // moved = 0 everywhere — i.e. the bucket column IS the nearest-
+    // centroid assignment of its own per-bucket centroids, which is
+    // exactly the property rankedNeighborsIvf relies on when it
+    // re-derives the quantizer from the passed label column
+    val idx = Similarity.kmeansBuckets(
+      emb, col("vec_id"), col("embedding"), rounds = 12)
+    val movedCnt = idx.filter(col("moved")).count()
+    assert(movedCnt === 0L,
+      s"fixture corpus should converge within 12 rounds ($movedCnt still moving)")
+  }
+
   test("halfCentroidDrift: per-dim means by id parity, orthogonal means -> 0 bp") {
     import spark.implicits._
     val d = Seq(

@@ -171,6 +171,42 @@ class PlansSpec extends SparkSpec {
       "the bucket-keyed scored join must carry the parallelism salt")
   }
 
+  test("q250: pair sets meet in ONE full-outer join; truth side rides capped postings") {
+    val p = plan("q250_lsh_quality")
+    assert(p.contains("FullOuter"),
+      "LSH and ground-truth pair sets must meet in a single full-outer join")
+    assert(p.contains("bounded_long_list"),
+      "the ground-truth side must use the capped posting machinery")
+    assert(occurrences(p, "Generate") >= 2,
+      "both pair sides must fan out per-row (banding / postings), not self-join")
+    assert(!p.contains("CartesianProduct"),
+      "no pair space may materialize outside bucket keys")
+  }
+
+  test("q252: CMS finish probes a broadcast state; top-10 without a global sort") {
+    // plan() runs the streaming maintenance as a side effect; the
+    // asserted plan is the FINISH query over the committed state —
+    // cells must ride back as a broadcast (1024 cells), the min-probe
+    // agg keeps its partial combine, top-10 is TakeOrdered
+    val p = plan("q252_streaming_cms_hh")
+    assert(p.contains("BroadcastExchange"),
+      "the d×w cell state must broadcast against the dictionary probes")
+    assert(p.contains("partial_min"),
+      "the per-term min-cell probe lost its map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not materialize a global sort")
+  }
+
+  test("q254: kmeans-index mining keeps the salted TopKPerKey bucket join") {
+    val p = plan("q254_mutual_nn_kmeans")
+    assert(p.contains("TopKPerKey"),
+      "per-query top-k must run on the TopKPerKey node")
+    assert(p.contains("__salt"),
+      "the bucket-keyed scored join must carry the parallelism salt")
+    assert(!p.contains("CartesianProduct"),
+      s"no unkeyed pair space in the kmeans mining path")
+  }
+
   test("q246: incremental sessionization splits replay/passthrough as semi/anti joins") {
     val p = plan("q246_incremental_sessions")
     assert(p.contains("LeftSemi"),

@@ -523,6 +523,137 @@ object Dedup {
       .filter(col("jaccard") >= thr)
   }
 
+  /** S-curve AUTO-TUNED LSH banding: among the divisor pairs
+    * (bands, rows) with bands·rows = numPerm, pick the one whose
+    * capture probability at the TARGET threshold sits closest to the
+    * S-curve midpoint — P(candidate | J = s) = 1 − (1 − s^rows)^bands
+    * has its inflection near the (bands, rows) "threshold", so
+    * |P(thr) − 1/2| minimal ⟹ the curve's steep transition is centred
+    * on thr (pairs above it are captured with rapidly growing
+    * probability, pairs below rapidly dropped). Evaluation is
+    * integer-only fixed point at basis-point scale with truncating
+    * division at every multiply (x·y div 10⁴) — no libm, and the
+    * DuckDB oracle replays the identical chain as recursive CTEs.
+    * Ties prefer MORE bands: recall over precision, since a candidate
+    * generator's verify stage removes false positives but can never
+    * recover a missed pair. Driver-side arithmetic over ≤ numPerm
+    * divisor pairs — scale-free.
+    *
+    * Returns (bands, rows, pAtThrBp) — the chosen point and its
+    * capture probability at thr in basis points.
+    */
+  def tuneBanding(numPerm: Int, thr: Double): (Int, Int, Long) = {
+    require(numPerm >= 1, "tuneBanding needs numPerm >= 1")
+    val thrBp = math.round(thr * 10000)
+    require(thrBp >= 1 && thrBp <= 10000,
+      "tuneBanding needs thr in (0, 1]")
+    // x after e truncating multiplies = base^e at bp scale (operands
+    // non-negative, so Long / == DuckDB // — the div-vs-floor rule)
+    def powBp(base: Long, e: Int): Long = {
+      var x = 10000L
+      for (_ <- 1 to e) x = x * base / 10000L
+      x
+    }
+    val cands = (1 to numPerm).filter(numPerm % _ == 0).map { b =>
+      val r = numPerm / b
+      val p = 10000L - powBp(10000L - powBp(thrBp, r), b)
+      (b, r, p)
+    }
+    cands.minBy { case (b, _, p) => ((2 * p - 10000L).abs, -b) }
+  }
+
+  /** INCREMENTAL MinHash-LSH index DELETES — the right-to-be-forgotten
+    * path [[minhashLshIncremental]] lacked (a 100 TB dedup index that
+    * can only grow forces periodic full rebuilds). A delete set leaves
+    * the corpus; the maintained result is assembled from
+    *
+    *   kept        = stored pairs (pairs of under-cap PRE-delete
+    *                 buckets) with BOTH endpoints surviving — the q137
+    *                 cascade discipline: any pair touching a deleted
+    *                 doc retires. No bucket-level retirement exists on
+    *                 delete: bucket sizes merge by SUBTRACTION, and a
+    *                 stored (under-cap) bucket can only shrink, so its
+    *                 surviving pairs stay valid;
+    *   resurrected = pairs of buckets that were CAP-DEGENERATE before
+    *                 the delete (size > maxBucket ⟹ nothing stored)
+    *                 but fall to live_n <= maxBucket after it — the
+    *                 full recompute on the shrunk corpus emits their
+    *                 surviving members' pairs, so the maintenance must
+    *                 too. Member recovery is a semi-join of the banded
+    *                 table against the RESURRECTED bucket keys only —
+    *                 affected-bucket-sized work (the q246 replay
+    *                 discipline), never a corpus rescan.
+    *
+    * kept ∪ resurrected EQUALS the full recompute on the shrunk corpus
+    * exactly (the q256 oracle IS that recompute): a post-delete
+    * under-cap bucket was either pre-under-cap (its complete pair set
+    * was stored; survivors are kept) or pre-over-cap (it is a
+    * resurrected key). DedupSpec drives insert-then-delete to exact
+    * round-trip equality with the base recompute.
+    *
+    * Output: (doc_a, doc_b, jaccard, status 'kept'|'resurrected'),
+    * thr-filtered like [[minhashLsh]].
+    */
+  def minhashLshRetire(df: DataFrame, id: Column, text: Column,
+                       isDeleted: Column, n: Int, numPerm: Int,
+                       bands: Int, thr: Double,
+                       maxBucket: Int): DataFrame = {
+    val flags = df.select(id.as("doc_id"), isDeleted.as("is_del"))
+    val d = gramSets(df, id, text, n).cache()
+    val banded = bandedSignatures(d, numPerm, bands)
+      .join(flags, "doc_id").cache()
+    // the stored index state, built over the FULL pre-delete corpus:
+    // complete member lists for under-cap buckets (NULL past the cap)
+    // plus total sizes
+    val buckets = banded.groupBy("band_id", "band_sig")
+      .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
+          .as("docs"),
+        count(lit(1)).as("all_n"))
+    val delCounts = banded.filter(col("is_del"))
+      .groupBy("band_id", "band_sig").agg(count(lit(1)).as("del_n"))
+    val sized = buckets
+      .join(delCounts, Seq("band_id", "band_sig"), "left")
+      .withColumn("live_n", col("all_n") - coalesce(col("del_n"), lit(0L)))
+    val deleted = flags.filter(col("is_del")).select("doc_id")
+    val storedPairs = sized.filter(col("docs").isNotNull)
+      .select(explode(graft.functions.ArrayPairs.pairs(
+        sort_array(col("docs")))).as("p"))
+      .select(col("p.u").as("doc_a"), col("p.v").as("doc_b"))
+      .distinct()
+    val kept = storedPairs
+      .join(deleted.select(col("doc_id").as("doc_a")),
+        Seq("doc_a"), "left_anti")
+      .join(deleted.select(col("doc_id").as("doc_b")),
+        Seq("doc_b"), "left_anti")
+    val resKeys = sized
+      .filter(col("docs").isNull && col("live_n") <= maxBucket)
+      .select("band_id", "band_sig")
+    val resurrected = banded.filter(!col("is_del"))
+      .join(resKeys, Seq("band_id", "band_sig"), "left_semi")
+      .groupBy("band_id", "band_sig")
+      .agg(graft.functions.BoundedLongList(col("doc_id"), maxBucket)
+        .as("docs"))
+      .filter(col("docs").isNotNull)
+      .select(explode(graft.functions.ArrayPairs.pairs(
+        sort_array(col("docs")))).as("p"))
+      .select(col("p.u").as("doc_a"), col("p.v").as("doc_b"))
+      .distinct()
+      .join(kept, Seq("doc_a", "doc_b"), "left_anti")
+    // select-normalize before the POSITIONAL union: the key-joins above
+    // move their join key first, so kept arrives as (doc_b, doc_a)
+    val cand = kept.select("doc_a", "doc_b")
+      .withColumn("status", lit("kept"))
+      .unionAll(resurrected.select("doc_a", "doc_b")
+        .withColumn("status", lit("resurrected")))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("ga"), col("gb")), 4).as("jaccard"),
+        col("status"))
+      .filter(col("jaccard") >= thr)
+  }
+
   /** 60-bit SimHash fingerprint per document (word-level features),
     * computed per-row by the native SimHashExpr kernel — NO shuffle at
     * all (the aggregate formulation this replaces exploded one row per

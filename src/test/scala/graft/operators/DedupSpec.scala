@@ -471,6 +471,56 @@ class DedupSpec extends SparkSpec {
     assert(st((10L, 11L)) === "kept")
   }
 
+  test("tuneBanding: S-curve argmin at the midpoint, hand-computed fixed-point table") {
+    // P(thr) per divisor pair of numPerm=16 under the truncating bp
+    // chain (x -> x*base div 10000), worked by hand:
+    //   thr=0.5: (1,16) p=0, (2,8) p=78, (4,4) p=2276, (8,2) p=9000,
+    //            (16,1) p=10000 -> argmin |2p-10^4| = (4,4)
+    //   thr=0.8: (2,8) p=3072 wins over (16,1) p=8000, (4,4) p=8786
+    //   thr=0.2: (8,2) p=2789 wins over (16,1) p=2000, (4,4) p=64
+    assert(Dedup.tuneBanding(16, 0.5) === ((4, 4, 2276L)))
+    assert(Dedup.tuneBanding(16, 0.8) === ((2, 8, 3072L)))
+    assert(Dedup.tuneBanding(16, 0.2) === ((8, 2, 2789L)))
+    // monotone sanity: raising the target threshold never increases
+    // the chosen band count (fewer bands = pickier generator)
+    val picks = Seq(0.2, 0.35, 0.5, 0.65, 0.8, 0.95)
+      .map(t => Dedup.tuneBanding(16, t)._1)
+    assert(picks === picks.sorted.reverse, s"bands not monotone: $picks")
+  }
+
+  test("minhashLshRetire: cascade + resurrection; insert-then-delete round-trips exactly") {
+    val t = "spark join window batch stream merge sort filter scan table"
+    val o = "completely different words appear inside this other document body now"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val args = (3, 16, 4, 0.5, 3) // n, numPerm, bands, thr, maxBucket
+    // corpus after the q251 insert: t-bucket {1,2,3,99} is OVER the cap
+    // (nothing stored). Deleting 99 drops it back to 3 -> the three t
+    // pairs RESURRECT; the o pair survives as 'kept'; any pair touching
+    // 99 stays gone (cascade).
+    val withDelta = docs(1L -> t, 2L -> t, 3L -> t, 10L -> o, 11L -> o,
+      99L -> t)
+    val ret = Dedup.minhashLshRetire(withDelta, col("doc_id"), col("text"),
+      isDeleted = col("doc_id") === 99L,
+      n = args._1, numPerm = args._2, bands = args._3, thr = args._4,
+      maxBucket = args._5)
+    val base = Dedup.minhashLsh(
+      docs(1L -> t, 2L -> t, 3L -> t, 10L -> o, 11L -> o),
+      col("doc_id"), col("text"),
+      n = args._1, numPerm = args._2, bands = args._3, thr = args._4,
+      maxBucket = args._5)
+    // exact round-trip: insert crossed the cap (q251 test: pairs
+    // retired), delete restores the base recompute bit-for-bit
+    assert(pairs(base) === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    assert(pairs(ret) === pairs(base))
+    val st = ret.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(st((10L, 11L)) === "kept")
+    assert(st((1L, 2L)) === "resurrected" &&
+      st((1L, 3L)) === "resurrected" && st((2L, 3L)) === "resurrected")
+  }
+
   test("minhashLshIncremental: delta inside the cap adds 'new' pairs, keeps base") {
     val t = "spark join window batch stream merge sort filter scan table"
     val o = "completely different words appear inside this other document body now"

@@ -552,33 +552,36 @@ object PipelineQueries {
     // to (user, count, integral sum) partials and MERGES them into the
     // persisted state table — O(|batch|) per trigger, history never
     // rescanned, the exact shape of a production streaming-ETL sink.
-    // State alternates between two parquet dirs (read batch N-1's dir,
-    // write batch N's) so a read never races its own overwrite. Long
-    // addition is order-independent, so however the files split into
-    // batches the final state provably equals the oracle's full
+    // State is batchId-keyed and _SUCCESS-resolved (BatchState): a
+    // resumed or retried run re-derives its predecessor from disk.
+    // Long addition is order-independent, so however the files split
+    // into batches the final state provably equals the oracle's full
     // recompute — same oracle as q99, entirely different machinery.
     Q("q101_streaming_agg_maintenance",
       (s, d) => {
         import graft.warehouse.Warehouse
+        import graft.streaming.BatchState
         val run = streamSinkRuns.incrementAndGet()
         val ev = Tables(s, d, "events").select(col("user_id"),
           round(col("value") * 10000).cast("long").as("vbp"))
         val feed = graft.util.TmpDirs.perProcess("graft_q101_feed")
         ev.repartition(3).write.mode("overwrite").parquet(feed)
         val stateBase = graft.util.TmpDirs.perProcess(s"graft_q101_state_$run")
-        @volatile var last = -1L
+        val comps = Seq("state")
         val stream = s.readStream.schema(s.read.parquet(feed).schema)
           .option("maxFilesPerTrigger", "1").parquet(feed)
         val query = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             val partial = Warehouse.aggState(batch, Seq("user_id"), col("vbp"))
-            val merged =
-              if (last < 0) partial
-              else Warehouse.mergeAggState(
-                Seq(s.read.parquet(s"$stateBase/${last % 2}"), partial),
+            val merged = BatchState.prevId(stateBase, comps, batchId) match {
+              case None => partial
+              case Some(p) => Warehouse.mergeAggState(
+                Seq(s.read.parquet(BatchState.dir(stateBase, "state", p)),
+                  partial),
                 Seq("user_id"))
-            merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
-            last = batchId
+            }
+            merged.write.mode("overwrite")
+              .parquet(BatchState.dir(stateBase, "state", batchId))
             ()
           }
           .option("checkpointLocation",
@@ -586,7 +589,8 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        s.read.parquet(s"$stateBase/${last % 2}")
+        s.read.parquet(BatchState.dir(stateBase, "state",
+            BatchState.lastId(stateBase, comps, "q101")))
           .select(col("user_id"), col("n_rows").as("n_events"),
             (col("total_bp") / 10000.0).as("total_value"))
           .orderBy("user_id")
@@ -672,17 +676,21 @@ object PipelineQueries {
         val feed = graft.util.TmpDirs.perProcess(s"graft_q123_feed_$run")
         changes.repartition(4).write.mode("overwrite").parquet(feed)
         val stateBase = graft.util.TmpDirs.perProcess(s"graft_q123_state_$run")
-        @volatile var last = -1L
+        val BS = graft.streaming.BatchState
+        val comps = Seq("state")
         val stream = s.readStream.schema(s.read.parquet(feed).schema)
           .option("maxFilesPerTrigger", "1").parquet(feed)
         val query = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            val merged =
-              if (last < 0) Warehouse.upsert(batch.limit(0), batch, Seq("k"), "ver")
-              else Warehouse.upsert(
-                s.read.parquet(s"$stateBase/${last % 2}"), batch, Seq("k"), "ver")
-            merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
-            last = batchId
+            val merged = BS.prevId(stateBase, comps, batchId) match {
+              case None =>
+                Warehouse.upsert(batch.limit(0), batch, Seq("k"), "ver")
+              case Some(p) => Warehouse.upsert(
+                s.read.parquet(BS.dir(stateBase, "state", p)),
+                batch, Seq("k"), "ver")
+            }
+            merged.write.mode("overwrite")
+              .parquet(BS.dir(stateBase, "state", batchId))
             ()
           }
           .option("checkpointLocation",
@@ -690,7 +698,8 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        s.read.parquet(s"$stateBase/${last % 2}")
+        s.read.parquet(BS.dir(stateBase, "state",
+            BS.lastId(stateBase, comps, "q123")))
           .filter(col("op") =!= "d")
           .select("k", "cents")
           .orderBy("k")
@@ -840,19 +849,21 @@ object PipelineQueries {
         val feed = graft.util.TmpDirs.perProcess(s"graft_q141_feed_$run")
         live.repartition(3).write.mode("overwrite").parquet(feed)
         val stateBase = graft.util.TmpDirs.perProcess(s"graft_q141_state_$run")
-        @volatile var last = -1L
+        val BS = graft.streaming.BatchState
+        val comps = Seq("state")
         val stream = s.readStream.schema(s.read.parquet(feed).schema)
           .option("maxFilesPerTrigger", "1").parquet(feed)
         val query = stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             val part = bucketed(batch)
-            val merged =
-              if (last < 0) part
-              else s.read.parquet(s"$stateBase/${last % 2}")
+            val merged = BS.prevId(stateBase, comps, batchId) match {
+              case None => part
+              case Some(p) => s.read.parquet(BS.dir(stateBase, "state", p))
                 .unionByName(part)
                 .groupBy("g", "bkt").agg(sum("n").as("n"))
-            merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
-            last = batchId
+            }
+            merged.write.mode("overwrite")
+              .parquet(BS.dir(stateBase, "state", batchId))
             ()
           }
           .option("checkpointLocation",
@@ -860,7 +871,8 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        val liveCnt = s.read.parquet(s"$stateBase/${last % 2}")
+        val liveCnt = s.read.parquet(BS.dir(stateBase, "state",
+          BS.lastId(stateBase, comps, "q141")))
         val j = refCnt.select(col("g"), col("bkt"), col("n").as("n1"))
           .join(liveCnt.select(col("g"), col("bkt"), col("n").as("n2")),
             Seq("g", "bkt"), "full_outer")
@@ -926,19 +938,21 @@ object PipelineQueries {
       val feed = graft.util.TmpDirs.perProcess("graft_q204_feed")
       docs.repartition(3).write.mode("overwrite").parquet(feed)
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q204_state_$run")
-      @volatile var last = -1L
+      val BS = graft.streaming.BatchState
+      val comps = Seq("state")
       val stream = s.readStream.schema(s.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
       val query = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           val partial = Integrity.checksumState(batch, col("source"),
             Seq(col("doc_id"), col("lang"), col("n_chars"), col("text")))
-          val merged =
-            if (last < 0) partial
-            else Integrity.mergeChecksumState(
-              Seq(s.read.parquet(s"$stateBase/${last % 2}"), partial))
-          merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
-          last = batchId
+          val merged = BS.prevId(stateBase, comps, batchId) match {
+            case None => partial
+            case Some(p) => Integrity.mergeChecksumState(
+              Seq(s.read.parquet(BS.dir(stateBase, "state", p)), partial))
+          }
+          merged.write.mode("overwrite")
+            .parquet(BS.dir(stateBase, "state", batchId))
           ()
         }
         .option("checkpointLocation",
@@ -946,7 +960,8 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      Integrity.finishChecksum(s.read.parquet(s"$stateBase/${last % 2}"))
+      Integrity.finishChecksum(s.read.parquet(BS.dir(stateBase, "state",
+          BS.lastId(stateBase, comps, "q204"))))
         .select(col("grp").as("source"), col("n_rows"), col("checksum"))
         .orderBy("source")
     },
@@ -984,20 +999,22 @@ object PipelineQueries {
       val feed = graft.util.TmpDirs.perProcess("graft_q228_feed")
       ord.repartition(3).write.mode("overwrite").parquet(feed)
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q228_state_$run")
-      @volatile var last = -1L
+      val BS = graft.streaming.BatchState
+      val comps = Seq("state")
       val stream = s.readStream.schema(s.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
       val query = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           val partial = batch.groupBy("pri", "cents")
             .agg(count(lit(1)).cast("long").as("n"))
-          val merged =
-            if (last < 0) partial
-            else s.read.parquet(s"$stateBase/${last % 2}")
+          val merged = BS.prevId(stateBase, comps, batchId) match {
+            case None => partial
+            case Some(p) => s.read.parquet(BS.dir(stateBase, "state", p))
               .unionByName(partial)
               .groupBy("pri", "cents").agg(sum("n").as("n"))
-          merged.write.mode("overwrite").parquet(s"$stateBase/${batchId % 2}")
-          last = batchId
+          }
+          merged.write.mode("overwrite")
+            .parquet(BS.dir(stateBase, "state", batchId))
           ()
         }
         .option("checkpointLocation",
@@ -1005,7 +1022,8 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      val st = s.read.parquet(s"$stateBase/${last % 2}")
+      val st = s.read.parquet(BS.dir(stateBase, "state",
+        BS.lastId(stateBase, comps, "q228")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("pri").orderBy("cents")
       val tot = st.groupBy("pri").agg(sum("n").as("tn"))
@@ -1105,27 +1123,14 @@ object PipelineQueries {
       val feed = graft.util.TmpDirs.perProcess("graft_q252_feed")
       docs.repartition(3).write.mode("overwrite").parquet(feed)
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q252_state_$run")
-      // RESTART-SAFE state resolution (round-9 advisor): state dirs are
-      // keyed BY batchId (cells_<id>/dict_<id>), and "committed" means
-      // both dirs carry their _SUCCESS marker. Each batch merges from
-      // the latest committed id STRICTLY below its own — so a resumed
-      // run re-derives its predecessor from disk (no driver-memory
-      // var to lose), and a RETRIED batchId re-reads the same
-      // predecessor and idempotently overwrites its own dirs (never
-      // the dir it reads from). All ids are retained — a retry of
-      // batch N must still find N−1 even after N once committed; the
-      // footprint is (#batches × ≤(d·w + |vocab|) rows), and a
-      // long-running production variant would GC ids < N−1 only after
-      // the checkpoint marks N durable.
-      def committedIds: Seq[Long] = {
-        val base = new java.io.File(stateBase)
-        Option(base.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("cells_"))
-          .map(_.getName.stripPrefix("cells_").toLong)
-          .filter(id => new java.io.File(s"$stateBase/cells_$id/_SUCCESS").exists &&
-            new java.io.File(s"$stateBase/dict_$id/_SUCCESS").exists)
-          .sorted.toSeq
-      }
+      // RESTART-SAFE state resolution (round-9 advisor, factored as
+      // graft.streaming.BatchState): state dirs keyed BY batchId
+      // (cells_<id>/dict_<id>), "committed" = both dirs carry their
+      // _SUCCESS marker; each batch merges from the latest committed
+      // id strictly below its own. Footprint here is
+      // (#batches × ≤(d·w + |vocab|) rows).
+      val BS = graft.streaming.BatchState
+      val comps = Seq("cells", "dict")
       val stream = s.readStream.schema(s.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
       val query = stream.writeStream
@@ -1138,18 +1143,19 @@ object PipelineQueries {
             .join(termCnt, "term")
             .groupBy("r", "bkt").agg(sum("cnt").as("bsum"))
           val dict = termCnt.select("term")
-          val prev = committedIds.filter(_ < batchId).lastOption
-          val (mCells, mDict) = prev match {
+          val (mCells, mDict) = BS.prevId(stateBase, comps, batchId) match {
             case None => (cells, dict)
             case Some(p) => (
-              s.read.parquet(s"$stateBase/cells_$p")
+              s.read.parquet(BS.dir(stateBase, "cells", p))
                 .unionByName(cells)
                 .groupBy("r", "bkt").agg(sum("bsum").as("bsum")),
-              s.read.parquet(s"$stateBase/dict_$p")
+              s.read.parquet(BS.dir(stateBase, "dict", p))
                 .unionByName(dict).distinct())
           }
-          mCells.write.mode("overwrite").parquet(s"$stateBase/cells_$batchId")
-          mDict.write.mode("overwrite").parquet(s"$stateBase/dict_$batchId")
+          mCells.write.mode("overwrite")
+            .parquet(BS.dir(stateBase, "cells", batchId))
+          mDict.write.mode("overwrite")
+            .parquet(BS.dir(stateBase, "dict", batchId))
           ()
         }
         .option("checkpointLocation",
@@ -1157,10 +1163,9 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      val last = committedIds.lastOption.getOrElse(
-        sys.error(s"q252: no committed CMS state under $stateBase"))
-      val cells = s.read.parquet(s"$stateBase/cells_$last")
-      val dict = s.read.parquet(s"$stateBase/dict_$last")
+      val last = BS.lastId(stateBase, comps, "q252")
+      val cells = s.read.parquet(BS.dir(stateBase, "cells", last))
+      val dict = s.read.parquet(BS.dir(stateBase, "dict", last))
       val est = probeCells(dict)
         .join(broadcast(cells), Seq("r", "bkt"))
         .groupBy("term").agg(min("bsum").as("cms_est"))

@@ -356,10 +356,20 @@ object Graph {
     * exist" diagnostic over a co-occurrence graph.
     *
     * Scale shape: the percentile is a TakeOrdered over the degree
-    * table (|nodes| rows, never the edges); each peel round is a
-    * degree agg + two semi-joins keyed on the node — per-round cached,
-    * per-round cost is |surviving edges|. Driver sees two scalars
-    * (n, k); everything else is distributed.
+    * table (|nodes| rows, never the edges); each peel round is ONE
+    * degree agg over the edges plus two BROADCAST anti-joins against
+    * the round's DROP set — the nodes below threshold, small by
+    * construction for percentile-style thresholds (the sf10 rehearsal
+    * caught the previous semi-join form shuffling the full edge set
+    * twice per round against a keep set that was ~90% of nodes:
+    * exp 1.55 over the sf1→sf10 decade once the per-round edge
+    * materializations crossed the memory→disk tier; peeling removes
+    * the SMALL frontier, it must never re-key the surviving bulk).
+    * If a caller's kFixed makes the drop set a large fraction of the
+    * graph, the escalation is the semi-join form on the keep side —
+    * documented, not defaulted. Per-round cost is |surviving edges|
+    * map-side + one |nodes| shuffle. Driver sees two scalars (n, k);
+    * everything else is distributed.
     */
   def kCorePeel(edges: DataFrame, rounds: Int,
                 kFixed: Option[Long] = None): DataFrame = {
@@ -376,11 +386,15 @@ object Graph {
         .agg(max("dg")).as[Long].head()
     }
     var e = e0
-    val keeps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val degs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val roundStats = (1 to rounds).map { rnd =>
-      val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= k).select("u").cache()
-      keeps += keep
+      // |nodes|-sized and cached: both the drop set and the survivor
+      // count read it, and the stat rows evaluate only at the end
+      val deg = e.groupBy("u").agg(count(lit(1)).as("dg")).cache()
+      degs += deg
+      // the DROP frontier — materialized small (broadcast build side)
+      val drop = deg.filter(col("dg") < k).select("u")
+        .localCheckpoint(eager = true)
       // localCheckpoint, not persist: each round's edge set nests the
       // previous round's cached plan, and the CacheManager stops
       // matching those nested-InMemoryRelation subtrees at depth >= 2
@@ -388,13 +402,16 @@ object Graph {
       // including the edge build (profiled 19 s of a 41 s query).
       // Truncating the lineage to the materialized blocks (the
       // Bpe.learnMerges pattern) makes every round start from bytes.
+      // Every v in e also occurs as a u (the edge table carries both
+      // directions), so u/v anti-joins against drop are exactly the
+      // old keep-side semi-joins — without shuffling the edges.
       e = e
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .join(broadcast(drop), Seq("u"), "left_anti")
+        .join(broadcast(drop.select(col("u").as("v"))), Seq("v"), "left_anti")
         .localCheckpoint(eager = true)
       // "nodes" is the round's degree-filter survivor count (a kept
       // node whose neighbors all fell may hold zero surviving edges)
-      keep.agg(count(lit(1)).as("nodes"))
+      deg.filter(col("dg") >= k).agg(count(lit(1)).as("nodes"))
         .crossJoin(e.agg(expr("count(1) div 2").as("edges")))
         .select(lit(rnd.toLong).as("rnd"), lit(k).as("k"),
           col("nodes").cast("long").as("nodes"),
@@ -405,7 +422,7 @@ object Graph {
     // residue that evicts later queries' caches
     val out = roundStats.reduce(_ unionAll _).orderBy("rnd")
       .localCheckpoint(eager = true)
-    (keeps :+ e0 :+ d0).foreach(_.unpersist(blocking = false))
+    (degs :+ e0 :+ d0).foreach(_.unpersist(blocking = false))
     out
   }
 }

@@ -146,7 +146,9 @@ object Plans {
     "q249_ann_pair_recall" -> "both pair sets collapse to (vec_a, vec_b) keys before ONE full-outer join; the ground truth is the m-anchor SAMPLED exact pass (m×n through TopKPerKey, linear for fixed m — never the full n² pass); the scoreboard is a single algebraic agg; recall_bp goes NULL, not divide-by-zero, on an empty sampled truth.",
     "q253_kmeans_ivf_build" -> "C = max(10, isqrt(n)) — driver holds only the scalars n and C; every assignment pass is the shuffle-free broadcast argmax fold (ONE broadcast centroid row, no exchange over the corpus); each round's C×dim centroid agg has partial combine; per-round localCheckpoint cuts the nested-lineage replay; moved rides as a per-row audit, never collected.",
     "q254_mutual_nn_kmeans" -> "the kmeans assignment feeds the q247 machinery UNCHANGED: salted bucket-keyed scored equi-join + TopKPerKey; C≈√n bounds per-bucket membership at ~√n, so the scored space is Θ(nprobe·n^1.5) instead of Θ(n²·nprobe/C_fixed); no exact pass anywhere.",
-    "q255_hard_negatives_kmeans" -> "q248's triplet assembly on the kmeans index: pure IVF path, bucket-keyed scored join + TopKPerKey k=2, mutuality LeftSemi, rank-2 probe joined on the anchor id.")
+    "q255_hard_negatives_kmeans" -> "q248's triplet assembly on the kmeans index: pure IVF path, bucket-keyed scored join + TopKPerKey k=2, mutuality LeftSemi, rank-2 probe joined on the anchor id.",
+    "q256_lsh_retire" -> "ONE cached banded-signature build feeds the stored-index agg (BoundedLongList + counts) AND the resurrection recovery; retirement is two LeftAnti probes against the broadcast delete list; resurrection semi-joins members to the affected bucket keys ONLY (the corpus never re-pairs); both branches select-normalize before the positional union; verify joins keyed on doc ids.",
+    "q257_lsh_autotune" -> "the (bands, rows) argmin is driver-side integer fixed point over the <= 5 divisor pairs of numPerm (no corpus pass, no collect of data); the banding chain runs ONCE at the chosen bands (bounded band buckets, per-row pair emission); truth and candidate sides collapse to (doc_a, doc_b) before ONE full-outer join; scoreboard is a single algebraic agg.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -463,47 +463,91 @@ object Similarity {
     * derivation.
     *
     * Scale shape: each round is one broadcast-fold assignment pass
-    * over the corpus (no shuffle — the assignToNearest argmax fold)
-    * plus one C×dim centroid aggregate (map-side combined), with the
-    * per-round centroid table localCheckpointed (the depth-≥-2 nested
-    * cache lesson). The n·C cosine work per round is Θ(n^1.5) under
-    * C ≈ √n — the balanced IVF build cost; at 100 TB the refinement
-    * runs on a deterministic hash sample (the q38 buildSamplePerMille
-    * shape) while assignment stays full-corpus. The driver holds only
-    * the scalars n and C.
+    * (no shuffle — the assignToNearest argmax fold) plus one C×dim
+    * centroid aggregate (map-side combined), with the per-round
+    * centroid table localCheckpointed (the depth-≥-2 nested cache
+    * lesson). The n·C cosine work per round is Θ(n^1.5) under C ≈ √n —
+    * the balanced IVF build cost. At 100 TB set `buildSamplePerMille`
+    * (+ seed): seeding and every Lloyd refinement round then run on a
+    * deterministic md5-hash-gated sample (the q38 quantizer-training
+    * shape — hash gating, never rand(), so the trained centroids are
+    * reproducible across runs, engines, and partitionings and the
+    * oracle replays the identical sample), while C stays derived from
+    * the FULL corpus size (the index serves all of it) and the final
+    * assignment + `moved` audit cover the FULL corpus (two broadcast
+    * argmax folds against the last two refinement centroid tables).
+    * The driver holds only the scalars n and C.
     */
   def kmeansBuckets(df: DataFrame, id: Column, vec: Column, rounds: Int,
-                    minC: Int = 10): DataFrame = {
+                    minC: Int = 10, buildSamplePerMille: Int = 1000,
+                    buildSampleSeed: Int = 0): DataFrame = {
     require(rounds >= 1, "kmeansBuckets needs rounds >= 1")
     require(minC >= 1, "kmeansBuckets needs minC >= 1")
+    require(buildSamplePerMille >= 1 && buildSamplePerMille <= 1000,
+      "buildSamplePerMille must be in [1, 1000]")
     ArrayCosine.register(df.sparkSession)
     val e = df.select(id.as("vec_id"), toDouble(vec).as("v"))
     val n = e.count()
     require(n >= 1, "kmeansBuckets needs a non-empty corpus")
+    // C from the FULL corpus size even under sampled training: the
+    // index must hold ~√n buckets for the data it will serve
     val c = math.max(minC.toLong, graft.functions.IntMath.isqrt(n)).toInt
-    // seed centroids: rank 0..C-1 over (hash60, id) — C rows, so the
-    // unpartitioned rank window is driver-bounded by construction
+    val train =
+      if (buildSamplePerMille == 1000) e
+      else e.filter(graft.functions.TextFunctions
+        .hash60(col("vec_id").cast("string"), buildSampleSeed)
+        % 1000 < buildSamplePerMille)
+    // seed centroids: rank 0..C-1 over (hash60, id) of the TRAIN set —
+    // C rows, so the unpartitioned rank window is driver-bounded by
+    // construction
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__h"), col("vec_id"))
-    var cents = e.select(col("vec_id"), col("v"),
+    val seeds = train.select(col("vec_id"), col("v"),
         graft.functions.TextFunctions
           .hash60(col("vec_id").cast("string"), 0).as("__h"))
       .orderBy(col("__h"), col("vec_id")).limit(c)
       .select((row_number().over(w) - 1).cast("long").as("c_lbl"),
         col("v").as("cv"))
       .localCheckpoint(eager = true)
-    var assigned = assignToNearest(e, cents)
-    for (_ <- 1 to rounds) {
-      cents = centroidsWide(
-          assigned.select(col("bucket").as("lbl"), col("v")))
-        .localCheckpoint(eager = true)
-      assigned = assignToNearest(
-          assigned.drop("bucket0").withColumnRenamed("bucket", "bucket0"),
-          cents)
-        .localCheckpoint(eager = true)
+    require(buildSamplePerMille == 1000 || seeds.limit(1).count() >= 1,
+      "buildSamplePerMille gated out the entire corpus — no train rows")
+    if (buildSamplePerMille == 1000) {
+      // full build: the loop's assignment passes ARE the output
+      var cents = seeds
+      var assigned = assignToNearest(e, cents)
+      for (_ <- 1 to rounds) {
+        cents = centroidsWide(
+            assigned.select(col("bucket").as("lbl"), col("v")))
+          .localCheckpoint(eager = true)
+        assigned = assignToNearest(
+            assigned.drop("bucket0").withColumnRenamed("bucket", "bucket0"),
+            cents)
+          .localCheckpoint(eager = true)
+      }
+      assigned.select(col("vec_id"), col("v"), col("bucket"),
+        (col("bucket0") =!= col("bucket")).as("moved"))
+    } else {
+      // sampled build: refine on the train set only, then assign the
+      // FULL corpus against the last two centroid tables so `bucket`
+      // and the `moved` fixed-point audit keep their full-corpus
+      // contract (restricted to train rows, moved equals the train
+      // refinement's own residual)
+      var prev = seeds
+      var cents = seeds
+      var assignedT = assignToNearest(train, cents)
+      for (_ <- 1 to rounds) {
+        prev = cents
+        cents = centroidsWide(
+            assignedT.select(col("bucket").as("lbl"), col("v")))
+          .localCheckpoint(eager = true)
+        assignedT = assignToNearest(assignedT.drop("bucket"), cents)
+          .localCheckpoint(eager = true)
+      }
+      val a0 = assignToNearest(e, prev).withColumnRenamed("bucket", "bucket0")
+      assignToNearest(a0, cents)
+        .select(col("vec_id"), col("v"), col("bucket"),
+          (col("bucket0") =!= col("bucket")).as("moved"))
     }
-    assigned.select(col("vec_id"), col("v"), col("bucket"),
-      (col("bucket0") =!= col("bucket")).as("moved"))
   }
 
   /** IVF-PQ with RESIDUAL codebooks — the full production index

@@ -1444,7 +1444,84 @@ object SimilarityQueries {
         |  t2.cos_neg, CAST(mu.cu_pos - t2.cu_neg AS BIGINT) AS gap_bp
         |FROM mu JOIN t2 USING (anchor_id)
         |ORDER BY anchor_id""".stripMargin),
-      "contrastive hard negatives on the kmeans-built corpus-scaled IVF index (the at-scale q248)")
+      "contrastive hard negatives on the kmeans-built corpus-scaled IVF index (the at-scale q248)"),
+
+    // q258 — SAMPLED-refinement k-means build: at 100 TB the coarse
+    // quantizer is always TRAINED on a sample (the q38 discipline —
+    // md5-hash-gated, never rand(), so the oracle replays the
+    // identical sample) while C stays derived from the FULL corpus
+    // size and the final assignment + moved audit cover the FULL
+    // corpus (two broadcast argmax folds against the last two
+    // refinement centroid tables). This composes q102's sampled-build
+    // step INTO the q253 index build — seeding and both Lloyd rounds
+    // touch only ~half the corpus here (perMille = 500).
+    Q("q258_kmeans_sampled_build",
+      (s, d) => graft.operators.Similarity.kmeansBuckets(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2, buildSamplePerMille = 500)
+        .select(col("vec_id"), col("bucket"), col("moved"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |cc AS (SELECT greatest(10, (SELECT CAST(max(s.s) AS BIGINT)
+        |  FROM generate_series(1, 4000) s(s), nc
+        |  WHERE s.s * s.s <= nc.n)) AS c),
+        |tr AS MATERIALIZED (SELECT vec_id, v FROM e
+        |  WHERE ('0x' || substring(md5('0#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500),
+        |sd AS MATERIALIZED (
+        |  SELECT CAST(rn - 1 AS BIGINT) AS c_lbl, v AS cv FROM (
+        |    SELECT v, row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5('0#' ||
+        |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM tr) t
+        |  WHERE rn <= (SELECT c FROM cc)),
+        |a0 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT tr.vec_id, tr.v, s.c_lbl,
+        |      row_number() OVER (PARTITION BY tr.vec_id
+        |        ORDER BY round(list_cosine_similarity(tr.v, s.cv), 4) DESC,
+        |          s.c_lbl) AS prn
+        |    FROM tr, sd s) t WHERE prn = 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a0 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT tr.vec_id, tr.v, c.c_lbl,
+        |      row_number() OVER (PARTITION BY tr.vec_id
+        |        ORDER BY round(list_cosine_similarity(tr.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM tr, c1 c) t WHERE prn = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a1 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |ap AS MATERIALIZED (
+        |  SELECT vec_id, c_lbl AS bucket FROM (
+        |    SELECT e.vec_id, c.c_lbl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM e, c1 c) t WHERE prn = 1),
+        |af AS MATERIALIZED (
+        |  SELECT vec_id, c_lbl AS bucket FROM (
+        |    SELECT e.vec_id, c.c_lbl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM e, c2 c) t WHERE prn = 1)
+        |SELECT af.vec_id, af.bucket, af.bucket <> ap.bucket AS moved
+        |FROM af JOIN ap USING (vec_id)
+        |ORDER BY vec_id""".stripMargin),
+      "sampled-refinement corpus-scaled k-means build: hash-gated train set for seeding + Lloyd, full-corpus assignment and moved audit")
   )
 
   /** Shared oracle prefix for the q253-q255 family: the corpus-scaled

@@ -381,6 +381,34 @@ class SimilaritySpec extends SparkSpec {
       s"fixture corpus should converge within 12 rounds ($movedCnt still moving)")
   }
 
+  test("kmeansBuckets: sampled refinement trains on the hash-gated set, assigns the full corpus") {
+    import graft.functions.TextFunctions
+    val idx = Similarity.kmeansBuckets(
+      emb, col("vec_id"), col("embedding"), rounds = 2,
+      buildSamplePerMille = 500)
+    // full-corpus coverage and full-corpus C (isqrt(500) = 22), even
+    // though seeding + refinement only saw the ~half train set
+    assert(idx.count() === 500,
+      "sampled build must still assign the FULL corpus")
+    assert(idx.select("bucket").distinct().collect()
+      .map(_.getLong(0)).forall(b => b >= 0 && b < 22),
+      "bucket labels must stay seed ranks in [0, C_full)")
+    // the centroid chain is a pure function of the train set: the
+    // full (unsampled) build run ON the train set — with C pinned to
+    // the full-corpus C — must agree bucket-for-bucket on train rows
+    val train = emb.filter(TextFunctions
+      .hash60(col("vec_id").cast("string"), 0) % 1000 < 500)
+    val ref = Similarity.kmeansBuckets(
+      train, col("vec_id"), col("embedding"), rounds = 2, minC = 22)
+    val got = idx.join(train.select("vec_id"), "vec_id")
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ref.select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want,
+      "train-restricted sampled build must equal the full build on the train set")
+  }
+
   test("halfCentroidDrift: per-dim means by id parity, orthogonal means -> 0 bp") {
     import spark.implicits._
     val d = Seq(

@@ -207,6 +207,57 @@ class PlansSpec extends SparkSpec {
       s"no unkeyed pair space in the kmeans mining path")
   }
 
+  test("q253: nearest-centroid assignment is a broadcast argmax fold — the corpus never shuffles") {
+    // asserted on the building block (the query's fixed-round build
+    // localCheckpoints per round for lineage hygiene, which hides the
+    // assignment shape behind checkpoint scans): one centroid build +
+    // one assignment pass, exactly what every kmeansBuckets round runs
+    import org.apache.spark.sql.functions._
+    val e = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = graft.operators.Similarity.centroidsWide(
+      e.select((col("vec_id") % 4).as("lbl"), col("v")))
+    val p = graft.operators.Similarity.assignToNearest(e, cents)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row centroid array must broadcast against the corpus scan")
+    // the ONLY hash exchanges belong to the C-row centroid build
+    // ((lbl,pos) then (lbl)); the corpus assignment branch adds none —
+    // a third would mean assignment shuffles the corpus
+    assert(occurrences(p, "Exchange hashpartitioning") === 2,
+      s"assignment must add zero corpus exchanges:\n$p")
+    assert(p.contains("partial_"),
+      "the centroid aggregate lost its map-side combine")
+  }
+
+  test("q256: retire is anti-join cascade + semi-join resurrection over bucket keys") {
+    val p = plan("q256_lsh_retire")
+    assert(occurrences(p, "LeftAnti") >= 3,
+      "cascade retirement (two delete probes) + resurrection dedup must be anti-joins")
+    assert(p.contains("LeftSemi"),
+      "resurrection member recovery must semi-join the affected bucket keys only")
+    assert(p.contains("bounded_long_list"),
+      "the stored index's member lists must ride the bounded aggregate")
+    assert(occurrences(p, "Generate") >= 2,
+      "stored and resurrected pairs must fan out per-row from buckets, not self-join")
+    assert(!p.contains("CartesianProduct"),
+      "no pair space may materialize outside bucket keys")
+  }
+
+  test("q257: auto-tuned banding runs ONE banding chain; pair sets meet in one full-outer join") {
+    val p = plan("q257_lsh_autotune")
+    assert(p.contains("FullOuter"),
+      "truth and candidate pair sets must meet in a single full-outer join")
+    assert(p.contains("bounded_long_list"),
+      "truth postings and band buckets must ride the bounded aggregate")
+    assert(!p.contains("CartesianProduct"),
+      "no pair space may materialize outside bucket keys")
+    assert(occurrences(p, "Generate") >= 2,
+      "both pair sides must fan out per-row (banding / postings), not self-join")
+  }
+
   test("q246: incremental sessionization splits replay/passthrough as semi/anti joins") {
     val p = plan("q246_incremental_sessions")
     assert(p.contains("LeftSemi"),

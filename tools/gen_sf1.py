@@ -14,13 +14,19 @@ correctness still runs against the driver's data.
 """
 import json
 import os
+import sys
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import duckdb
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "sf1")
+# Optional decade multiplier vs sf1 (tools/gen_sf1.py 10 -> fixtures/sf10
+# with 10x sf1 rows; default 1 -> fixtures/sf1). Same seed, schemas and
+# distributions either way.
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+NAME = "sf1" if SCALE == 1 else f"sf{SCALE}"
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", NAME)
 SRC = "/root/testdata/sf0.1"
 rng = np.random.default_rng(42)
 
@@ -182,13 +188,14 @@ def copy_small():
 
 
 if __name__ == "__main__":
-    documents()
-    embeddings()
-    events()
-    orders()
-    lineitem()
-    part()
-    customer()
-    supplier()
+    documents(50_000 * SCALE)
+    embeddings(20_000 * SCALE)
+    events(1_000_000 * SCALE, users=15_000 * SCALE)
+    orders(1_500_000 * SCALE, customers=150_000 * SCALE)
+    lineitem(6_000_000 * SCALE, n_orders=1_500_000 * SCALE,
+             parts=200_000 * SCALE, supps=10_000 * SCALE)
+    part(200_000 * SCALE)
+    customer(150_000 * SCALE)
+    supplier(10_000 * SCALE)
     copy_small()
     print("done ->", os.path.abspath(OUT))

@@ -63,15 +63,17 @@ def main(paths):
     else:
         out.append("No query scales worse than ~linear over the top decade.\n")
     body = "\n".join(out)
-    # preserve the sf1-decade rehearsal section (tools/scaling_sf1.py)
+    # preserve the decade rehearsal sections (tools/scaling_sf1.py)
     # across regenerations of the 3-SF table
     try:
         import re as _re
         old = open("SCALING.md").read()
-        m = _re.search(r"<!-- sf1-decade:start -->.*?<!-- sf1-decade:end -->",
-                       old, _re.S)
-        if m:
-            body = body.rstrip() + "\n\n" + m.group(0) + "\n"
+        for mk in ("sf1", "sf10"):
+            m = _re.search(
+                rf"<!-- {mk}-decade:start -->.*?<!-- {mk}-decade:end -->",
+                old, _re.S)
+            if m:
+                body = body.rstrip() + "\n\n" + m.group(0) + "\n"
     except FileNotFoundError:
         pass
     open("SCALING.md", "w").write(body)

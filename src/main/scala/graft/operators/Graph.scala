@@ -355,21 +355,26 @@ object Graph {
     * edges) trajectory plus k — the standard "does a dense core
     * exist" diagnostic over a co-occurrence graph.
     *
-    * Scale shape: the percentile is a TakeOrdered over the degree
-    * table (|nodes| rows, never the edges); each peel round is ONE
-    * degree agg over the edges plus two BROADCAST anti-joins against
-    * the round's DROP set — the nodes below threshold, small by
-    * construction for percentile-style thresholds (the sf10 rehearsal
-    * caught the previous semi-join form shuffling the full edge set
-    * twice per round against a keep set that was ~90% of nodes:
-    * exp 1.55 over the sf1→sf10 decade once the per-round edge
-    * materializations crossed the memory→disk tier; peeling removes
-    * the SMALL frontier, it must never re-key the surviving bulk).
-    * If a caller's kFixed makes the drop set a large fraction of the
-    * graph, the escalation is the semi-join form on the keep side —
-    * documented, not defaulted. Per-round cost is |surviving edges|
-    * map-side + one |nodes| shuffle. Driver sees two scalars (n, k);
-    * everything else is distributed.
+    * Scale shape: the peel NEVER touches the edge set after the one
+    * initial degree aggregation — the loop state is the |nodes|-sized
+    * degree table. Peeling removes nodes; a removed node changes only
+    * its NEIGHBORS' degrees, so each round subtracts a correction
+    * (edges incident to the round's drop frontier, counted per
+    * surviving endpoint) from the standing degree table instead of
+    * re-aggregating — and the surviving edge count is Σ dg ÷ 2 over
+    * that same table, free. The drop frontier is the nodes BELOW the
+    * degree percentile — small by construction (≤ n·p/100 rows in
+    * round 1, the cascade tail after) — so the correction is one
+    * broadcast-hash probe of the cached edge set (map-side, no
+    * shuffle; the only shuffled rows are the drop-incident edges,
+    * and those endpoints are low-degree BY DEFINITION of the drop).
+    * The two prior forms both paid O(m) per round and went
+    * super-linear over the sf1→sf10 decade once the per-round edge
+    * materializations crossed the memory→disk tier (semi-join
+    * re-keying exp 1.55, anti-join + localCheckpoint rewrite no
+    * better): rewriting the 90% that SURVIVES to express the 10%
+    * that leaves is the wrong side of the subtraction at any scale.
+    * Driver sees two scalars (n, k); everything else is distributed.
     */
   def kCorePeel(edges: DataFrame, rounds: Int,
                 kFixed: Option[Long] = None): DataFrame = {
@@ -385,44 +390,101 @@ object Graph {
       d0.orderBy(col("dg"), col("u")).limit(idx)
         .agg(max("dg")).as[Long].head()
     }
-    var e = e0
-    val degs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // deg = the ALIVE nodes with their degree in the current induced
+    // subgraph. Rows may reach dg = 0 (a survivor whose neighbors all
+    // fell): such nodes are never dropped (they have no edges to
+    // remove) and never counted (dg < k), matching the edge-aggregated
+    // semantics where they simply vanish from the degree table.
+    // localCheckpoint per round: the depth-≥2 nested-cache lesson.
+    var deg = d0.localCheckpoint(eager = true)
     val roundStats = (1 to rounds).map { rnd =>
-      // |nodes|-sized and cached: both the drop set and the survivor
-      // count read it, and the stat rows evaluate only at the end
-      val deg = e.groupBy("u").agg(count(lit(1)).as("dg")).cache()
-      degs += deg
-      // the DROP frontier — materialized small (broadcast build side)
-      val drop = deg.filter(col("dg") < k).select("u")
+      val nodesRow = deg.filter(col("dg") >= k)
+        .agg(count(lit(1)).as("nodes"))
+      // this round's drop frontier: alive, has edges, below threshold
+      val drop = deg.filter(col("dg") < k && col("dg") >= 1).select("u")
         .localCheckpoint(eager = true)
-      // localCheckpoint, not persist: each round's edge set nests the
-      // previous round's cached plan, and the CacheManager stops
-      // matching those nested-InMemoryRelation subtrees at depth >= 2
-      // under AQE — round 3 silently re-executed the WHOLE lineage
-      // including the edge build (profiled 19 s of a 41 s query).
-      // Truncating the lineage to the materialized blocks (the
-      // Bpe.learnMerges pattern) makes every round start from bytes.
-      // Every v in e also occurs as a u (the edge table carries both
-      // directions), so u/v anti-joins against drop are exactly the
-      // old keep-side semi-joins — without shuffling the edges.
-      e = e
-        .join(broadcast(drop), Seq("u"), "left_anti")
-        .join(broadcast(drop.select(col("u").as("v"))), Seq("v"), "left_anti")
+      // degree correction: each dropped node subtracts 1 from every
+      // surviving neighbor — count e0 edges whose v fell THIS round,
+      // per u. An edge is corrected exactly once (its endpoint is
+      // dropped exactly once), so e0 — not the shrunken subgraph — is
+      // the right probe table, and the probe is map-side broadcast.
+      val corr = e0
+        .join(broadcast(drop.select(col("u").as("v"))), "v")
+        .groupBy("u").agg(count(lit(1)).as("dc"))
+      deg = deg.filter(col("dg") >= k)
+        .join(corr, Seq("u"), "left")
+        .select(col("u"),
+          (col("dg") - coalesce(col("dc"), lit(0L))).as("dg"))
         .localCheckpoint(eager = true)
-      // "nodes" is the round's degree-filter survivor count (a kept
-      // node whose neighbors all fell may hold zero surviving edges)
-      deg.filter(col("dg") >= k).agg(count(lit(1)).as("nodes"))
-        .crossJoin(e.agg(expr("count(1) div 2").as("edges")))
+      nodesRow
+        .crossJoin(deg.agg(
+          coalesce(expr("sum(dg) div 2"), lit(0L)).as("edges")))
         .select(lit(rnd.toLong).as("rnd"), lit(k).as("k"),
           col("nodes").cast("long").as("nodes"),
           col("edges").cast("long").as("edges"))
     }
-    // materialize the `rounds` stat rows, then release every per-round
-    // cache — a long bench session must not accumulate block-manager
-    // residue that evicts later queries' caches
+    // materialize the `rounds` stat rows, then release the caches — a
+    // long bench session must not accumulate block-manager residue
+    // that evicts later queries' caches
     val out = roundStats.reduce(_ unionAll _).orderBy("rnd")
       .localCheckpoint(eager = true)
-    (degs :+ e0 :+ d0).foreach(_.unpersist(blocking = false))
+    Seq(e0, d0).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Distributed CONNECTED COMPONENTS by synchronous min-label
+    * propagation: lbl₀(x) = x; lblₜ₊₁(x) = min(lblₜ(x),
+    * min over in-neighbors y of lblₜ(y)), `rounds` fixed rounds (the
+    * q180/q253 fixed-point discipline — both engines replay the
+    * IDENTICAL rounds, and a per-node `changed` audit reports whether
+    * the last round still moved any label, so convergence is observed,
+    * never assumed). Labels are node ids, so the converged component
+    * id is the component's MINIMUM member — the same canonical label
+    * the driver-side union-find emits.
+    *
+    * This is the SCALE escalation of [[graft.operators.Dedup]]'s
+    * capped union-find (`localClusters` collects ≤ 1M edges to the
+    * driver by loud contract): here NO driver state exists beyond the
+    * loop counter. Each round is one label-to-edges equi-join + one
+    * target-keyed min aggregation with map-side partial combine + a
+    * node-keyed coalesce fold against the previous labels; round state
+    * rides localCheckpoint (the depth-≥2 nested-cache lesson — lineage
+    * is truncated to bytes every round). Min-propagation needs
+    * diameter rounds; co-occurrence graphs are short-diameter, and on
+    * a 1000-executor cluster the escalation for long-diameter graphs
+    * is the alternating star contraction — the round STRUCTURE here
+    * (join + min-agg + fold) is exactly its building block.
+    *
+    * Input: symmetrized (u, v) edges (both directions present).
+    * Output: (node, component, changed) — `changed` = 1 iff the FINAL
+    * round moved this node's label (sum(changed) = 0 proves the fixed
+    * point was reached).
+    */
+  def connectedComponentsInt(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "connectedComponentsInt needs rounds >= 1")
+    val e = edges.select("u", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(eager = true)
+    var last = lbl
+    for (_ <- 1 to rounds) {
+      last = lbl
+      val nbrMin = e.join(lbl.select(col("node").as("u"),
+          col("lbl").as("nl")), "u")
+        .groupBy(col("v").as("node")).agg(min("nl").as("m"))
+      lbl = lbl.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    val out = lbl
+      .join(last.select(col("node"), col("lbl").as("pl")), "node")
+      .select(col("node"), col("lbl").as("component"),
+        when(col("lbl") =!= col("pl"), lit(1L)).otherwise(lit(0L))
+          .as("changed"))
+      .localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
     out
   }
 }

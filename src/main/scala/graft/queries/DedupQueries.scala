@@ -1455,6 +1455,87 @@ object DedupQueries {
         |  CAST((n_hit * 10000) // n_truth AS BIGINT) AS recall_bp,
         |  CAST((n_hit * 10000) // n_cand AS BIGINT) AS precision_bp
         |FROM sb, pick""".stripMargin),
-      "S-curve auto-tuned (bands, rows) for the target threshold + measured recall/precision of the chosen point")
+      "S-curve auto-tuned (bands, rows) for the target threshold + measured recall/precision of the chosen point"),
+
+    // q260 — PHYSICAL-STRATEGY EQUIVALENCE made an oracle contract:
+    // q234's exact canonical-keep pipeline with dupClusters forced onto
+    // its DISTRIBUTED min-label propagation path (localEdgeLimit = 0 —
+    // the strategy a 100 TB pair graph takes when the verified-pair
+    // set outgrows the driver collect). The propagation loop converges
+    // to the same min-label fixpoint as the union-find (rounds-free
+    // semantics, loud failure if the diameter exceeds the round cap),
+    // so the ORACLE IS q234's: the recursive-closure cluster labels
+    // and the keep list must hash-match across the two physical
+    // strategies. Without this entry the distributed path — the one
+    // the engine actually relies on at scale — ships spec-tested on
+    // toy graphs but never oracle-verified at data scale.
+    Q("q260_cluster_canonical_dist",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val matches = Dedup.sortedNeighborhoodPairs(docs,
+          col("doc_id"), col("text"),
+          n = 3, keyLen = 24, blockLen = 2, win = 6, minBp = 2000L)
+        val clusters = Dedup.dupClusters(matches, localEdgeLimit = 0L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        clusters
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("cluster_size"),
+            max(when(col("rn") === 1, col("doc_id"))).cast("long")
+              .as("canonical_doc"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE b AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents
+        |  WHERE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    IS NOT NULL
+        |    AND length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      > 0),
+        |rk AS (SELECT doc_id, substring(t, 1, 2) AS blk,
+        |    row_number() OVER (PARTITION BY substring(t, 1, 2)
+        |      ORDER BY substring(t, 1, 24), doc_id) AS rn
+        |  FROM b),
+        |pr AS (SELECT blk, doc_id AS id_a,
+        |    unnest(generate_series(rn + 1, rn + 5)) AS rn2
+        |  FROM rk),
+        |pairs AS (SELECT least(pr.id_a, rk.doc_id) AS doc_a,
+        |    greatest(pr.id_a, rk.doc_id) AS doc_b
+        |  FROM pr JOIN rk ON rk.blk = pr.blk AND rk.rn = pr.rn2),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        |  FROM b WHERE len(ws) >= 3),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |gc AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |sh AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+        |  FROM pairs p JOIN g ga ON ga.doc_id = p.doc_a
+        |               JOIN g gb ON gb.doc_id = p.doc_b
+        |                 AND gb.gram = ga.gram
+        |  GROUP BY 1, 2),
+        |m AS (SELECT sh.doc_a, sh.doc_b
+        |  FROM sh JOIN gc ca ON ca.doc_id = sh.doc_a
+        |          JOIN gc cb ON cb.doc_id = sh.doc_b
+        |  WHERE (10000 * sh.shared) // (ca.ng + cb.ng - sh.shared) >= 2000),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM m
+        |  UNION SELECT doc_b, doc_a FROM m),
+        |cc AS (SELECT src AS id, src AS label FROM edges
+        |  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src),
+        |lab AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM cc GROUP BY id),
+        |jm AS (SELECT lab.cluster_id, lab.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY lab.cluster_id
+        |      ORDER BY d.n_chars DESC, lab.doc_id) AS rn
+        |  FROM lab JOIN documents d USING (doc_id))
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+        |    AS canonical_doc
+        |FROM jm GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+      "q234's canonical keep-list on the DISTRIBUTED min-label strategy — both physical paths hash-identical"),
   )
 }

@@ -1318,5 +1318,80 @@ object GraphStatsQueries {
         |SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
       "incremental sessionization — delta-user replay + untouched passthrough equals the full recompute"),
+
+    // q259 — DISTRIBUTED CONNECTED COMPONENTS (min-label propagation,
+    // 6 synchronous rounds) over the sparse co-purchase slice (qty ≥
+    // 40, the q183 graph — sparse enough to fragment into a real
+    // component-size distribution). The SCALE escalation of the
+    // driver-side capped union-find (q227/q234's localClusters, 1M-edge
+    // loud cap): every round is one label-to-edges join + one
+    // target-keyed min agg with partial combine — no driver state, no
+    // cap. Labels are node ids, so the converged component id is the
+    // component's minimum member, exactly the union-find's canonical
+    // label. The oracle unrolls the identical 6 rounds as MATERIALIZED
+    // CTEs (the q180 fixed-point discipline) and both engines report
+    // `moved_last` — the number of labels the FINAL round still moved —
+    // so convergence is an audited output, never an assumption.
+    Q("q259_connected_components",
+      (s, d) => {
+        val edges = graft.operators.Graph.coOccurrenceEdges(
+          Tables(s, d, "lineitem").filter(col("l_quantity") >= 40),
+          col("l_orderkey"), col("l_partkey"))
+        val cc = graft.operators.Graph.connectedComponentsInt(edges, rounds = 6)
+        val moved = cc.agg(sum("changed").cast("long").as("moved_last"))
+        cc.groupBy("component")
+          .agg(count(lit(1)).cast("long").as("n_nodes"))
+          .crossJoin(broadcast(moved))
+          .orderBy(desc("n_nodes"), col("component")).limit(25)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS gk, l_partkey AS it
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |p0 AS (SELECT a.it AS u, b.it AS v FROM li a JOIN li b USING (gk)
+        |  WHERE a.it < b.it),
+        |p1 AS (SELECT DISTINCT u, v FROM p0),
+        |e AS MATERIALIZED (SELECT u, v FROM p1
+        |  UNION ALL SELECT v, u FROM p1),
+        |l0 AS MATERIALIZED (SELECT u AS node, u AS lbl
+        |  FROM (SELECT DISTINCT u FROM e)),
+        |m1 AS (SELECT e.v AS node, min(p.lbl) AS m
+        |  FROM e JOIN l0 p ON e.u = p.node GROUP BY 1),
+        |l1 AS MATERIALIZED (SELECT l0.node,
+        |    LEAST(l0.lbl, COALESCE(m1.m, l0.lbl)) AS lbl
+        |  FROM l0 LEFT JOIN m1 USING (node)),
+        |m2 AS (SELECT e.v AS node, min(p.lbl) AS m
+        |  FROM e JOIN l1 p ON e.u = p.node GROUP BY 1),
+        |l2 AS MATERIALIZED (SELECT l1.node,
+        |    LEAST(l1.lbl, COALESCE(m2.m, l1.lbl)) AS lbl
+        |  FROM l1 LEFT JOIN m2 USING (node)),
+        |m3 AS (SELECT e.v AS node, min(p.lbl) AS m
+        |  FROM e JOIN l2 p ON e.u = p.node GROUP BY 1),
+        |l3 AS MATERIALIZED (SELECT l2.node,
+        |    LEAST(l2.lbl, COALESCE(m3.m, l2.lbl)) AS lbl
+        |  FROM l2 LEFT JOIN m3 USING (node)),
+        |m4 AS (SELECT e.v AS node, min(p.lbl) AS m
+        |  FROM e JOIN l3 p ON e.u = p.node GROUP BY 1),
+        |l4 AS MATERIALIZED (SELECT l3.node,
+        |    LEAST(l3.lbl, COALESCE(m4.m, l3.lbl)) AS lbl
+        |  FROM l3 LEFT JOIN m4 USING (node)),
+        |m5 AS (SELECT e.v AS node, min(p.lbl) AS m
+        |  FROM e JOIN l4 p ON e.u = p.node GROUP BY 1),
+        |l5 AS MATERIALIZED (SELECT l4.node,
+        |    LEAST(l4.lbl, COALESCE(m5.m, l4.lbl)) AS lbl
+        |  FROM l4 LEFT JOIN m5 USING (node)),
+        |m6 AS (SELECT e.v AS node, min(p.lbl) AS m
+        |  FROM e JOIN l5 p ON e.u = p.node GROUP BY 1),
+        |l6 AS MATERIALIZED (SELECT l5.node,
+        |    LEAST(l5.lbl, COALESCE(m6.m, l5.lbl)) AS lbl
+        |  FROM l5 LEFT JOIN m6 USING (node)),
+        |mv AS (SELECT CAST(count(*) FILTER (WHERE a.lbl <> b.lbl)
+        |    AS BIGINT) AS moved_last
+        |  FROM l6 a JOIN l5 b USING (node)),
+        |comp AS (SELECT lbl AS component,
+        |    CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM l6 GROUP BY 1)
+        |SELECT comp.component, comp.n_nodes, mv.moved_last
+        |FROM comp, mv
+        |ORDER BY n_nodes DESC, component LIMIT 25""".stripMargin),
+      "distributed connected components (6 min-label rounds, convergence audited) over the sparse co-purchase graph"),
   )
 }

@@ -176,4 +176,41 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
     assert(got === Seq((1L, 2L, 1L), (2L, 0L, 0L), (3L, 0L, 0L)))
   }
+
+  test("connectedComponentsInt: two components converge to min labels, changed=0") {
+    // components {1,2,3} (path) and {5,6}: diameter 2, so 3 rounds
+    // converge with a clean final round
+    val got = Graph.connectedComponentsInt(
+      edgesOf((1L, 2L), (2L, 3L), (5L, 6L)), rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (5L, 5L, 0L), (6L, 5L, 0L)))
+  }
+
+  test("connectedComponentsInt: one round on a path reports the moved frontier") {
+    // path 1-2-3-4, one round of neighbor-min: lbl(2)=1, lbl(3)=2,
+    // lbl(4)=3 — three labels moved in the (only = final) round
+    val got = Graph.connectedComponentsInt(
+      edgesOf((1L, 2L), (2L, 3L), (3L, 4L)), rounds = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got === Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 2L, 1L),
+      (4L, 3L, 1L)))
+  }
+
+  test("connectedComponentsInt: labels equal the union-find clusters once converged") {
+    // the distributed rounds land on the same (node -> min member)
+    // map the driver-side union-find produces (Dedup.dupClusters'
+    // local strategy) — the q259/q260 cross-strategy contract
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L))
+    val cc = Graph.connectedComponentsInt(edgesOf(pairs: _*), rounds = 4)
+      .select(col("node"), col("component")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val uf = Dedup.dupClusters(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === uf)
+  }
 }

@@ -112,7 +112,7 @@ object Plans {
     "q218_frequent_triples" -> "ONE basket-keyed exchange builds the sorted L1-survivor arrays (size <= maxBasket enforced); pair and triple enumeration are per-row posexplode/slice codegen fan-out (no basket self-joins); every Lk prunes as a broadcast semi-join probe BEFORE the count agg; supports are integer cross-multiplications.",
     "q219_label_propagation" -> "per round: one score-to-edges join + one target-keyed (node, label) count agg with partial combine + deterministic max-struct tiebreak fold; round state rides localCheckpoint (lineage truncated); community rollup is a tiny second agg + TakeOrderedAndProject.",
     "q220_ndcg_graded" -> "queries (vec_id < 4) behind BroadcastExchange; ONE corpus-slice scan through the codegen'd cosine; per-query top-10 via TopKPerKey; gains/discounts are exact-integer projections; ideal ranking from the same top-k artifact, not a second scan.",
-    "q221_kcore_peel" -> "per round: degree agg with partial combine + two endpoint LeftSemi probes; each round's edge set is localCheckpointed (no nested-cache replay); only (nodes, edges) scalars leave the round; k arrives as a broadcast order statistic.",
+    "q221_kcore_peel" -> "the edge set is aggregated ONCE (d0); every round after is |nodes|-sized state — the drop frontier broadcast-probes the cached edge set map-side for the degree correction (the only shuffled rows are drop-incident edges, low-degree by definition), the surviving edge count is sum(dg) div 2 over the state table, and NO round re-keys or rewrites the edges; k arrives as a broadcast order statistic.",
     "q222_bpe_fertility" -> "merge table learned once (q213's shape) and applied as a fold of literal replaces over the vocab agg — the corpus collapses once, application is per-row; fertility/bp rollup is a 1-row algebraic agg.",
     "q223_k_anonymity" -> "ONE (nation, segment) hash agg with partial count + partial distinct over the shifted-cents band; riskiest classes via TakeOrderedAndProject — no window, no self-join.",
     "q224_matryoshka_recall" -> "queries broadcast; one corpus scan PER ranking with the prefix truncation inside the codegen'd cosine (slice) — no re-materialized truncated vector table; rankings collapse via TopKPerKey before broadcast-sized overlap joins.",
@@ -148,7 +148,11 @@ object Plans {
     "q254_mutual_nn_kmeans" -> "the kmeans assignment feeds the q247 machinery UNCHANGED: salted bucket-keyed scored equi-join + TopKPerKey; C≈√n bounds per-bucket membership at ~√n, so the scored space is Θ(nprobe·n^1.5) instead of Θ(n²·nprobe/C_fixed); no exact pass anywhere.",
     "q255_hard_negatives_kmeans" -> "q248's triplet assembly on the kmeans index: pure IVF path, bucket-keyed scored join + TopKPerKey k=2, mutuality LeftSemi, rank-2 probe joined on the anchor id.",
     "q256_lsh_retire" -> "ONE cached banded-signature build feeds the stored-index agg (BoundedLongList + counts) AND the resurrection recovery; retirement is two LeftAnti probes against the broadcast delete list; resurrection semi-joins members to the affected bucket keys ONLY (the corpus never re-pairs); both branches select-normalize before the positional union; verify joins keyed on doc ids.",
-    "q257_lsh_autotune" -> "the (bands, rows) argmin is driver-side integer fixed point over the <= 5 divisor pairs of numPerm (no corpus pass, no collect of data); the banding chain runs ONCE at the chosen bands (bounded band buckets, per-row pair emission); truth and candidate sides collapse to (doc_a, doc_b) before ONE full-outer join; scoreboard is a single algebraic agg.")
+    "q257_lsh_autotune" -> "the (bands, rows) argmin is driver-side integer fixed point over the <= 5 divisor pairs of numPerm (no corpus pass, no collect of data); the banding chain runs ONCE at the chosen bands (bounded band buckets, per-row pair emission); truth and candidate sides collapse to (doc_a, doc_b) before ONE full-outer join; scoreboard is a single algebraic agg.",
+    "q258_kmeans_sampled_build" -> "seeding and every Lloyd round read ONLY the md5-hash-gated train slice (the sample predicate is a scan-side filter, never a rand()); C still derives from the FULL corpus count (1-row agg); the full-corpus assignment + moved audit are TWO broadcast argmax folds against the last two refinement centroid rows — the corpus itself never shuffles and is scanned once per fold.",
+    "q259_connected_components" -> "per round: ONE label-to-edges equi-join + one target-keyed min agg with partial combine + a node-keyed coalesce fold; round state rides localCheckpoint (no nested-cache replay); the moved_last audit is one join of the last two label tables — no driver state, no cap, no recursive closure.",
+    "q260_cluster_canonical_dist" -> "dupClusters forced onto its DISTRIBUTED strategy (localEdgeLimit=0): the propagation loop's per-round shape is one edge-keyed join + one min agg; the keep-list window partitions by cluster_id (cluster-sized); the oracle is q234's — both physical strategies must hash-match.",
+    "q261_ivf_incremental_insert" -> "the base build is q253's shape (broadcast argmax folds, C x dim partial-combined centroid aggs); the DELTA batch touches only a broadcast of the frozen per-bucket centroids — |delta| rows through one argmax fold, zero base re-scan; the audit is two |C|-row aggregates joined on bucket.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

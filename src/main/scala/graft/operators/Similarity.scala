@@ -550,6 +550,46 @@ object Similarity {
     }
   }
 
+  /** Incremental IVF INSERT maintenance + staleness audit — the serve
+    * path of a 100 TB vector index that cannot rebuild per batch: new
+    * vectors are assigned against the FROZEN quantizer (per-bucket 6dp
+    * centroids of the built assignment — the same re-derivation
+    * rankedNeighborsIvf performs, a fixed point of a converged build),
+    * so an insert batch costs |delta|·C broadcast-fold cosines and
+    * ZERO base-corpus work beyond the one-time build. What an
+    * append-only index silently loses is BALANCE — inserts drift the
+    * data away from the centroids that were trained before them — so
+    * the audit is first-class output: per-bucket base/delta membership,
+    * the integer delta share (bp), and a rebuild flag where the share
+    * crosses `flagBp` (the q251 lifecycle discipline: growth must be
+    * observable, the rebuild decision must be data-driven, and both
+    * are hash-verified). Delta buckets are a subset of built buckets
+    * by construction (assignment only targets existing centroids) —
+    * the join back to base membership is exact, never outer-null.
+    *
+    * Output: (bucket, n_base, n_delta, delta_share_bp, rebuild),
+    * one row per non-empty built bucket.
+    */
+  def ivfInsertAudit(base: DataFrame, delta: DataFrame, id: Column,
+                     vec: Column, rounds: Int, flagBp: Long): DataFrame = {
+    require(flagBp >= 1 && flagBp <= 10000, "flagBp must be in [1, 10000]")
+    val idx = kmeansBuckets(base, id, vec, rounds)
+    val cents = centroidsWide(idx.select(col("bucket").as("lbl"), col("v")))
+    val dAssigned = assignToNearest(
+      delta.select(id.as("vec_id"), toDouble(vec).as("v")), cents)
+    val nb = idx.groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_base"))
+    val nd = dAssigned.groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_delta"))
+    nb.join(nd, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("delta_share_bp",
+        expr("(10000 * n_delta) div (n_base + n_delta)"))
+      .withColumn("rebuild",
+        when(col("delta_share_bp") >= flagBp, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** IVF-PQ with RESIDUAL codebooks — the full production index
     * composition (coarse quantizer × nprobe probing × product-quantized
     * residuals with ADC scoring): each vector is assigned to its

@@ -1521,7 +1521,109 @@ object SimilarityQueries {
         |SELECT af.vec_id, af.bucket, af.bucket <> ap.bucket AS moved
         |FROM af JOIN ap USING (vec_id)
         |ORDER BY vec_id""".stripMargin),
-      "sampled-refinement corpus-scaled k-means build: hash-gated train set for seeding + Lloyd, full-corpus assignment and moved audit")
+      "sampled-refinement corpus-scaled k-means build: hash-gated train set for seeding + Lloyd, full-corpus assignment and moved audit"),
+
+    // q261 — INCREMENTAL IVF INSERT + staleness audit: the serve path
+    // of an index that cannot rebuild per batch. The corpus splits by
+    // md5 hash gate (80% base / 20% delta — deterministic, both
+    // engines replay it); the index builds ONCE on base (the q253
+    // machinery), then the delta batch assigns against the FROZEN
+    // per-bucket centroids — |delta|·C broadcast-fold cosines, zero
+    // base re-scan. The output IS the staleness audit: per-bucket
+    // base/delta membership, integer delta share, and the rebuild
+    // flag at 3000 bp — the q251/q256 index-lifecycle discipline
+    // (growth observable, rebuild data-driven) applied to the vector
+    // index.
+    Q("q261_ivf_incremental_insert",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val g = graft.functions.TextFunctions
+          .hash60(col("vec_id").cast("string"), 0) % 10
+        graft.operators.Similarity.ivfInsertAudit(
+            emb.filter(g < 8), emb.filter(g >= 8),
+            col("vec_id"), col("embedding"), rounds = 2, flagBp = 3000L)
+          .orderBy("bucket")
+      },
+      Some("""WITH ea AS MATERIALIZED (SELECT vec_id,
+        |    embedding::DOUBLE[] AS v,
+        |    ('0x' || substring(md5('0#' ||
+        |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS g
+        |  FROM embeddings),
+        |e AS MATERIALIZED (SELECT vec_id, v FROM ea WHERE g < 8),
+        |ed AS MATERIALIZED (SELECT vec_id, v FROM ea WHERE g >= 8),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |cc AS (SELECT greatest(10, (SELECT CAST(max(s.s) AS BIGINT)
+        |  FROM generate_series(1, 4000) s(s), nc
+        |  WHERE s.s * s.s <= nc.n)) AS c),
+        |sd AS MATERIALIZED (
+        |  SELECT CAST(rn - 1 AS BIGINT) AS c_lbl, v AS cv FROM (
+        |    SELECT v, row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5('0#' ||
+        |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM e) t
+        |  WHERE rn <= (SELECT c FROM cc)),
+        |a0 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT e.vec_id, e.v, s.c_lbl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC,
+        |          s.c_lbl) AS prn
+        |    FROM e, sd s) t WHERE prn = 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a0 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT e.vec_id, e.v, c.c_lbl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM e, c1 c) t WHERE prn = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a1 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |a2 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT e.vec_id, e.v, c.c_lbl,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM e, c2 c) t WHERE prn = 1),
+        |c3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a2 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |da AS MATERIALIZED (
+        |  SELECT vec_id, c_lbl AS bucket FROM (
+        |    SELECT d.vec_id, c.c_lbl,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY round(list_cosine_similarity(d.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM ed d, c3 c) t WHERE prn = 1),
+        |nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+        |  FROM a2 GROUP BY 1),
+        |nd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_delta
+        |  FROM da GROUP BY 1)
+        |SELECT nb.bucket, nb.n_base,
+        |  CAST(COALESCE(nd.n_delta, 0) AS BIGINT) AS n_delta,
+        |  CAST((10000 * COALESCE(nd.n_delta, 0)) //
+        |    (nb.n_base + COALESCE(nd.n_delta, 0)) AS BIGINT)
+        |    AS delta_share_bp,
+        |  CAST(CASE WHEN (10000 * COALESCE(nd.n_delta, 0)) //
+        |    (nb.n_base + COALESCE(nd.n_delta, 0)) >= 3000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS rebuild
+        |FROM nb LEFT JOIN nd USING (bucket)
+        |ORDER BY bucket""".stripMargin),
+      "incremental IVF insert against frozen centroids + per-bucket staleness audit with rebuild flag"),
   )
 
   /** Shared oracle prefix for the q253-q255 family: the corpus-scaled

@@ -519,4 +519,63 @@ class SimilaritySpec extends SparkSpec {
       .toSeq
     assert(got === Seq((9L, 1L, 20000L), (9L, 2L, 10000L)))
   }
+
+  test("ivfInsertAudit: membership conserved, delta buckets subset of built, flag fires on share") {
+    val g = graft.functions.TextFunctions
+      .hash60(col("vec_id").cast("string"), 0) % 10
+    val base = emb.filter(g < 8)
+    val delta = emb.filter(g >= 8)
+    val (nb, nd) = (base.count(), delta.count())
+    val audit = Similarity.ivfInsertAudit(base, delta,
+      col("vec_id"), col("embedding"), rounds = 2, flagBp = 3000L)
+    val rows = audit.collect()
+    // every base vector lands in exactly one bucket; every delta too
+    assert(rows.map(_.getLong(1)).sum === nb, "n_base conserved")
+    assert(rows.map(_.getLong(2)).sum === nd,
+      "n_delta conserved — delta can only land in built buckets")
+    // share/flag arithmetic: integer bp, flag iff share >= 3000
+    rows.foreach { r =>
+      val (b, d, share, flag) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(share === (10000 * d) / (b + d))
+      assert(flag === (if (share >= 3000L) 1L else 0L))
+    }
+  }
+
+  test("ivfInsertAudit: empty delta reports zero shares and no rebuild flags") {
+    val audit = Similarity.ivfInsertAudit(
+      emb, emb.limit(0), col("vec_id"), col("embedding"),
+      rounds = 1, flagBp = 3000L)
+    val rows = audit.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L
+      && r.getLong(4) == 0L))
+  }
+
+  test("ivfInsertAudit: a delta copy of a base vector joins its bucket") {
+    import spark.implicits._
+    val base = emb.limit(200).cache()
+    // delta = exact copies of two base vectors under fresh ids; the
+    // frozen-quantizer assignment must agree with the base bucket
+    val picks = base.orderBy("vec_id").limit(2).collect()
+    val delta = picks.map(r => (r.getLong(0) + 1000000L,
+        r.getAs[Seq[Float]]("embedding").toArray))
+      .toSeq.toDF("vec_id", "embedding")
+    val idx = Similarity.kmeansBuckets(
+      base, col("vec_id"), col("embedding"), rounds = 2)
+    val baseBuckets = idx.filter(
+        col("vec_id").isin(picks.map(_.getLong(0)): _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val audit = Similarity.ivfInsertAudit(base, delta,
+      col("vec_id"), col("embedding"), rounds = 2, flagBp = 3000L)
+    // the two delta rows land in the SAME buckets their twins hold
+    val deltaByBucket = audit.filter(col("n_delta") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    baseBuckets.values.foreach { bkt =>
+      assert(deltaByBucket.contains(bkt),
+        s"delta copy must land in its twin's bucket $bkt")
+    }
+    assert(deltaByBucket.values.sum === 2L)
+    base.unpersist()
+  }
 }

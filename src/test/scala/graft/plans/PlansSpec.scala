@@ -332,4 +332,62 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("Generate explode"),
       "array fan-out explode missing from the plan")
   }
+
+  test("q221: the peel round is a broadcast probe of the edges — never a re-keying") {
+    // asserted on the building block (round state localCheckpoints,
+    // hiding the loop shape behind checkpoint scans): the degree
+    // correction joins the cached edge set against the SMALL drop
+    // frontier map-side; the only shuffled rows are the drop-incident
+    // edges reaching the per-node count
+    import org.apache.spark.sql.functions._
+    val e0 = graft.operators.Graph.coOccurrenceEdges(
+        graft.util.Tables(spark, sfDir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
+      .select("u", "v").localCheckpoint(true)
+    val deg = e0.groupBy("u").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val drop = deg.filter(col("dg") < 3 && col("dg") >= 1).select("u")
+      .localCheckpoint(true)
+    val corr = e0
+      .join(broadcast(drop.select(col("u").as("v"))), "v")
+      .groupBy("u").agg(count(lit(1)).as("dc"))
+    val p = corr.queryExecution.explainString(SimpleMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"drop frontier must broadcast-probe the edge set:\n$p")
+    assert(p.contains("partial_count"),
+      "correction count lost its map-side combine")
+    // one exchange: the |drop-incident| correction agg — the edge set
+    // itself must not hash-partition
+    assert(occurrences(p, "Exchange hashpartitioning") === 1,
+      s"edge set re-keyed inside a peel round:\n$p")
+  }
+
+  test("q259: component rollup is one partial-combined agg + broadcast audit row, top-k finish") {
+    val p = plan("q259_connected_components")
+    assert(p.contains("partial_count"),
+      "component size aggregate lost its map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-25 must finish as TakeOrdered, not a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row moved_last audit must ride a broadcast")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the component rollup:\n$p")
+  }
+
+  test("q261: the delta batch scores against broadcast frozen centroids — no base re-scan joins") {
+    val p = plan("q261_ivf_incremental_insert")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "frozen centroid row must broadcast against the delta scan")
+    assert(p.contains("partial_count"),
+      "bucket membership counts lost their map-side combine")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the insert audit:\n$p")
+    // exactly one parquet scan survives in the consumer plan: the
+    // DELTA assignment's embeddings read (the base build + its counts
+    // ride behind the build's checkpoints)
+    assert(occurrences(p, "FileScan") <= 1,
+      s"base corpus re-scanned at insert time:\n$p")
+  }
 }

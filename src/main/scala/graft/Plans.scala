@@ -152,7 +152,9 @@ object Plans {
     "q258_kmeans_sampled_build" -> "seeding and every Lloyd round read ONLY the md5-hash-gated train slice (the sample predicate is a scan-side filter, never a rand()); C still derives from the FULL corpus count (1-row agg); the full-corpus assignment + moved audit are TWO broadcast argmax folds against the last two refinement centroid rows — the corpus itself never shuffles and is scanned once per fold.",
     "q259_connected_components" -> "per round: ONE label-to-edges equi-join + one target-keyed min agg with partial combine + a node-keyed coalesce fold; round state rides localCheckpoint (no nested-cache replay); the moved_last audit is one join of the last two label tables — no driver state, no cap, no recursive closure.",
     "q260_cluster_canonical_dist" -> "dupClusters forced onto its DISTRIBUTED strategy (localEdgeLimit=0): the propagation loop's per-round shape is one edge-keyed join + one min agg; the keep-list window partitions by cluster_id (cluster-sized); the oracle is q234's — both physical strategies must hash-match.",
-    "q261_ivf_incremental_insert" -> "the base build is q253's shape (broadcast argmax folds, C x dim partial-combined centroid aggs); the DELTA batch touches only a broadcast of the frozen per-bucket centroids — |delta| rows through one argmax fold, zero base re-scan; the audit is two |C|-row aggregates joined on bucket.")
+    "q261_ivf_incremental_insert" -> "the base build is q253's shape (broadcast argmax folds, C x dim partial-combined centroid aggs); the DELTA batch touches only a broadcast of the frozen per-bucket centroids — |delta| rows through one argmax fold, zero base re-scan; the audit is two |C|-row aggregates joined on bucket.",
+    "q262_join_ivm" -> "all three bilinear delta terms join a BROADCAST delta side (dA x B0, A0 x dB, dA x dB): delta-sized probe cost, never a base-base re-join; only the V0 recompute (stored state in production) is a full shuffle join; state merge is partial-combined sums over the group keys; no cartesian.",
+    "q263_ivf_bucket_split" -> "split cost is proportional to the FLAGGED membership only: flagged buckets select via a broadcast semi-probe, pass-through buckets via a broadcast LeftAnti on the |C|-row audit; per-bucket 2-means seeds ride a broadcast into a bucket-partitioned argmax window; the sole unpartitioned window ranks the <= C flagged rows; no cartesian, no corpus re-pair.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -573,10 +573,7 @@ object Similarity {
   def ivfInsertAudit(base: DataFrame, delta: DataFrame, id: Column,
                      vec: Column, rounds: Int, flagBp: Long): DataFrame = {
     require(flagBp >= 1 && flagBp <= 10000, "flagBp must be in [1, 10000]")
-    val idx = kmeansBuckets(base, id, vec, rounds)
-    val cents = centroidsWide(idx.select(col("bucket").as("lbl"), col("v")))
-    val dAssigned = assignToNearest(
-      delta.select(id.as("vec_id"), toDouble(vec).as("v")), cents)
+    val (idx, dAssigned) = insertParts(base, delta, id, vec, rounds)
     val nb = idx.groupBy("bucket")
       .agg(count(lit(1)).cast("long").as("n_base"))
     val nd = dAssigned.groupBy("bucket")
@@ -588,6 +585,91 @@ object Similarity {
         expr("(10000 * n_delta) div (n_base + n_delta)"))
       .withColumn("rebuild",
         when(col("delta_share_bp") >= flagBp, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** The q261/q263 shared assembly: build the index on `base`, assign
+    * `delta` against the FROZEN per-bucket centroids (the
+    * rankedNeighborsIvf re-derivation — a fixed point of a converged
+    * build). Returns (built assignment, delta assignment).
+    */
+  private def insertParts(base: DataFrame, delta: DataFrame, id: Column,
+      vec: Column, rounds: Int): (DataFrame, DataFrame) = {
+    val idx = kmeansBuckets(base, id, vec, rounds)
+    val cents = centroidsWide(idx.select(col("bucket").as("lbl"), col("v")))
+    val dAssigned = assignToNearest(
+      delta.select(id.as("vec_id"), toDouble(vec).as("v")), cents)
+    (idx, dAssigned)
+  }
+
+  /** PARTIAL index rebuild — split only the buckets the insert audit
+    * flags: the rebalance step that closes the q253 → q261 lifecycle
+    * (build → serve/insert → audit → rebuild) WITHOUT the full-corpus
+    * rebuild a flagged index would otherwise force. Each flagged
+    * bucket 2-means-splits LOCALLY: seeds are its two smallest-
+    * (md5-hash, id) members (the kmeansBuckets seeding discipline,
+    * bucket-scoped), members side by rounded-4dp cosine argmax (ties
+    * to the lower seed rank — assignToNearest's exact ordering), the
+    * seed-0 half keeps the parent label and the seed-1 half takes a
+    * fresh label past the assignment's max (maxb + rank of the
+    * flagged parent). Unflagged buckets pass through UNTOUCHED — the
+    * whole rebuild cost is proportional to the FLAGGED membership,
+    * which is the entire point at 100 TB.
+    *
+    * Output: (bucket, parent, n_members, was_split) — post-split
+    * bucket labels with their pre-split parent; `was_split` marks
+    * rows produced by the split path.
+    */
+  def ivfBucketSplit(base: DataFrame, delta: DataFrame, id: Column,
+                     vec: Column, rounds: Int, flagBp: Long): DataFrame = {
+    require(flagBp >= 1 && flagBp <= 10000, "flagBp must be in [1, 10000]")
+    import org.apache.spark.sql.expressions.Window
+    val (idx, dA) = insertParts(base, delta, id, vec, rounds)
+    val members = idx.select(col("vec_id"), col("v"), col("bucket"),
+        lit(0L).as("is_delta"))
+      .unionAll(dA.select(col("vec_id"), col("v"), col("bucket"),
+        lit(1L).as("is_delta")))
+      .localCheckpoint(eager = true)
+    val audit = members.groupBy("bucket").agg(
+        sum(lit(1L) - col("is_delta")).cast("long").as("n_base"),
+        sum(col("is_delta")).cast("long").as("n_delta"))
+      .withColumn("delta_share_bp",
+        expr("(10000 * n_delta) div (n_base + n_delta)"))
+    val flagged = audit.filter(col("delta_share_bp") >= flagBp)
+      .select("bucket").localCheckpoint(eager = true)
+    val maxb = idx.agg(max("bucket").as("maxb"))
+    // |flagged| <= C ~ sqrt(n) rows: the unpartitioned rank window is
+    // bounded by construction (the kmeansBuckets seeds argument)
+    val fr = flagged.withColumn("rnk",
+      row_number().over(Window.orderBy("bucket")).cast("long"))
+    val fm = members.join(broadcast(flagged), "bucket")
+    val ws = Window.partitionBy("bucket").orderBy(col("__h"), col("vec_id"))
+    val seeds = fm.select(col("bucket"), col("vec_id"), col("v"),
+        graft.functions.TextFunctions
+          .hash60(col("vec_id").cast("string"), 0).as("__h"))
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") <= 2)
+      .select(col("bucket"), (col("rn") - 1).cast("long").as("side"),
+        col("v").as("sv"))
+      .localCheckpoint(eager = true)
+    val wp = Window.partitionBy("bucket", "vec_id")
+      .orderBy(col("sim").desc, col("side"))
+    val assigned = fm.join(broadcast(seeds), "bucket")
+      .withColumn("sim", round(cos(col("v"), col("sv")), 4))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+    val splitCounts = assigned
+      .join(broadcast(fr), "bucket")
+      .crossJoin(broadcast(maxb))
+      .select(when(col("side") === 0, col("bucket"))
+          .otherwise(col("maxb") + col("rnk")).as("nb"),
+        col("bucket").as("parent"))
+      .groupBy("nb", "parent")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .select(col("nb").as("bucket"), col("parent"), col("n_members"),
+        lit(1L).as("was_split"))
+    val passCounts = audit.join(broadcast(flagged), Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("bucket").as("parent"),
+        (col("n_base") + col("n_delta")).as("n_members"),
+        lit(0L).as("was_split"))
+    splitCounts.unionAll(passCounts)
   }
 
   /** IVF-PQ with RESIDUAL codebooks — the full production index

@@ -326,6 +326,78 @@ object JoinQueries {
         |SELECT lvl, rule_key, CAST(count(*) AS BIGINT) AS n_parts,
         |  CAST(CAST(sum(pc) AS HUGEINT) // count(*) AS BIGINT) AS avg_price_c
         |FROM m GROUP BY 1, 2 ORDER BY lvl DESC, rule_key""".stripMargin),
-      "most-specific-match rule join — broadcast rule cascade resolved in one probe pass")
+      "most-specific-match rule join — broadcast rule cascade resolved in one probe pass"),
+
+    // q262 — JOIN-view IVM with signed deltas on BOTH sides: the
+    // bilinear identity Δ(A⋈B) = ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB with pair
+    // multiplicity = product of row signs, applied to a revenue view
+    // over orders ⋈ lineitem. Both tables split by md5 hash gates into
+    // base (90%), inserts (the held-out 10%, sign +1) and retractions
+    // (5% of base re-emitted with sign −1) — so every algebra case
+    // fires: delete×survivor, delete×delete (the double-retraction
+    // cancellation), insert×insert, insert×delete. The Spark side
+    // maintains V₀ + ΔV through delta-sized broadcast joins; the
+    // oracle recomputes the post-change truth from scratch — equality
+    // IS the IVM contract (the q200 discipline, extended from per-key
+    // aggregates to the join bilinearity).
+    Q("q262_join_ivm",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        import graft.warehouse.Warehouse
+        val ord = Tables(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          (hash60(col("o_orderkey").cast("string"), 7) % 1000).as("ha"),
+          (hash60(col("o_orderkey").cast("string"), 8) % 1000).as("hd"))
+        val a0 = ord.filter(col("ha") < 900)
+          .select("o_orderkey", "o_custkey")
+        val da = ord.filter(col("ha") >= 900)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit(1L).as("sign"))
+          .unionAll(ord.filter(col("ha") < 900 && col("hd") < 50)
+            .select(col("o_orderkey"), col("o_custkey"),
+              lit(-1L).as("sign")))
+        val li = Tables(s, d, "lineitem").select(
+          col("l_orderkey").as("o_orderkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          (hash60(concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string")), 7) % 1000).as("hb"),
+          (hash60(concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string")), 8) % 1000).as("he"))
+        val b0 = li.filter(col("hb") < 900).select("o_orderkey", "cents")
+        val db = li.filter(col("hb") >= 900)
+          .select(col("o_orderkey"), col("cents"), lit(1L).as("sign"))
+          .unionAll(li.filter(col("hb") < 900 && col("he") < 50)
+            .select(col("o_orderkey"), col("cents"),
+              lit(-1L).as("sign")))
+        Warehouse.joinViewDelta(a0, da, b0, db, "o_orderkey",
+            Seq("o_custkey"), col("cents"))
+          .select(col("o_custkey"), col("n_rows"),
+            col("total_bp").as("total_cents"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+        |    ('0x' || substring(md5('7#' ||
+        |      CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ha,
+        |    ('0x' || substring(md5('8#' ||
+        |      CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hd
+        |  FROM orders),
+        |a1 AS (SELECT o_orderkey, o_custkey FROM o
+        |  WHERE ha >= 900 OR (ha < 900 AND hd >= 50)),
+        |l AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    ('0x' || substring(md5('7#' || CAST(l_orderkey AS VARCHAR)
+        |      || '#' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS hb,
+        |    ('0x' || substring(md5('8#' || CAST(l_orderkey AS VARCHAR)
+        |      || '#' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS he
+        |  FROM lineitem),
+        |b1 AS (SELECT o_orderkey, cents FROM l
+        |  WHERE hb >= 900 OR (hb < 900 AND he >= 50))
+        |SELECT a1.o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM a1 JOIN b1 USING (o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "join-view IVM: V0 + bilinear signed deltas == from-scratch join on the post-change tables"),
   )
 }

@@ -1544,71 +1544,7 @@ object SimilarityQueries {
             col("vec_id"), col("embedding"), rounds = 2, flagBp = 3000L)
           .orderBy("bucket")
       },
-      Some("""WITH ea AS MATERIALIZED (SELECT vec_id,
-        |    embedding::DOUBLE[] AS v,
-        |    ('0x' || substring(md5('0#' ||
-        |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS g
-        |  FROM embeddings),
-        |e AS MATERIALIZED (SELECT vec_id, v FROM ea WHERE g < 8),
-        |ed AS MATERIALIZED (SELECT vec_id, v FROM ea WHERE g >= 8),
-        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-        |cc AS (SELECT greatest(10, (SELECT CAST(max(s.s) AS BIGINT)
-        |  FROM generate_series(1, 4000) s(s), nc
-        |  WHERE s.s * s.s <= nc.n)) AS c),
-        |sd AS MATERIALIZED (
-        |  SELECT CAST(rn - 1 AS BIGINT) AS c_lbl, v AS cv FROM (
-        |    SELECT v, row_number() OVER (ORDER BY
-        |      ('0x' || substring(md5('0#' ||
-        |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-        |      vec_id) AS rn
-        |    FROM e) t
-        |  WHERE rn <= (SELECT c FROM cc)),
-        |a0 AS MATERIALIZED (
-        |  SELECT vec_id, v, c_lbl AS bucket FROM (
-        |    SELECT e.vec_id, e.v, s.c_lbl,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC,
-        |          s.c_lbl) AS prn
-        |    FROM e, sd s) t WHERE prn = 1),
-        |c1 AS MATERIALIZED (
-        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
-        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
-        |    FROM a0 a, generate_series(1, 64) AS t(dim)
-        |    GROUP BY a.bucket, t.dim) u
-        |  GROUP BY bucket),
-        |a1 AS MATERIALIZED (
-        |  SELECT vec_id, v, c_lbl AS bucket FROM (
-        |    SELECT e.vec_id, e.v, c.c_lbl,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
-        |          c.c_lbl) AS prn
-        |    FROM e, c1 c) t WHERE prn = 1),
-        |c2 AS MATERIALIZED (
-        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
-        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
-        |    FROM a1 a, generate_series(1, 64) AS t(dim)
-        |    GROUP BY a.bucket, t.dim) u
-        |  GROUP BY bucket),
-        |a2 AS MATERIALIZED (
-        |  SELECT vec_id, v, c_lbl AS bucket FROM (
-        |    SELECT e.vec_id, e.v, c.c_lbl,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
-        |          c.c_lbl) AS prn
-        |    FROM e, c2 c) t WHERE prn = 1),
-        |c3 AS MATERIALIZED (
-        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
-        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
-        |    FROM a2 a, generate_series(1, 64) AS t(dim)
-        |    GROUP BY a.bucket, t.dim) u
-        |  GROUP BY bucket),
-        |da AS MATERIALIZED (
-        |  SELECT vec_id, c_lbl AS bucket FROM (
-        |    SELECT d.vec_id, c.c_lbl,
-        |      row_number() OVER (PARTITION BY d.vec_id
-        |        ORDER BY round(list_cosine_similarity(d.v, c.cv), 4) DESC,
-        |          c.c_lbl) AS prn
-        |    FROM ed d, c3 c) t WHERE prn = 1),
+      Some(s"""$gatedInsertCtes,
         |nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
         |  FROM a2 GROUP BY 1),
         |nd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_delta
@@ -1624,6 +1560,73 @@ object SimilarityQueries {
         |FROM nb LEFT JOIN nd USING (bucket)
         |ORDER BY bucket""".stripMargin),
       "incremental IVF insert against frozen centroids + per-bucket staleness audit with rebuild flag"),
+
+    // q263 — PARTIAL index rebuild: split ONLY the buckets the q261
+    // audit flags (delta share ≥ 2500 bp), leaving every other bucket
+    // untouched — the rebalance step that closes the index lifecycle
+    // (q253 build → q261 serve/audit → split) at a cost proportional
+    // to the FLAGGED membership, not the corpus. Each flagged bucket
+    // 2-means-splits locally: seeds = its two smallest-(md5, id)
+    // members, sides by rounded-cosine argmax (ties to the lower seed
+    // rank), seed-0 half keeps the parent label, seed-1 half takes
+    // maxb + rank(parent). The oracle replays split selection, seed
+    // choice, side assignment, and the pass-through set row-for-row.
+    Q("q263_ivf_bucket_split",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val g = graft.functions.TextFunctions
+          .hash60(col("vec_id").cast("string"), 0) % 10
+        graft.operators.Similarity.ivfBucketSplit(
+            emb.filter(g < 8), emb.filter(g >= 8),
+            col("vec_id"), col("embedding"), rounds = 2, flagBp = 2500L)
+          .orderBy("bucket", "parent")
+      },
+      Some(s"""$gatedInsertCtes,
+        |mem AS MATERIALIZED (
+        |  SELECT vec_id, v, bucket, 0 AS is_delta FROM a2
+        |  UNION ALL
+        |  SELECT da.vec_id, ed.v, da.bucket, 1
+        |  FROM da JOIN ed USING (vec_id)),
+        |aud AS MATERIALIZED (SELECT bucket,
+        |    CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
+        |    CAST(sum(is_delta) AS BIGINT) AS n_delta
+        |  FROM mem GROUP BY 1),
+        |fl AS MATERIALIZED (SELECT bucket FROM aud
+        |  WHERE (10000 * n_delta) // (n_base + n_delta) >= 2500),
+        |mx AS (SELECT max(bucket) AS maxb FROM a2),
+        |fr AS (SELECT bucket, CAST(row_number() OVER (ORDER BY bucket)
+        |    AS BIGINT) AS rnk FROM fl),
+        |fm AS MATERIALIZED (SELECT m.vec_id, m.v, m.bucket
+        |  FROM mem m JOIN fl USING (bucket)),
+        |sd2 AS MATERIALIZED (SELECT bucket,
+        |    CAST(rn - 1 AS BIGINT) AS side, v AS sv FROM (
+        |    SELECT bucket, vec_id, v, row_number() OVER (
+        |      PARTITION BY bucket ORDER BY
+        |        ('0x' || substring(md5('0#' ||
+        |          CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |        vec_id) AS rn
+        |    FROM fm) t WHERE rn <= 2),
+        |asg AS MATERIALIZED (SELECT bucket, vec_id, side FROM (
+        |  SELECT fm.bucket, fm.vec_id, s.side,
+        |    row_number() OVER (PARTITION BY fm.bucket, fm.vec_id
+        |      ORDER BY round(list_cosine_similarity(fm.v, s.sv), 4)
+        |        DESC, s.side) AS rn
+        |  FROM fm JOIN sd2 s USING (bucket)) t WHERE rn = 1),
+        |sc AS (SELECT CASE WHEN a.side = 0 THEN a.bucket
+        |    ELSE mx.maxb + fr.rnk END AS bucket,
+        |    a.bucket AS parent, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(1 AS BIGINT) AS was_split
+        |  FROM asg a JOIN fr ON fr.bucket = a.bucket, mx
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT bucket, bucket AS parent,
+        |    n_base + n_delta AS n_members, CAST(0 AS BIGINT) AS was_split
+        |  FROM aud
+        |  WHERE bucket NOT IN (SELECT bucket FROM fl))
+        |SELECT bucket, parent, n_members, was_split FROM sc
+        |UNION ALL
+        |SELECT bucket, parent, n_members, was_split FROM pc
+        |ORDER BY bucket, parent""".stripMargin),
+      "flag-driven partial rebuild: local 2-means split of overfull buckets only, pass-through elsewhere"),
   )
 
   /** Shared oracle prefix for the q253-q255 family: the corpus-scaled
@@ -1634,6 +1637,78 @@ object SimilarityQueries {
     * centroid recompute), mirroring Similarity.kmeansBuckets(rounds=2)
     * bit for bit.
     */
+  /** Shared oracle prefix for q261/q263: the 80/20 md5-gated split,
+    * the q253-style k-means build on the BASE slice (C from |base|,
+    * 2 Lloyd rounds), the frozen serving centroids c3, and the delta
+    * assignment `da` against them.
+    */
+  private def gatedInsertCtes: String =
+    """WITH ea AS MATERIALIZED (SELECT vec_id,
+      |    embedding::DOUBLE[] AS v,
+      |    ('0x' || substring(md5('0#' ||
+      |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS g
+      |  FROM embeddings),
+      |e AS MATERIALIZED (SELECT vec_id, v FROM ea WHERE g < 8),
+      |ed AS MATERIALIZED (SELECT vec_id, v FROM ea WHERE g >= 8),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |cc AS (SELECT greatest(10, (SELECT CAST(max(s.s) AS BIGINT)
+      |  FROM generate_series(1, 4000) s(s), nc
+      |  WHERE s.s * s.s <= nc.n)) AS c),
+      |sd AS MATERIALIZED (
+      |  SELECT CAST(rn - 1 AS BIGINT) AS c_lbl, v AS cv FROM (
+      |    SELECT v, row_number() OVER (ORDER BY
+      |      ('0x' || substring(md5('0#' ||
+      |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      vec_id) AS rn
+      |    FROM e) t
+      |  WHERE rn <= (SELECT c FROM cc)),
+      |a0 AS MATERIALIZED (
+      |  SELECT vec_id, v, c_lbl AS bucket FROM (
+      |    SELECT e.vec_id, e.v, s.c_lbl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 4) DESC,
+      |          s.c_lbl) AS prn
+      |    FROM e, sd s) t WHERE prn = 1),
+      |c1 AS MATERIALIZED (
+      |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+      |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+      |    FROM a0 a, generate_series(1, 64) AS t(dim)
+      |    GROUP BY a.bucket, t.dim) u
+      |  GROUP BY bucket),
+      |a1 AS MATERIALIZED (
+      |  SELECT vec_id, v, c_lbl AS bucket FROM (
+      |    SELECT e.vec_id, e.v, c.c_lbl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+      |          c.c_lbl) AS prn
+      |    FROM e, c1 c) t WHERE prn = 1),
+      |c2 AS MATERIALIZED (
+      |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+      |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+      |    FROM a1 a, generate_series(1, 64) AS t(dim)
+      |    GROUP BY a.bucket, t.dim) u
+      |  GROUP BY bucket),
+      |a2 AS MATERIALIZED (
+      |  SELECT vec_id, v, c_lbl AS bucket FROM (
+      |    SELECT e.vec_id, e.v, c.c_lbl,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+      |          c.c_lbl) AS prn
+      |    FROM e, c2 c) t WHERE prn = 1),
+      |c3 AS MATERIALIZED (
+      |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+      |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+      |    FROM a2 a, generate_series(1, 64) AS t(dim)
+      |    GROUP BY a.bucket, t.dim) u
+      |  GROUP BY bucket),
+      |da AS MATERIALIZED (
+      |  SELECT vec_id, c_lbl AS bucket FROM (
+      |    SELECT d.vec_id, c.c_lbl,
+      |      row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY round(list_cosine_similarity(d.v, c.cv), 4) DESC,
+      |          c.c_lbl) AS prn
+      |    FROM ed d, c3 c) t WHERE prn = 1)""".stripMargin
+
   // a def, not a val: qs interpolates it during object init, before a
   // later-positioned val would be assigned
   private def kmeansCtes: String =

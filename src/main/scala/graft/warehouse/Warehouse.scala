@@ -142,6 +142,54 @@ object Warehouse {
       .filter(col("n_rows") =!= 0)
   }
 
+  /** JOIN-view incremental maintenance with signed deltas — the
+    * BILINEAR half of IVM that [[applyAggDelta]]'s per-key algebra
+    * cannot express: a maintained view over A ⋈ B updates under
+    * batches of inserts AND retractions on BOTH sides via
+    * Δ(A⋈B) = ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔB, with pair multiplicity =
+    * product of the row signs (so a delete–delete pair correctly
+    * cancels the two single-sided retractions). The merged state
+    * equals the from-scratch join on the post-change tables — long
+    * addition commutes, so the equality is exact and the oracle can
+    * recompute the truth its own way.
+    *
+    * Scale shape: this is why a 100 TB join view is maintainable at
+    * all — the standing V₀ is stored state (computed once; here it is
+    * recomputed because the bench measures the whole program), and
+    * every per-batch term joins a DELTA (bounded by the ingest batch,
+    * broadcast) against a base scan or another delta: delta-sized
+    * cost, never a re-join of the bases. Union branches are
+    * select-normalized before unionAll (multi-key joins reorder
+    * columns).
+    *
+    * `da`/`db` carry a `sign` column (+1 insert, −1 retraction whose
+    * attributes must equal the retracted base row); `groupCols` come
+    * from the A side, `valueBp` from the B side.
+    */
+  def joinViewDelta(a0: DataFrame, da: DataFrame, b0: DataFrame,
+                    db: DataFrame, key: String, groupCols: Seq[String],
+                    valueBp: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aD = da.withColumnRenamed("sign", "__sa")
+    val bD = db.withColumnRenamed("sign", "__sb")
+    val a0s = a0.withColumn("__sa", lit(1L))
+    val b0s = b0.withColumn("__sb", lit(1L))
+    def contrib(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, key).select(
+        groupCols.map(col) ++ Seq((col("__sa") * col("__sb")).as("__s"),
+          valueBp.as("__v")): _*)
+    val delta = contrib(broadcast(aD), b0s)
+      .unionAll(contrib(a0s, broadcast(bD)))
+      .unionAll(contrib(broadcast(aD), broadcast(bD)))
+    val dAgg = delta.groupBy(groupCols.map(col): _*)
+      .agg(sum("__s").as("n_rows"), sum(col("__s") * col("__v")).as("total_bp"))
+    val v0 = contrib(a0s, b0s)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("__s").as("n_rows"), sum(col("__s") * col("__v")).as("total_bp"))
+    mergeAggState(Seq(v0, dAgg), groupCols)
+      .filter(col("n_rows") =!= 0)
+  }
+
   /** Bucketed write: pay the shuffle ONCE at write time — `numBuckets`
     * files per partition, hash-clustered and sorted on `key` — so every
     * later equi-join or aggregation on `key` between co-bucketed tables

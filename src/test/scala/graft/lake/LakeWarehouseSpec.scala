@@ -118,4 +118,29 @@ class LakeWarehouseSpec extends SparkSpec {
     // a: (2-1+1, 30-10+4); b gone; c surfaces the impossible -1 count
     assert(got === Seq(("a", 2L, 24L), ("c", -1L, -7L)))
   }
+
+  test("joinViewDelta: bilinear signed maintenance equals the from-scratch join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A(key, grp): k1/k2 in g1, k3 in g2. B(key, cents).
+    val a0 = Seq((1L, "g1"), (2L, "g1"), (3L, "g2")).toDF("k", "grp")
+    val b0 = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("k", "cents")
+    // every algebra case: delete an A row whose B rows survive (k2),
+    // delete one of k1's B rows, delete BOTH sides of k3 (the
+    // double-retraction cancellation), insert a fresh key k4 on both
+    // sides (insert x insert), and insert a B row under deleted k2
+    // (insert x delete -> must NOT appear)
+    val da = Seq((2L, "g1", -1L), (3L, "g2", -1L), (4L, "g2", 1L))
+      .toDF("k", "grp", "sign")
+    val db = Seq((1L, 20L, -1L), (3L, 7L, -1L), (4L, 9L, 1L),
+      (2L, 99L, 1L)).toDF("k", "cents", "sign")
+    val got = Warehouse.joinViewDelta(a0, da, b0, db, "k", Seq("grp"),
+        col("cents"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // final A = {k1 g1, k4 g2}; final B = {(1,10),(2,5),(4,9),(2,99)}
+    // join: g1 -> (1,10); g2 -> (4,9). g2's k3 pair fully cancelled.
+    assert(got === Seq(("g1", 1L, 10L), ("g2", 1L, 9L)))
+  }
 }

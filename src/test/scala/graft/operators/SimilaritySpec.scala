@@ -552,6 +552,52 @@ class SimilaritySpec extends SparkSpec {
       && r.getLong(4) == 0L))
   }
 
+  test("ivfBucketSplit: membership conserved, children partition flagged parents, unflagged untouched") {
+    val g = graft.functions.TextFunctions
+      .hash60(col("vec_id").cast("string"), 0) % 10
+    val base = emb.filter(g < 8)
+    val delta = emb.filter(g >= 8)
+    val total = base.count() + delta.count()
+    val audit = Similarity.ivfInsertAudit(base, delta,
+        col("vec_id"), col("embedding"), rounds = 2, flagBp = 2500L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) + r.getLong(2),
+        r.getLong(4))).toMap
+    val rows = Similarity.ivfBucketSplit(base, delta,
+        col("vec_id"), col("embedding"), rounds = 2, flagBp = 2500L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum === total, "membership conserved")
+    val maxParent = audit.keys.max
+    rows.foreach { case (bucket, parent, _, split) =>
+      if (split == 0L) {
+        assert(bucket === parent, "unflagged rows must pass through")
+        assert(audit(parent)._2 === 0L, "pass-through row was flagged")
+      } else {
+        assert(bucket === parent || bucket > maxParent,
+          s"split child $bucket neither keeps $parent nor takes a fresh label")
+      }
+    }
+    // each flagged parent's children sum to its audited membership
+    rows.filter(_._4 == 1L).groupBy(_._2).foreach { case (parent, kids) =>
+      assert(kids.map(_._3).sum === audit(parent)._1,
+        s"children of $parent lost members")
+    }
+    assert(rows.exists(_._4 == 1L), "fixture must exercise the split path")
+  }
+
+  test("ivfBucketSplit: an impossible threshold splits nothing") {
+    val g = graft.functions.TextFunctions
+      .hash60(col("vec_id").cast("string"), 0) % 10
+    val rows = Similarity.ivfBucketSplit(
+        emb.filter(g < 8), emb.filter(g >= 8),
+        col("vec_id"), col("embedding"), rounds = 1, flagBp = 10000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, p, s) => b == p && s == 0L },
+      "flagBp=10000 must pass every bucket through")
+  }
+
   test("ivfInsertAudit: a delta copy of a base vector joins its bucket") {
     import spark.implicits._
     val base = emb.limit(200).cache()

@@ -390,4 +390,25 @@ class PlansSpec extends SparkSpec {
     assert(occurrences(p, "FileScan") <= 1,
       s"base corpus re-scanned at insert time:\n$p")
   }
+
+  test("q262: every bilinear delta term joins a broadcast delta — no base-base re-join beyond V0") {
+    val p = plan("q262_join_ivm")
+    // dA⋈B0, A0⋈dB, dA⋈dB: three delta-sided broadcast hash joins
+    assert(occurrences(p, "BroadcastHashJoin") >= 3,
+      s"a bilinear delta term lost its broadcast (delta-sized cost contract):\n$p")
+    assert(p.contains("partial_sum"),
+      "view-state merge lost its map-side combine")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the IVM assembly:\n$p")
+  }
+
+  test("q263: split cost rides broadcast probes of the flagged set; pass-through is a LeftAnti") {
+    val p = plan("q263_ivf_bucket_split")
+    assert(occurrences(p, "BroadcastExchange") >= 3,
+      "flagged set / seeds / rank rows must all ride broadcasts")
+    assert(p.contains("LeftAnti"),
+      "pass-through buckets must anti-probe the broadcast flagged set")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the bucket split:\n$p")
+  }
 }

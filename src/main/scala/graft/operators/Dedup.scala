@@ -355,7 +355,18 @@ object Dedup {
         greatest(col("doc_a").bitwiseAND(idMask),
           col("doc_b").bitwiseAND(idMask)).as("doc_b"))
       .distinct()
+    // The verify stage is COMPUTE-bound (one hash-set intersect per
+    // candidate pair), so its width must be the cluster's, not the
+    // scan's: without this, a small corpus parquet (2 splits at bench
+    // scale) rides through the cached gram relation into the verify
+    // join's probe side whenever AQE broadcasts the byte-tiny pair
+    // table, and ~all the intersect budget serializes onto 2 cores
+    // (measured at sf1: 451 s first-plan vs 38 s at width 32 — the
+    // knnJoin 1-split lesson, same class, SCALING.md sf1 triage).
+    // Explicit numPartitions: AQE never coalesces a user repartition.
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val sets = grams.select(col("doc_id"), array_sort(col("grams")).as("toks"))
+      .repartition(width, col("doc_id"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")

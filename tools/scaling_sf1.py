@@ -19,24 +19,25 @@ import re
 import sys
 
 R9_NARRATIVE = (
-    "What the rehearsal caught (round 9), fixed before these "
-    "numbers: (1) the exact M×N scored pass (knnJoin) inherited a "
-    "1-split corpus scan — the whole quadratic budget on one core, "
-    "10+ min single-threaded; now spread to cluster width "
-    "(q191 6.6→1.7 s at sf0.1, ~24 s at sf1 across 32 lanes). "
-    "(2) rankedNeighborsIvf's bucket join capped parallelism at "
-    "C=10 bucket keys; now salted ×8. (3) Bench now sizes "
-    "spark.sql.files.maxPartitionBytes to the bench scale (4m; "
-    "SPARK_GRAFT_MAX_SPLIT) — parquet row groups permitting — so "
-    "narrow pre-shuffle segments parallelize. (4) q174's cap-free "
-    "PPJoin was QUADRATIC here (exp 2.04, 660 s): this corpus's "
-    "closed ~31-word vocabulary keeps prefix postings dense, so "
-    "the lossless path is inherently Ω(pairs) on it; adding "
-    "PPJoin's length filter inside the pair fan-out (size-packed "
-    "postings, prune before distinct) cut it 24.6× to 26.9 s "
-    "(exp 0.72). On open-vocabulary corpora the prefix filter "
-    "does the heavy pruning; on closed vocabularies the documented "
-    "escalation is the capped q23 or LSH q24 path.")
+    "What THIS rehearsal caught (round 10, the q174/q191/q194 \u26a0 "
+    "rows if present): q174's verify stage could lose its parallelism "
+    "to a plan flake \u2014 when AQE broadcast the byte-tiny "
+    "candidate-pair table, the compute-bound intersect stage inherited "
+    "the PROBE side's partitioning, which rode the 2-split bench "
+    "parquet scan through the cached gram relation: ~700 core-seconds "
+    "of hash-set intersects serialized onto 2 cores (451 s first-plan "
+    "at sf1 vs 28\u201341 s at width 32 \u2014 2-task vs 32-task "
+    "verify stages, graft.QDebug). Fix (the knnJoin 1-split lesson, "
+    "same class): prefixJaccard's verify probe side is explicitly "
+    "repartitioned to cluster width \u2014 a user repartition AQE "
+    "never coalesces \u2014 so the stage width is deterministic. "
+    "Round-9 fixes still in force: knnJoin scored pass spread to "
+    "cluster width, rankedNeighborsIvf \u00d78 bucket-key salt, "
+    "bench-scale maxPartitionBytes (4m; SPARK_GRAFT_MAX_SPLIT), and "
+    "the PPJoin in-fan-out length filter (660 s quadratic tail "
+    "\u2192 26.9 s on this closed ~31-word vocabulary; open-vocabulary "
+    "corpora lean on the prefix filter, closed ones escalate to capped "
+    "q23 / LSH q24 as documented).")
 
 R10_NARRATIVE = (
     "Second rehearsal decade (round 10): sf1 → sf10 on the IVF + "

@@ -68,7 +68,7 @@ object Plans {
     "q139_source_overlap" -> "gram-keyed collect_set (bounded by source cardinality) then a <= C(20,2) pair explode per gram — the gram self-join the oracle replays never materializes.",
     "q140_curation_yield" -> "each stage chains off the previous plan (text-window dedup, filter, source-window quota); four tiny stage aggregates union; no stage re-scans parquet.",
     "q151_star_join_revenue" -> "region->nation->customer dim chain entirely behind BroadcastExchanges (the region filter prunes before the fact join); the ONLY shuffle join is orders x lineitem on the fact key; date filter pushed to the orders scan.",
-    "q174_prefix_jaccard" -> "ONE cached hashed-gram table feeds all three branches (df counts, rank join, verify); prefix postings via the bounded_long_list aggregate; candidate pairs emitted per-row from buckets (no gram self-join); verify joins keyed on doc ids — no all-pairs anywhere despite zero cap loss.",
+    "q174_prefix_jaccard" -> "ONE cached hashed-gram table feeds all three branches (df counts, rank join, verify); prefix postings via the bounded_long_list aggregate; candidate pairs emitted per-row from buckets (no gram self-join); verify joins keyed on doc ids — no all-pairs anywhere despite zero cap loss. The verify probe side carries a USER repartition to cluster width (REPARTITION_BY_NUM — AQE cannot coalesce it): the compute-bound intersect stage must never inherit the bench scan's 2-split width through the cached gram relation (the 451 s degenerate plan the sf1 rehearsal caught).",
     "q178_table_checksum" -> "serialization + hash are scan-side projections inside WholeStageCodegen; ONE exchange carrying |groups| partial (count, sum) rows — the checksum agg must show partial_ combine.",
     "q179_hll_registers" -> "register build shows partial_ max combine (<= 64 rows per partition reach the exchange); harmonic sum and n_true ride back as 1-row BroadcastExchanges.",
     "q180_pagerank_copurchase" -> "pair enumeration keyed on the order id (fan-out bounded by order size); each iteration = one score-to-edges join + one target-keyed agg with partial_ combine; node count behind a 1-row BroadcastExchange; final TakeOrderedAndProject, no global sort.",

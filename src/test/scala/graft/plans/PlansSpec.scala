@@ -391,6 +391,18 @@ class PlansSpec extends SparkSpec {
       s"base corpus re-scanned at insert time:\n$p")
   }
 
+  test("q174: verify probe side carries a user repartition AQE cannot coalesce") {
+    val p = plan("q174_prefix_jaccard")
+    // the compute-bound intersect stage must never inherit the scan's
+    // split count through the cached gram relation (451 s degenerate
+    // plan at sf1 when AQE broadcast the pair table) — the explicit
+    // numPartitions repartition is the deterministic-width guarantee
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"verify probe side lost its explicit cluster-width repartition:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the prefix-join assembly:\n$p")
+  }
+
   test("q262: every bilinear delta term joins a broadcast delta — no base-base re-join beyond V0") {
     val p = plan("q262_join_ivm")
     // dA⋈B0, A0⋈dB, dA⋈dB: three delta-sided broadcast hash joins

@@ -154,7 +154,8 @@ object Plans {
     "q260_cluster_canonical_dist" -> "dupClusters forced onto its DISTRIBUTED strategy (localEdgeLimit=0): the propagation loop's per-round shape is one edge-keyed join + one min agg; the keep-list window partitions by cluster_id (cluster-sized); the oracle is q234's — both physical strategies must hash-match.",
     "q261_ivf_incremental_insert" -> "the base build is q253's shape (broadcast argmax folds, C x dim partial-combined centroid aggs); the DELTA batch touches only a broadcast of the frozen per-bucket centroids — |delta| rows through one argmax fold, zero base re-scan; the audit is two |C|-row aggregates joined on bucket.",
     "q262_join_ivm" -> "all three bilinear delta terms join a BROADCAST delta side (dA x B0, A0 x dB, dA x dB): delta-sized probe cost, never a base-base re-join; only the V0 recompute (stored state in production) is a full shuffle join; state merge is partial-combined sums over the group keys; no cartesian.",
-    "q263_ivf_bucket_split" -> "split cost is proportional to the FLAGGED membership only: flagged buckets select via a broadcast semi-probe, pass-through buckets via a broadcast LeftAnti on the |C|-row audit; per-bucket 2-means seeds ride a broadcast into a bucket-partitioned argmax window; the sole unpartitioned window ranks the <= C flagged rows; no cartesian, no corpus re-pair.")
+    "q263_ivf_bucket_split" -> "split cost is proportional to the FLAGGED membership only: flagged buckets select via a broadcast semi-probe, pass-through buckets via a broadcast LeftAnti on the |C|-row audit; per-bucket 2-means seeds ride a broadcast into a bucket-partitioned argmax window; the sole unpartitioned window ranks the <= C flagged rows; no cartesian, no corpus re-pair.",
+    "q264_distinct_ivm" -> "JOIN-FREE maintenance: per-(group, value) support state as two partial-combined aggregates (base = stored state, delta-sized batch agg) merged by one keyed sum; the distinct rollup derives from support signs; negative support SURFACES per group instead of clamping.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

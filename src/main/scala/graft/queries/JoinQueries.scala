@@ -399,5 +399,54 @@ object JoinQueries {
         |FROM a1 JOIN b1 USING (o_orderkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
       "join-view IVM: V0 + bilinear signed deltas == from-scratch join on the post-change tables"),
+
+    // q264 — COUNT(DISTINCT) view maintenance under signed deltas:
+    // the IVM case q200 (abelian per-key aggregates) and q262 (join
+    // bilinearity) cannot express — a delete cannot be applied to a
+    // distinct count directly (whether it decrements depends on
+    // whether OTHER rows still carry the value), so the maintained
+    // state is the per-(group, value) SUPPORT table and the view
+    // derives from it. Per-user distinct audiences per event type
+    // over events, with the q262 md5 gates: base (ha < 900), inserts
+    // (ha >= 900, sign +1), retractions (5% of base re-emitted with
+    // sign −1) — support decrements that do NOT zero a value leave
+    // the distinct count unchanged, ones that do remove it. The
+    // maintenance path is JOIN-FREE (plan contract); the oracle is
+    // the from-scratch COUNT(DISTINCT) on the post-change table, and
+    // equality also proves n_neg_support == 0 everywhere (consistent
+    // deltas cannot drive support negative).
+    Q("q264_distinct_ivm",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        import graft.warehouse.Warehouse
+        val ev = Tables(s, d, "events").select(
+          col("event_type"), col("user_id"),
+          (hash60(col("event_id").cast("string"), 7) % 1000).as("ha"),
+          (hash60(col("event_id").cast("string"), 8) % 1000).as("hd"))
+        val base = ev.filter(col("ha") < 900)
+          .select("event_type", "user_id")
+        val delta = ev.filter(col("ha") >= 900)
+          .select(col("event_type"), col("user_id"), lit(1L).as("sign"))
+          .unionAll(ev.filter(col("ha") < 900 && col("hd") < 50)
+            .select(col("event_type"), col("user_id"),
+              lit(-1L).as("sign")))
+        Warehouse.distinctViewDelta(base, delta, Seq("event_type"),
+            col("user_id"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, user_id,
+        |    ('0x' || substring(md5('7#' ||
+        |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ha,
+        |    ('0x' || substring(md5('8#' ||
+        |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hd
+        |  FROM events),
+        |post AS (SELECT event_type, user_id FROM e
+        |  WHERE ha >= 900 OR (ha < 900 AND hd >= 50))
+        |SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+        |  CAST(0 AS BIGINT) AS n_neg_support,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM post GROUP BY 1 ORDER BY 1""".stripMargin),
+      "distinct-count IVM: support-table state == from-scratch COUNT(DISTINCT) on the post-change table"),
   )
 }

@@ -190,6 +190,53 @@ object Warehouse {
       .filter(col("n_rows") =!= 0)
   }
 
+  /** COUNT(DISTINCT) view maintenance under signed deltas — the IVM
+    * case neither [[applyAggDelta]] nor [[joinViewDelta]] covers: a
+    * distinct count is NOT an abelian-group aggregate (a delete cannot
+    * be applied to the count itself — whether it decrements depends on
+    * whether OTHER rows still carry the value), so the maintained state
+    * must be the per-(group, value) SUPPORT table (sum of row signs).
+    * The view derives from it: n_distinct = |values with support > 0|.
+    * Negative merged support is IMPOSSIBLE under consistent deltas
+    * (every retraction re-emits an existing row) and is SURFACED per
+    * group as `n_neg_support` rather than clamped — the q200 discipline
+    * of letting impossible state reach the output where a test or an
+    * oracle mismatch will catch it.
+    *
+    * Scale shape: per-batch cost is delta-sized — one agg over the
+    * batch plus a keyed merge against the stored support table (here
+    * the base side is recomputed because the bench measures the whole
+    * program); the distinct rollup in production touches only groups
+    * present in the batch. The whole maintenance path is JOIN-FREE:
+    * two partial-combined aggregates and one keyed merge.
+    *
+    * `delta` carries `sign` (+1 insert, −1 retraction of an existing
+    * base row). Output per group: n_distinct, n_neg_support, n_rows
+    * (surviving multiplicity); groups with no surviving rows and no
+    * anomaly vanish, matching a from-scratch recompute.
+    */
+  def distinctViewDelta(base: DataFrame, delta: DataFrame,
+                        groupCols: Seq[String],
+                        value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = (groupCols :+ "__v").map(col)
+    val s0 = base.select(groupCols.map(col) :+ value.as("__v"): _*)
+      .groupBy(keys: _*).agg(count(lit(1)).cast("long").as("support"))
+    val ds = delta.select(groupCols.map(col) :+ value.as("__v")
+        :+ col("sign").cast("long").as("sign"): _*)
+      .groupBy(keys: _*).agg(sum("sign").as("support"))
+    s0.unionAll(ds)
+      .groupBy(keys: _*).agg(sum("support").as("support"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("support") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_distinct"),
+        sum(when(col("support") < 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_neg_support"),
+        sum(col("support")).as("n_rows"))
+      .filter(col("n_distinct") =!= 0 || col("n_neg_support") =!= 0)
+  }
+
   /** Bucketed write: pay the shuffle ONCE at write time — `numBuckets`
     * files per partition, hash-clustered and sorted on `key` — so every
     * later equi-join or aggregation on `key` between co-bucketed tables

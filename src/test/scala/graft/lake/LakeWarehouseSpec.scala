@@ -143,4 +143,28 @@ class LakeWarehouseSpec extends SparkSpec {
     // join: g1 -> (1,10); g2 -> (4,9). g2's k3 pair fully cancelled.
     assert(got === Seq(("g1", 1L, 10L), ("g2", 1L, 9L)))
   }
+
+  test("distinctViewDelta: support-count algebra, zeroed values drop, negative support surfaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // g1: u1 twice, u2 once; g2: u3 once
+    val base = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g2", 3L))
+      .toDF("g", "u")
+    // -u1 once (support 2->1: distinct UNCHANGED), -u2 (1->0: value
+    // leaves), +u1 again (1->2), g2: -u3 and +u4 (distinct stays 1,
+    // different value), g3: retraction of a row that never existed ->
+    // support -1 must SURFACE as n_neg_support, never clamp
+    val delta = Seq(("g1", 1L, -1L), ("g1", 2L, -1L), ("g1", 1L, 1L),
+      ("g2", 3L, -1L), ("g2", 4L, 1L), ("g3", 5L, -1L))
+      .toDF("g", "u", "sign")
+    val got = Warehouse.distinctViewDelta(base, delta, Seq("g"), col("u"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // g1: supports u1=2, u2=0 -> distinct 1, rows 2
+    // g2: supports u3=0, u4=1 -> distinct 1, rows 1
+    // g3: support u5=-1 -> the impossible state reaches the output
+    assert(got === Seq(("g1", 1L, 0L, 2L), ("g2", 1L, 0L, 1L),
+      ("g3", 0L, 1L, -1L)))
+  }
 }

@@ -414,6 +414,18 @@ class PlansSpec extends SparkSpec {
       s"cartesian in the IVM assembly:\n$p")
   }
 
+  test("q264: distinct-IVM maintenance is join-free — aggs and a keyed merge only") {
+    val p = plan("q264_distinct_ivm")
+    // the support table is state, not a join product: any Join node
+    // here means the maintenance re-derives what it should merge
+    assert(!p.contains("Join"),
+      s"distinct-IVM plan grew a join:\n$p")
+    assert(p.contains("partial_sum"),
+      "support merge lost its map-side combine")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the distinct-IVM plan:\n$p")
+  }
+
   test("q263: split cost rides broadcast probes of the flagged set; pass-through is a LeftAnti") {
     val p = plan("q263_ivf_bucket_split")
     assert(occurrences(p, "BroadcastExchange") >= 3,

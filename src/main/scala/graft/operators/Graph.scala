@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Free the block-manager storage of a localCheckpoint'd frame NOW
+    * instead of at GC: the checkpoint blocks hang off the wrapped
+    * `LogicalRDD`'s RDD, which `Dataset.unpersist` (a CacheManager
+    * lookup) never touches. Falls back to plain unpersist for frames
+    * that are ordinary cached plans.
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+
   /** Co-occurrence edges: distinct undirected item pairs sharing a
     * group (e.g. parts sharing an order). Output one row per ordered
     * direction (u, v) plus each source's out-degree — the shape the
@@ -397,12 +410,14 @@ object Graph {
     // semantics where they simply vanish from the degree table.
     // localCheckpoint per round: the depth-≥2 nested-cache lesson.
     var deg = d0.localCheckpoint(eager = true)
+    val roundBlocks = scala.collection.mutable.Buffer[DataFrame](deg)
     val roundStats = (1 to rounds).map { rnd =>
       val nodesRow = deg.filter(col("dg") >= k)
         .agg(count(lit(1)).as("nodes"))
       // this round's drop frontier: alive, has edges, below threshold
       val drop = deg.filter(col("dg") < k && col("dg") >= 1).select("u")
         .localCheckpoint(eager = true)
+      roundBlocks += drop
       // degree correction: each dropped node subtracts 1 from every
       // surviving neighbor — count e0 edges whose v fell THIS round,
       // per u. An edge is corrected exactly once (its endpoint is
@@ -416,6 +431,7 @@ object Graph {
         .select(col("u"),
           (col("dg") - coalesce(col("dc"), lit(0L))).as("dg"))
         .localCheckpoint(eager = true)
+      roundBlocks += deg
       nodesRow
         .crossJoin(deg.agg(
           coalesce(expr("sum(dg) div 2"), lit(0L)).as("edges")))
@@ -423,12 +439,17 @@ object Graph {
           col("nodes").cast("long").as("nodes"),
           col("edges").cast("long").as("edges"))
     }
-    // materialize the `rounds` stat rows, then release the caches — a
-    // long bench session must not accumulate block-manager residue
-    // that evicts later queries' caches
+    // materialize the `rounds` stat rows, then release the caches —
+    // e0/d0 AND every per-round checkpointed deg/drop block (the
+    // round-10 advisor: leaving them to GC is exactly the bench-
+    // session block-manager residue this comment warns about). A
+    // checkpointed frame's blocks belong to its underlying RDD, not
+    // the CacheManager, so Dataset.unpersist would be a no-op on
+    // them — release the wrapped RDD directly.
     val out = roundStats.reduce(_ unionAll _).orderBy("rnd")
       .localCheckpoint(eager = true)
     Seq(e0, d0).foreach(_.unpersist(blocking = false))
+    roundBlocks.foreach(releaseCheckpoint)
     out
   }
 

@@ -502,9 +502,14 @@ object Similarity {
     // construction
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__h"), col("vec_id"))
+    // seed ranking hashes with buildSampleSeed — the SAME seed that
+    // gates the train sample — so a caller passing a nonzero seed gets
+    // sampling and seeding keyed to one hash and an oracle replays
+    // both with one md5 prefix (the round-10 advisor's determinism
+    // note; every in-repo caller passes 0, so replays are unchanged)
     val seeds = train.select(col("vec_id"), col("v"),
         graft.functions.TextFunctions
-          .hash60(col("vec_id").cast("string"), 0).as("__h"))
+          .hash60(col("vec_id").cast("string"), buildSampleSeed).as("__h"))
       .orderBy(col("__h"), col("vec_id")).limit(c)
       .select((row_number().over(w) - 1).cast("long").as("c_lbl"),
         col("v").as("cv"))
@@ -1148,11 +1153,11 @@ object Similarity {
       .join(approx.withColumn("iv", lit(1L)),
         Seq("vec_a", "vec_b"), "full_outer")
       .agg(
-        coalesce(sum(coalesce(col("iv"), lit(0L))), lit(0L)).as("n_ivf"),
+        coalesce(sum(coalesce(col("iv"), lit(0L))), lit(0L)).as("n_approx"),
         coalesce(sum(coalesce(col("ex"), lit(0L))), lit(0L)).as("n_exact"),
         coalesce(sum(coalesce(col("ex"), lit(0L)) *
           coalesce(col("iv"), lit(0L))), lit(0L)).as("n_common"))
-      .select(col("n_ivf"), col("n_exact"), col("n_common"),
+      .select(col("n_approx"), col("n_exact"), col("n_common"),
         when(col("n_exact") > 0,
           expr("(n_common * 10000) div n_exact")).as("recall_bp"))
 

@@ -582,6 +582,7 @@ object PipelineQueries {
             }
             merged.write.mode("overwrite")
               .parquet(BatchState.dir(stateBase, "state", batchId))
+            BatchState.gc(stateBase, comps, batchId)
             ()
           }
           .option("checkpointLocation",
@@ -691,6 +692,7 @@ object PipelineQueries {
             }
             merged.write.mode("overwrite")
               .parquet(BS.dir(stateBase, "state", batchId))
+            BS.gc(stateBase, comps, batchId)
             ()
           }
           .option("checkpointLocation",
@@ -864,6 +866,7 @@ object PipelineQueries {
             }
             merged.write.mode("overwrite")
               .parquet(BS.dir(stateBase, "state", batchId))
+            BS.gc(stateBase, comps, batchId)
             ()
           }
           .option("checkpointLocation",
@@ -953,6 +956,7 @@ object PipelineQueries {
           }
           merged.write.mode("overwrite")
             .parquet(BS.dir(stateBase, "state", batchId))
+          BS.gc(stateBase, comps, batchId)
           ()
         }
         .option("checkpointLocation",
@@ -1015,6 +1019,7 @@ object PipelineQueries {
           }
           merged.write.mode("overwrite")
             .parquet(BS.dir(stateBase, "state", batchId))
+          BS.gc(stateBase, comps, batchId)
           ()
         }
         .option("checkpointLocation",
@@ -1156,6 +1161,7 @@ object PipelineQueries {
             .parquet(BS.dir(stateBase, "cells", batchId))
           mDict.write.mode("overwrite")
             .parquet(BS.dir(stateBase, "dict", batchId))
+          BS.gc(stateBase, comps, batchId)
           ()
         }
         .option("checkpointLocation",

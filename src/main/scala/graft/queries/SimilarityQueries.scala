@@ -1248,7 +1248,8 @@ object SimilarityQueries {
     // corpus — m×n, linear) vs the full-corpus IVF mutual set, one
     // full-outer join + one aggregate. recall over a deterministic
     // sample is still an honest estimate (spec-pinned against the full
-    // audit on the fixture corpus); n_ivf stays full-corpus. recall_bp
+    // audit on the fixture corpus); n_approx stays full-corpus (the
+    // approximate set here is the IVF mutual pairs). recall_bp
     // is NULL if no mutual pair lands inside the sample — reported,
     // not divided through.
     Q("q249_ann_pair_recall",
@@ -1305,13 +1306,13 @@ object SimilarityQueries {
         |xmu AS MATERIALIZED (SELECT x.src, x.dst FROM xt1 x
         |  JOIN xt1 y ON y.src = x.dst AND y.dst = x.src
         |  WHERE x.src < x.dst),
-        |j AS (SELECT coalesce(i.cnt, 0) AS n_ivf,
+        |j AS (SELECT coalesce(i.cnt, 0) AS n_approx,
         |    coalesce(x.cnt, 0) AS n_exact, coalesce(c.cnt, 0) AS n_common
         |  FROM (SELECT CAST(count(*) AS BIGINT) cnt FROM imu) i,
         |       (SELECT CAST(count(*) AS BIGINT) cnt FROM xmu) x,
         |       (SELECT CAST(count(*) AS BIGINT) cnt FROM imu
         |          JOIN xmu USING (src, dst)) c)
-        |SELECT n_ivf, n_exact, n_common,
+        |SELECT n_approx, n_exact, n_common,
         |  CASE WHEN n_exact > 0
         |       THEN CAST((n_common * 10000) // n_exact AS BIGINT)
         |  END AS recall_bp

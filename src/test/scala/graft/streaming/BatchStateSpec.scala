@@ -49,6 +49,44 @@ class BatchStateSpec extends AnyFunSuite {
     assert(BatchState.lastId(base, comps, "t") === 1L)
   }
 
+  test("gc retires only unreachable ids and a post-gc retry still resolves") {
+    // Simulate the monitors' merge loop twice — once with gc at the
+    // end of every batch, once without — including a RETRY of the
+    // final batch after gc ran: both runs must resolve the identical
+    // merge-from chain, and the gc run's footprint must be exactly
+    // two snapshots.
+    def runChain(base: String, gcEach: Boolean): Seq[Option[Long]] =
+      (0L to 3L).map { id =>
+        val from = BatchState.prevId(base, Seq("state"), id)
+        mk(base, "state", id, success = true)
+        if (gcEach) BatchState.gc(base, Seq("state"), id)
+        from
+      }
+    val withGc = tmp(); val noGc = tmp()
+    assert(runChain(withGc, gcEach = true) ===
+      runChain(noGc, gcEach = false))
+    // steady state: exactly {2, 3} survive
+    assert(BatchState.committedIds(withGc, Seq("state")) === Seq(2L, 3L))
+    // a retry of batch 3 AFTER its own gc still merges from 2 and
+    // idempotently re-gcs without touching 2
+    assert(BatchState.prevId(withGc, Seq("state"), 3L) === Some(2L))
+    assert(BatchState.gc(withGc, Seq("state"), 3L).isEmpty)
+    assert(BatchState.committedIds(withGc, Seq("state")) === Seq(2L, 3L))
+    // gc sweeps orphaned partial dirs below the floor too, across all
+    // components, and reports what it retired
+    val multi = tmp()
+    mk(multi, "cells", 0, success = true)
+    mk(multi, "dict", 0, success = false) // orphaned partial write
+    mk(multi, "cells", 1, success = true)
+    mk(multi, "dict", 1, success = true)
+    mk(multi, "cells", 2, success = true)
+    mk(multi, "dict", 2, success = true)
+    assert(BatchState.gc(multi, Seq("cells", "dict"), 2L) === Seq(0L))
+    assert(!new java.io.File(BatchState.dir(multi, "dict", 0)).exists)
+    assert(BatchState.committedIds(multi, Seq("cells", "dict")) ===
+      Seq(1L, 2L))
+  }
+
   test("empty or missing state is loud at read time, empty at scan time") {
     val base = tmp()
     val e = intercept[RuntimeException](

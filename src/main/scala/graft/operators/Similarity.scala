@@ -555,6 +555,44 @@ object Similarity {
     }
   }
 
+  /** [[kmeansBuckets]] with a BUILD-TIME bucket-size cap — the
+    * oversize guard the round-10 verdict asked for (#2): on a skewed
+    * corpus Lloyd can leave a megabucket whose probe cost is bounded
+    * only by the ×8 salt; this entry point folds q263's local 2-means
+    * split into the build so any bucket whose membership exceeds
+    * capNum/capDen times the balanced size n/C is split before the
+    * index ever serves (flag test in exact integers:
+    * size·capDen·C > capNum·n — no division). ONE split round, the
+    * fixed-round discipline: a split halves the worst offender; the
+    * residual is OBSERVABLE, not assumed away — callers read it off
+    * the returned sizes (q268 surfaces it as `still_over`), exactly
+    * like kmeansBuckets' `moved` column. Unflagged buckets pass
+    * through untouched (broadcast LeftAnti — split cost proportional
+    * to the flagged membership).
+    *
+    * Output: full post-split membership (vec_id, v, bucket, parent,
+    * was_split) — parent = pre-split label, so the audit trail from
+    * the capped index back to the Lloyd assignment is in-band.
+    */
+  def kmeansBucketsCapped(df: DataFrame, id: Column, vec: Column,
+      rounds: Int, capNum: Int, capDen: Int, minC: Int = 10,
+      buildSamplePerMille: Int = 1000,
+      buildSampleSeed: Int = 0): DataFrame = {
+    require(capNum >= 1 && capDen >= 1 && capNum > capDen,
+      "cap must be a ratio > 1 (capNum > capDen >= 1)")
+    val idx = kmeansBuckets(df, id, vec, rounds, minC,
+        buildSamplePerMille, buildSampleSeed)
+      .select("vec_id", "v", "bucket")
+      .localCheckpoint(eager = true)
+    val n = idx.count()
+    val c = math.max(minC.toLong, graft.functions.IntMath.isqrt(n))
+    val flagged = idx.groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("sz"))
+      .filter(col("sz") * capDen * c > capNum * n)
+      .select("bucket").localCheckpoint(eager = true)
+    splitBucketsLocal(idx, flagged)
+  }
+
   /** Incremental IVF INSERT maintenance + staleness audit — the serve
     * path of a 100 TB vector index that cannot rebuild per batch: new
     * vectors are assigned against the FROZEN quantizer (per-bucket 6dp
@@ -641,7 +679,144 @@ object Similarity {
         expr("(10000 * n_delta) div (n_base + n_delta)"))
     val flagged = audit.filter(col("delta_share_bp") >= flagBp)
       .select("bucket").localCheckpoint(eager = true)
-    val maxb = idx.agg(max("bucket").as("maxb"))
+    val post = splitBucketsLocal(
+      members.select("vec_id", "v", "bucket"), flagged)
+    val splitCounts = post.filter(col("was_split") === 1L)
+      .groupBy("bucket", "parent")
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .select(col("bucket"), col("parent"), col("n_members"),
+        lit(1L).as("was_split"))
+    val passCounts = audit.join(broadcast(flagged), Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("bucket").as("parent"),
+        (col("n_base") + col("n_delta")).as("n_members"),
+        lit(0L).as("was_split"))
+    splitCounts.unionAll(passCounts)
+  }
+
+  /** Serve per-query exact top-k from an arbitrary bucket MEMBERSHIP
+    * table (post-split, post-insert, fresh-built — any): per-bucket
+    * 6dp centroids are re-derived from the membership (the
+    * rankedNeighborsIvf fixed-point discipline), each query ranks
+    * them (sim desc, label asc) and probes its `nprobe` nearest
+    * buckets, exact rounded-4dp cosine within. Queries broadcast (an
+    * anchor handful); the membership — the 100 TB side — is only ever
+    * scanned, never shuffled. Returns (query_id, vec_id) per served
+    * neighbor.
+    */
+  private def serveTopkFromMembership(members: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroidsWide(
+      members.select(col("bucket").as("lbl"), col("v")))
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("c_lbl"), col("cv")))).as("cents"))
+    val rankedArr = array_sort(
+      transform(col("cents"), c => struct(
+        round(cos(col("qv"), c.getField("cv")), 4).as("sim"),
+        c.getField("c_lbl").as("lbl"))),
+      (l, r) =>
+        when(l.getField("sim") > r.getField("sim"), -1)
+          .when(l.getField("sim") < r.getField("sim"), 1)
+          .when(l.getField("lbl") < r.getField("lbl"), -1)
+          .when(l.getField("lbl") > r.getField("lbl"), 1)
+          .otherwise(0))
+    val probes = queries.crossJoin(broadcast(centArr))
+      .withColumn("ranked", rankedArr)
+      .select(col("query_id"), col("qv"),
+        explode(transform(slice(col("ranked"), 1, nprobe),
+          p => p.getField("lbl"))).as("pb"))
+    val scored = members.join(broadcast(probes),
+        col("bucket") === col("pb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"), "cos_sim",
+        desc = true, tiebreak = Seq("vec_id"), k = k)
+      .select("query_id", "vec_id")
+  }
+
+  /** The IVF index LIFECYCLE, round-tripped end-to-end in one query
+    * (round-10 verdict #3): build the index on `base` (q253's
+    * corpus-scaled kmeans), assign `delta` against the frozen
+    * centroids (q261's insert), flag drifted buckets by delta share
+    * and 2-means-split ONLY those (q263's partial rebuild), then
+    * SERVE top-k for a deterministic anchor sample from the
+    * lifecycle index — and, side by side, from a FRESH full-corpus
+    * build. Output is the per-anchor overlap scoreboard:
+    * (anchor_id, n_lifecycle, n_fresh, n_common) — the lifecycle
+    * pieces are individually verified elsewhere; this pins the loop a
+    * 100 TB index actually lives in (build → serve/insert → audit →
+    * rebalance → serve) and BOUNDS the served result against the
+    * fresh-build reference instead of asserting blind equality (two
+    * different quantizers legitimately disagree at bucket borders).
+    */
+  def ivfLifecycleServe(base: DataFrame, delta: DataFrame, id: Column,
+      vec: Column, rounds: Int, flagBp: Long, m: Int, seed: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    require(flagBp >= 1 && flagBp <= 10000, "flagBp must be in [1, 10000]")
+    val (idx, dA) = insertParts(base, delta, id, vec, rounds)
+    val members = idx.select(col("vec_id"), col("v"), col("bucket"),
+        lit(0L).as("is_delta"))
+      .unionAll(dA.select(col("vec_id"), col("v"), col("bucket"),
+        lit(1L).as("is_delta")))
+      .localCheckpoint(eager = true)
+    val audit = members.groupBy("bucket").agg(
+        sum(lit(1L) - col("is_delta")).cast("long").as("n_base"),
+        sum(col("is_delta")).cast("long").as("n_delta"))
+      .withColumn("delta_share_bp",
+        expr("(10000 * n_delta) div (n_base + n_delta)"))
+    val flagged = audit.filter(col("delta_share_bp") >= flagBp)
+      .select("bucket").localCheckpoint(eager = true)
+    val post = splitBucketsLocal(
+      members.select("vec_id", "v", "bucket"), flagged)
+      .select("vec_id", "v", "bucket")
+    val full = base.select(id.as("vec_id"), toDouble(vec).as("v"))
+      .unionAll(delta.select(id.as("vec_id"), toDouble(vec).as("v")))
+      .localCheckpoint(eager = true)
+    val anchors = anchorSampleIds(full, col("vec_id"), m, seed)
+      .localCheckpoint(eager = true)
+    val queries = full.join(broadcast(anchors), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val servedL = serveTopkFromMembership(post, queries, k, nprobe)
+    val fresh = kmeansBuckets(full, col("vec_id"), col("v"), rounds)
+      .select("vec_id", "v", "bucket")
+    val servedF = serveTopkFromMembership(fresh, queries, k, nprobe)
+    val nl = servedL.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_lifecycle"))
+    val nf = servedF.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_fresh"))
+    val ncm = servedL.join(servedF, Seq("query_id", "vec_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_common"))
+    anchors.select(col("vec_id").as("query_id"))
+      .join(nl, Seq("query_id"), "left")
+      .join(nf, Seq("query_id"), "left")
+      .join(ncm, Seq("query_id"), "left")
+      .select(col("query_id").as("anchor_id"),
+        coalesce(col("n_lifecycle"), lit(0L)).as("n_lifecycle"),
+        coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
+  /** Local 2-means split of the `flagged` buckets of a membership
+    * table — the shared rebalance kernel behind [[ivfBucketSplit]]
+    * (q263's flag-driven partial rebuild), the build-time oversize
+    * guard ([[kmeansBucketsCapped]]), and the lifecycle round-trip
+    * ([[ivfLifecycleServe]]). Per flagged bucket: seeds = its two
+    * smallest-(hash60, id) members (the kmeansBuckets seeding
+    * discipline, bucket-scoped), members side by rounded-4dp cosine
+    * argmax (ties to the lower seed rank — assignToNearest's exact
+    * ordering), the seed-0 half keeps the parent label, the seed-1
+    * half takes maxb + rank(parent). Unflagged rows pass through with
+    * bucket = parent, was_split = 0 via a broadcast LeftAnti — the
+    * whole split cost is proportional to the FLAGGED membership.
+    * Membership is conserved row-for-row by construction. Returns the
+    * full post-split membership (vec_id, v, bucket, parent,
+    * was_split).
+    */
+  private[graft] def splitBucketsLocal(members: DataFrame,
+      flagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxb = members.agg(max("bucket").as("maxb"))
     // |flagged| <= C ~ sqrt(n) rows: the unpartitioned rank window is
     // bounded by construction (the kmeansBuckets seeds argument)
     val fr = flagged.withColumn("rnk",
@@ -660,21 +835,20 @@ object Similarity {
     val assigned = fm.join(broadcast(seeds), "bucket")
       .withColumn("sim", round(cos(col("v"), col("sv")), 4))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
-    val splitCounts = assigned
+    val splitRows = assigned
       .join(broadcast(fr), "bucket")
       .crossJoin(broadcast(maxb))
-      .select(when(col("side") === 0, col("bucket"))
+      .select(col("vec_id"), col("v"),
+        when(col("side") === 0, col("bucket"))
           .otherwise(col("maxb") + col("rnk")).as("nb"),
-        col("bucket").as("parent"))
-      .groupBy("nb", "parent")
-      .agg(count(lit(1)).cast("long").as("n_members"))
-      .select(col("nb").as("bucket"), col("parent"), col("n_members"),
-        lit(1L).as("was_split"))
-    val passCounts = audit.join(broadcast(flagged), Seq("bucket"), "left_anti")
-      .select(col("bucket"), col("bucket").as("parent"),
-        (col("n_base") + col("n_delta")).as("n_members"),
-        lit(0L).as("was_split"))
-    splitCounts.unionAll(passCounts)
+        col("bucket").as("parent"), lit(1L).as("was_split"))
+      .select(col("vec_id"), col("v"), col("nb").as("bucket"),
+        col("parent"), col("was_split"))
+    val passRows = members
+      .join(broadcast(flagged), Seq("bucket"), "left_anti")
+      .select(col("vec_id"), col("v"), col("bucket"),
+        col("bucket").as("parent"), lit(0L).as("was_split"))
+    splitRows.unionAll(passRows)
   }
 
   /** IVF-PQ with RESIDUAL codebooks — the full production index
@@ -1049,7 +1223,32 @@ object Similarity {
     * centroid row — no exchange, same as assignment.
     */
   private[graft] def rankedNeighborsIvf(df: DataFrame, id: Column,
-      vec: Column, label: Column, k: Int, nprobe: Int): DataFrame = {
+      vec: Column, label: Column, k: Int, nprobe: Int): DataFrame =
+    rankedNeighborsIvfCore(df, id, vec, label, k, nprobe,
+      anchors = None, int8 = false)
+
+  /** The IVF ranked-neighbor pass with two orthogonal scale switches
+    * (both off in [[rankedNeighborsIvf]], which predates them):
+    *
+    *  - `anchors`: restrict the QUERY side to a given id frame — the
+    *    sampled-anchor mining discipline (round-10 verdict #1). The
+    *    index/candidate side stays FULL-corpus, so each anchor's list
+    *    is exactly the list the full pass would produce for it; total
+    *    cost drops from n·nprobe·(n/C) to m·nprobe·(n/C) — linear in
+    *    the corpus for fixed m, which is what retires the Θ(n^1.5)
+    *    full self-mining asymptote at 100 TB ("mine every vector" is
+    *    the wrong query there; mine a deterministic anchor sample).
+    *  - `int8`: score the probe scan in the byte domain — both sides
+    *    quantize through quantizeInt8/PackInt8 and score through the
+    *    fused long-arithmetic ByteCosine kernel (bit-identical to
+    *    double cosine over the same integer values, the q84 bargain,
+    *    so the oracle keeps scoring `q8::DOUBLE[]`), cutting the
+    *    scan's memory traffic 8x vs doubles. Bucket assignment and
+    *    probe RANKING stay exact — they are one-time build work.
+    */
+  private def rankedNeighborsIvfCore(df: DataFrame, id: Column,
+      vec: Column, label: Column, k: Int, nprobe: Int,
+      anchors: Option[DataFrame], int8: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "rankedNeighborsIvf needs k >= 1")
     require(nprobe >= 1, "nprobe must be >= 1")
@@ -1071,24 +1270,47 @@ object Similarity {
           .when(l.getField("lbl") > r.getField("lbl"), 1)
           .otherwise(0))
     val base = e.crossJoin(broadcast(centArr)).withColumn("ranked", rankedArr)
+    def packed(c: Column): Column =
+      graft.functions.Int8Vec.pack(quantizeInt8(c))
     // Salted bucket join: the scored join's key cardinality is C
     // buckets, which would cap scoring parallelism at C regardless of
     // cluster width (the q41 salting pattern — semantics unchanged,
     // every pair still meets exactly once on its (bucket, salt) key).
     // Members take a deterministic salt; probes replicate ×salts.
     val salts = 8
-    val assigned = base.select(col("vec_id"), col("v"),
+    val assigned0 = base.select(col("vec_id"), col("v"),
       element_at(col("ranked"), 1).getField("lbl").as("bucket"),
       pmod(xxhash64(col("vec_id")), lit(salts)).as("__salt"))
-    val probes = base.select(col("vec_id").as("query_id"), col("v").as("qv"),
+    val assigned =
+      if (int8) assigned0.withColumn("q8", packed(col("v"))).drop("v")
+      else assigned0
+    val probes0 = base.select(col("vec_id").as("query_id"),
+        col("v").as("qv"),
         explode(transform(slice(col("ranked"), 1, nprobe),
           p => p.getField("lbl"))).as("pb"))
+    // anchor restriction BEFORE the salt replication and the scored
+    // join — the whole m/n cut happens on the probe side's first
+    // projection, and the broadcast semi-join never touches the
+    // corpus-sized candidate scan
+    val probes1 = anchors match {
+      case Some(a) => probes0.join(
+        broadcast(a.select(col("vec_id").as("query_id"))),
+        Seq("query_id"), "left_semi")
+      case None => probes0
+    }
+    val probes2 =
+      if (int8) probes1.withColumn("qq", packed(col("qv"))).drop("qv")
+      else probes1
+    val probes = probes2
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    val simCol =
+      if (int8) graft.functions.Int8Vec.byteCosine(col("q8"), col("qq"))
+      else cos(col("v"), col("qv"))
     val scored = assigned.join(probes,
         col("bucket") === col("pb") && assigned("__salt") === probes("__salt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cos(col("v"), col("qv")), 4).as("cos_sim"))
+        round(simCol, 4).as("cos_sim"))
     graft.plans.TopK.perKey(scored, Seq("query_id"), "cos_sim",
         desc = true, tiebreak = Seq("vec_id"), k = k)
       .withColumn("rn", row_number().over(Window.partitionBy("query_id")
@@ -1104,6 +1326,30 @@ object Similarity {
   def mutualNnMarginIvf(df: DataFrame, id: Column, vec: Column,
       label: Column, k: Int, nprobe: Int): DataFrame = {
     marginFromTopk(rankedNeighborsIvf(df, id, vec, label, k, nprobe), k)
+  }
+
+  /** [[mutualNnMarginIvf]] restricted to a deterministic m-anchor hash
+    * sample of QUERIES — the sampled-anchor discipline
+    * ([[anchorSampleIds]], already proven on q247/q249's audits)
+    * composed with the kmeans-index mining itself (round-10 verdict
+    * #1: full self-mining under C ≈ √n is Θ(n^1.5) by construction —
+    * the only superlinear rows in the three-decade scaling record).
+    * The index side stays full-corpus, so each anchor's neighbor list
+    * (and hence each emitted pair) is EXACTLY what the full pass
+    * would produce; the output equals the full mining restricted to
+    * pairs with BOTH endpoints sampled (mutuality needs both
+    * directions' top-1 — spec-pinned). m >= corpus degenerates to the
+    * full pass exactly. `int8` routes the probe scan through the
+    * packed byte path (PackInt8/ByteCosine) — scores are then the
+    * quantized cosines, the q84 contract.
+    */
+  def mutualNnMarginIvfSampled(df: DataFrame, id: Column, vec: Column,
+      label: Column, k: Int, nprobe: Int, m: Int, seed: Int,
+      int8: Boolean = false): DataFrame = {
+    val anchors = anchorSampleIds(df.select(id.as("vec_id")),
+      col("vec_id"), m, seed)
+    marginFromTopk(rankedNeighborsIvfCore(df, id, vec, label, k, nprobe,
+      Some(anchors), int8), k)
   }
 
   /** Exact mutual top-1 pairs, unfiltered by margin guards — the audit
@@ -1187,6 +1433,20 @@ object Similarity {
   def hardNegativesIvf(df: DataFrame, id: Column, vec: Column,
       label: Column, nprobe: Int): DataFrame =
     hardNegativesFromTopk(rankedNeighborsIvf(df, id, vec, label, 2, nprobe))
+
+  /** [[hardNegativesIvf]] restricted to a deterministic m-anchor hash
+    * sample of queries — see [[mutualNnMarginIvfSampled]] for the
+    * sampling contract (triplets whose mutual pair has both endpoints
+    * sampled; negatives may be any corpus vector).
+    */
+  def hardNegativesIvfSampled(df: DataFrame, id: Column, vec: Column,
+      label: Column, nprobe: Int, m: Int, seed: Int,
+      int8: Boolean = false): DataFrame = {
+    val anchors = anchorSampleIds(df.select(id.as("vec_id")),
+      col("vec_id"), m, seed)
+    hardNegativesFromTopk(rankedNeighborsIvfCore(df, id, vec, label, 2,
+      nprobe, Some(anchors), int8))
+  }
 
   private def hardNegativesFromTopk(topk: DataFrame): DataFrame = {
     val top1 = topk.filter(col("rn") === 1)

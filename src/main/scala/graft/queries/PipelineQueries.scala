@@ -910,7 +910,7 @@ object PipelineQueries {
         |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
         |FROM cnt JOIN tot ON cnt.g = tot.g
         |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
-      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230, q252)
+      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230, q252, q270)
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only
@@ -1111,6 +1111,89 @@ object PipelineQueries {
   // with a read-time exact-count audit column. However the feed splits
   // into batches, the final cells provably equal the one-pass batch
   // sketch — the oracle IS the batch CMS.
+  // q270 — q264's COUNT(DISTINCT) view maintenance in its PRODUCTION
+  // shape (round-10 verdict #5): the per-(group, value) support table
+  // lives ON PARQUET under the BatchState batchId/_SUCCESS discipline,
+  // and each micro-batch's maintenance is DELTA-SIZED — one signed agg
+  // over the batch (Warehouse.supportState) merged against the stored
+  // table (mergeSupportState); the base corpus is NEVER re-scanned
+  // after its own ingest batch (the q270 plan contract pins the
+  // maintenance-batch shape: two parquet scans, aggs, no join). The
+  // signed feed stages base rows (+1), later inserts (+1) and
+  // retractions (−1, re-emitting existing rows) to parquet first —
+  // production deltas arrive as files — and the stream drains it with
+  // maxFilesPerTrigger=1, so the state provably survives arbitrary
+  // batch splits (support addition is abelian) and restarts
+  // (BatchState resolves the latest committed id; gc keeps the
+  // footprint at two snapshots). The final view derives from the LAST
+  // committed support table alone; the oracle is the from-scratch
+  // COUNT(DISTINCT) on the post-change rows — equality also proves
+  // n_neg_support == 0 everywhere.
+  private lazy val q270 = Q("q270_distinct_ivm_persisted",
+    (s, d) => {
+      import graft.functions.TextFunctions.hash60
+      import graft.warehouse.Warehouse
+      val BS = graft.streaming.BatchState
+      val run = streamSinkRuns.incrementAndGet()
+      val ev = Tables(s, d, "events").select(
+        col("event_type"),
+        round(col("value") * 10000).cast("long").as("vbp"),
+        (hash60(col("event_id").cast("string"), 7) % 1000).as("ha"),
+        (hash60(col("event_id").cast("string"), 8) % 1000).as("hd"))
+      val signed = ev.filter(col("ha") < 800)
+        .select(col("event_type"), col("vbp"), lit(1L).as("sign"))
+        .unionAll(ev.filter(col("ha") >= 800)
+          .select(col("event_type"), col("vbp"), lit(1L).as("sign")))
+        .unionAll(ev.filter(col("ha") < 800 && col("hd") < 50)
+          .select(col("event_type"), col("vbp"), lit(-1L).as("sign")))
+      val feed = graft.util.TmpDirs.perProcess(s"graft_q270_feed_$run")
+      signed.repartition(3).write.mode("overwrite").parquet(feed)
+      val stateBase = graft.util.TmpDirs.perProcess(s"graft_q270_state_$run")
+      val comps = Seq("support")
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val query = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val partial = Warehouse.supportState(
+            batch, Seq("event_type"), col("vbp"))
+          val merged = BS.prevId(stateBase, comps, batchId) match {
+            case None => partial
+            case Some(p) => Warehouse.mergeSupportState(
+              Seq(s.read.parquet(BS.dir(stateBase, "support", p)), partial),
+              Seq("event_type"))
+          }
+          merged.write.mode("overwrite")
+            .parquet(BS.dir(stateBase, "support", batchId))
+          BS.gc(stateBase, comps, batchId)
+          ()
+        }
+        .option("checkpointLocation",
+          graft.util.TmpDirs.perProcess(s"graft_q270_ckpt_$run"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      Warehouse.distinctViewFromSupport(
+          s.read.parquet(BS.dir(stateBase, "support",
+            BS.lastId(stateBase, comps, "q270"))),
+          Seq("event_type"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+      |    CAST(round(value * 10000) AS BIGINT) AS vbp,
+      |    ('0x' || substring(md5('7#' ||
+      |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ha,
+      |    ('0x' || substring(md5('8#' ||
+      |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hd
+      |  FROM events),
+      |post AS (SELECT event_type, vbp FROM e
+      |  WHERE ha >= 800 OR (ha < 800 AND hd >= 50))
+      |SELECT event_type,
+      |  CAST(count(DISTINCT vbp) AS BIGINT) AS n_distinct,
+      |  CAST(0 AS BIGINT) AS n_neg_support,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM post GROUP BY 1 ORDER BY 1""".stripMargin),
+    "distinct-count IVM with PERSISTED support state: delta-sized per-batch maintenance, BatchState commit/gc, no base re-scan")
+
   private lazy val q252 = Q("q252_streaming_cms_hh",
     (s, d) => {
       import graft.functions.TextFunctions.{words, hash60}

@@ -1628,6 +1628,427 @@ object SimilarityQueries {
         |SELECT bucket, parent, n_members, was_split FROM pc
         |ORDER BY bucket, parent""".stripMargin),
       "flag-driven partial rebuild: local 2-means split of overfull buckets only, pass-through elsewhere"),
+
+    // q265 — q254's mutual-NN mining with the probe side cut to a
+    // deterministic 256-anchor hash sample (the round-10 verdict's #1:
+    // full self-mining under C≈√n is Θ(n^1.5) — the only superlinear
+    // rows in the three-decade scaling record; at 100 TB the
+    // scale-safe query mines a fixed anchor sample, m·nprobe·√n,
+    // linear in the corpus). The index side stays full-corpus, so the
+    // output EQUALS q254 restricted to pairs with both endpoints
+    // sampled (spec-pinned); the oracle replays the anchor LIMIT
+    // exactly (ORDER BY md5-hash, id LIMIT m).
+    Q("q265_mutual_nn_kmeans_sampled",
+      (s, d) => {
+        val idx = graft.operators.Similarity.kmeansBuckets(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2)
+        graft.operators.Similarity.mutualNnMarginIvfSampled(
+            idx, col("vec_id"), col("v"), col("bucket"),
+            k = 4, nprobe = 2, m = 256, seed = 11)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""$kmeansCtes,
+        |c3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a2 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, c.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |      c.c_lbl) AS prn
+        |  FROM e, c3 c),
+        |aa AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |an AS MATERIALIZED (SELECT vec_id FROM e
+        |  ORDER BY ('0x' || substring(md5('11#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+        |  LIMIT 256),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN an USING (vec_id)
+        |    JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN aa a ON a.bucket = p.pb
+        |      AND a.vec_id <> p.query_id) s),
+        |tk AS MATERIALIZED (SELECT * FROM r WHERE rn <= 4),
+        |sm AS (SELECT query_id, CAST(sum(cu) AS BIGINT) AS sv
+        |  FROM tk GROUP BY 1),
+        |t1 AS (SELECT query_id AS src, vec_id AS dst, cos_sim, cu
+        |  FROM tk WHERE rn = 1),
+        |mu AS (SELECT x.src, x.dst, x.cos_sim, x.cu FROM t1 x
+        |  JOIN t1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst)
+        |SELECT mu.src AS vec_a, mu.dst AS vec_b, mu.cos_sim,
+        |  CAST((2 * 4 * mu.cu * 10000) // (sx.sv + sy.sv) AS BIGINT)
+        |    AS margin_bp
+        |FROM mu JOIN sm sx ON sx.query_id = mu.src
+        |        JOIN sm sy ON sy.query_id = mu.dst
+        |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      "sampled-anchor mutual-NN mining on the kmeans IVF index: m anchors exact-per-anchor, index full-corpus"),
+
+    // q266 — q255's contrastive hard negatives under the same anchor
+    // sample: triplets whose mutual pair has BOTH endpoints sampled
+    // (mutuality needs both directions' top-1); negatives may be any
+    // corpus vector — the index side never shrinks.
+    Q("q266_hard_negatives_kmeans_sampled",
+      (s, d) => {
+        val idx = graft.operators.Similarity.kmeansBuckets(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2)
+        graft.operators.Similarity.hardNegativesIvfSampled(
+            idx, col("vec_id"), col("v"), col("bucket"),
+            nprobe = 2, m = 256, seed = 11)
+          .orderBy("anchor_id")
+      },
+      Some(s"""$kmeansCtes,
+        |c3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a2 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, c.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |      c.c_lbl) AS prn
+        |  FROM e, c3 c),
+        |aa AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |an AS MATERIALIZED (SELECT vec_id FROM e
+        |  ORDER BY ('0x' || substring(md5('11#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+        |  LIMIT 256),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN an USING (vec_id)
+        |    JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN aa a ON a.bucket = p.pb
+        |      AND a.vec_id <> p.query_id) s),
+        |t1 AS (SELECT query_id AS anchor_id, vec_id AS positive_id,
+        |    cos_sim AS cos_pos, cu AS cu_pos FROM r WHERE rn = 1),
+        |mu AS (SELECT x.* FROM t1 x JOIN t1 y
+        |  ON y.anchor_id = x.positive_id
+        |  AND y.positive_id = x.anchor_id),
+        |t2 AS (SELECT query_id AS anchor_id, vec_id AS negative_id,
+        |    cos_sim AS cos_neg, cu AS cu_neg FROM r WHERE rn = 2)
+        |SELECT mu.anchor_id, mu.positive_id, t2.negative_id, mu.cos_pos,
+        |  t2.cos_neg, CAST(mu.cu_pos - t2.cu_neg AS BIGINT) AS gap_bp
+        |FROM mu JOIN t2 USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin),
+      "sampled-anchor contrastive hard negatives on the kmeans IVF index"),
+
+    // q267 — q265 with the probe SCAN routed through the int8 packed
+    // path: both sides quantize (quantizeInt8 → PackInt8 binary) and
+    // score through the fused long-arithmetic ByteCosine kernel —
+    // bit-identical to double cosine over the same integer vectors
+    // (the q84 bargain), so the oracle scores q8::DOUBLE[]. Cuts the
+    // compute-bound scan's memory traffic 8x vs doubles; assignment
+    // and probe ranking stay exact (build-time work). Scores/margins
+    // are the QUANTIZED cosines — its own contract, audited against
+    // the exact path by the paired spec.
+    Q("q267_mutual_nn_kmeans_int8",
+      (s, d) => {
+        val idx = graft.operators.Similarity.kmeansBuckets(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2)
+        graft.operators.Similarity.mutualNnMarginIvfSampled(
+            idx, col("vec_id"), col("v"), col("bucket"),
+            k = 4, nprobe = 2, m = 256, seed = 11, int8 = true)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""$kmeansCtes,
+        |c3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM a2 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, c.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |      c.c_lbl) AS prn
+        |  FROM e, c3 c),
+        |aa AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |aa8 AS MATERIALIZED (SELECT vec_id, bucket,
+        |    list_transform(v, x -> CAST(round(x *
+        |      (127.0 / list_max(list_transform(v, y -> abs(y)))))
+        |      AS INT))::DOUBLE[] AS q8
+        |  FROM aa),
+        |an AS MATERIALIZED (SELECT vec_id FROM e
+        |  ORDER BY ('0x' || substring(md5('11#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+        |  LIMIT 256),
+        |p AS MATERIALIZED (SELECT a8.vec_id AS query_id, a8.q8 AS qq,
+        |    pc.c_lbl AS pb
+        |  FROM aa8 a8 JOIN an USING (vec_id)
+        |    JOIN pc ON pc.vec_id = a8.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.q8, p.qq), 4) AS cos_sim
+        |    FROM p JOIN aa8 a ON a.bucket = p.pb
+        |      AND a.vec_id <> p.query_id) s),
+        |tk AS MATERIALIZED (SELECT * FROM r WHERE rn <= 4),
+        |sm AS (SELECT query_id, CAST(sum(cu) AS BIGINT) AS sv
+        |  FROM tk GROUP BY 1),
+        |t1 AS (SELECT query_id AS src, vec_id AS dst, cos_sim, cu
+        |  FROM tk WHERE rn = 1),
+        |mu AS (SELECT x.src, x.dst, x.cos_sim, x.cu FROM t1 x
+        |  JOIN t1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst)
+        |SELECT mu.src AS vec_a, mu.dst AS vec_b, mu.cos_sim,
+        |  CAST((2 * 4 * mu.cu * 10000) // (sx.sv + sy.sv) AS BIGINT)
+        |    AS margin_bp
+        |FROM mu JOIN sm sx ON sx.query_id = mu.src
+        |        JOIN sm sy ON sy.query_id = mu.dst
+        |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      "sampled-anchor mining with the int8 packed probe scan (ByteCosine byte-domain scoring)"),
+
+    // q268 — BUILD-TIME bucket-size cap: the q253 build with any
+    // bucket above 5/4 of the balanced size n/C 2-means-split before
+    // the index serves (flag test in exact integers — sz·4·C > 5·n).
+    // ONE split round, fixed-round discipline: the residual is
+    // OBSERVABLE as `still_over` (a split halves the worst offender;
+    // at sf0.01 one child legitimately stays above the cap — reported,
+    // not hidden). The oracle replays flag selection, seed choice,
+    // side assignment, pass-through, and the residual audit.
+    Q("q268_kmeans_capped_build",
+      (s, d) => {
+        val post = graft.operators.Similarity.kmeansBucketsCapped(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2, capNum = 5, capDen = 4)
+        val n = post.count()
+        val c = math.max(10L, graft.functions.IntMath.isqrt(n))
+        post.groupBy("bucket", "parent", "was_split")
+          .agg(count(lit(1)).cast("long").as("n_members"))
+          .select(col("bucket"), col("parent"), col("n_members"),
+            col("was_split"),
+            when(col("n_members") * lit(4L) * lit(c) > lit(5L) * lit(n),
+              lit(1L)).otherwise(lit(0L)).as("still_over"))
+          .orderBy("bucket", "parent")
+      },
+      Some(s"""$kmeansCtes,
+        |sz AS MATERIALIZED (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM a2 GROUP BY 1),
+        |fl AS MATERIALIZED (SELECT bucket FROM sz, nc, cc
+        |  WHERE sz.n * 4 * cc.c > 5 * nc.n),
+        |mx AS (SELECT max(bucket) AS maxb FROM a2),
+        |fr AS (SELECT bucket, CAST(row_number() OVER (ORDER BY bucket)
+        |    AS BIGINT) AS rnk FROM fl),
+        |fm AS MATERIALIZED (SELECT m.vec_id, m.v, m.bucket
+        |  FROM a2 m JOIN fl USING (bucket)),
+        |sd2 AS MATERIALIZED (SELECT bucket,
+        |    CAST(rn - 1 AS BIGINT) AS side, v AS sv FROM (
+        |    SELECT bucket, vec_id, v, row_number() OVER (
+        |      PARTITION BY bucket ORDER BY
+        |        ('0x' || substring(md5('0#' ||
+        |          CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |        vec_id) AS rn
+        |    FROM fm) t WHERE rn <= 2),
+        |asg AS MATERIALIZED (SELECT bucket, vec_id, side FROM (
+        |  SELECT fm.bucket, fm.vec_id, s.side,
+        |    row_number() OVER (PARTITION BY fm.bucket, fm.vec_id
+        |      ORDER BY round(list_cosine_similarity(fm.v, s.sv), 4)
+        |        DESC, s.side) AS rn
+        |  FROM fm JOIN sd2 s USING (bucket)) t WHERE rn = 1),
+        |sc AS (SELECT CASE WHEN a.side = 0 THEN a.bucket
+        |    ELSE mx.maxb + fr.rnk END AS bucket,
+        |    a.bucket AS parent, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(1 AS BIGINT) AS was_split
+        |  FROM asg a JOIN fr ON fr.bucket = a.bucket, mx
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT bucket, bucket AS parent, n AS n_members,
+        |    CAST(0 AS BIGINT) AS was_split
+        |  FROM sz WHERE bucket NOT IN (SELECT bucket FROM fl)),
+        |un AS (SELECT * FROM sc UNION ALL SELECT * FROM pt)
+        |SELECT un.bucket, un.parent, un.n_members, un.was_split,
+        |  CAST(CASE WHEN un.n_members * 4 * cc.c > 5 * nc.n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS still_over
+        |FROM un, nc, cc
+        |ORDER BY bucket, parent""".stripMargin),
+      "build-time bucket-size cap: oversize buckets 2-means-split at build, residual observable as still_over"),
+
+    // q269 — the IVF index LIFECYCLE round-tripped end-to-end: build
+    // on the 80% base slice (q253), insert the 20% delta against the
+    // frozen centroids (q261), split drift-flagged buckets (q263,
+    // flagBp 2500), then SERVE top-5/nprobe-2 for 8 deterministic
+    // anchors from the lifecycle index AND from a fresh full-corpus
+    // build — the per-anchor overlap scoreboard bounds the lifecycle
+    // serve against the fresh reference (two quantizers legitimately
+    // disagree at bucket borders; the spec pins the degenerate
+    // no-drift case to exact equality). A 100 TB index lives its
+    // whole life in this loop; this is the first query that closes it.
+    Q("q269_ivf_lifecycle_roundtrip",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val g = graft.functions.TextFunctions
+          .hash60(col("vec_id").cast("string"), 0) % 10
+        graft.operators.Similarity.ivfLifecycleServe(
+            emb.filter(g < 8), emb.filter(g >= 8),
+            col("vec_id"), col("embedding"), rounds = 2,
+            flagBp = 2500L, m = 8, seed = 13, k = 5, nprobe = 2)
+          .orderBy("anchor_id")
+      },
+      Some(s"""$gatedInsertCtes,
+        |mem AS MATERIALIZED (
+        |  SELECT vec_id, v, bucket, 0 AS is_delta FROM a2
+        |  UNION ALL
+        |  SELECT da.vec_id, ed.v, da.bucket, 1
+        |  FROM da JOIN ed USING (vec_id)),
+        |aud AS MATERIALIZED (SELECT bucket,
+        |    CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
+        |    CAST(sum(is_delta) AS BIGINT) AS n_delta
+        |  FROM mem GROUP BY 1),
+        |fl AS MATERIALIZED (SELECT bucket FROM aud
+        |  WHERE (10000 * n_delta) // (n_base + n_delta) >= 2500),
+        |mx AS (SELECT max(bucket) AS maxb FROM a2),
+        |fr AS (SELECT bucket, CAST(row_number() OVER (ORDER BY bucket)
+        |    AS BIGINT) AS rnk FROM fl),
+        |fm AS MATERIALIZED (SELECT m.vec_id, m.v, m.bucket
+        |  FROM mem m JOIN fl USING (bucket)),
+        |sd2 AS MATERIALIZED (SELECT bucket,
+        |    CAST(rn - 1 AS BIGINT) AS side, v AS sv FROM (
+        |    SELECT bucket, vec_id, v, row_number() OVER (
+        |      PARTITION BY bucket ORDER BY
+        |        ('0x' || substring(md5('0#' ||
+        |          CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |        vec_id) AS rn
+        |    FROM fm) t WHERE rn <= 2),
+        |asg AS MATERIALIZED (SELECT bucket, vec_id, side FROM (
+        |  SELECT fm.bucket, fm.vec_id, s.side,
+        |    row_number() OVER (PARTITION BY fm.bucket, fm.vec_id
+        |      ORDER BY round(list_cosine_similarity(fm.v, s.sv), 4)
+        |        DESC, s.side) AS rn
+        |  FROM fm JOIN sd2 s USING (bucket)) t WHERE rn = 1),
+        |post AS MATERIALIZED (
+        |  SELECT m.vec_id, m.v, m.bucket
+        |  FROM mem m WHERE m.bucket NOT IN (SELECT bucket FROM fl)
+        |  UNION ALL
+        |  SELECT a.vec_id, m.v,
+        |    CASE WHEN a.side = 0 THEN a.bucket
+        |         ELSE mx.maxb + fr.rnk END
+        |  FROM asg a JOIN mem m ON m.vec_id = a.vec_id
+        |      AND m.bucket = a.bucket
+        |    JOIN fr ON fr.bucket = a.bucket, mx),
+        |c4 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT p.bucket, t.dim, round(avg(p.v[t.dim]), 6) AS cd
+        |    FROM post p, generate_series(1, 64) AS t(dim)
+        |    GROUP BY p.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |an AS MATERIALIZED (SELECT vec_id, v FROM ea
+        |  ORDER BY ('0x' || substring(md5('13#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+        |  LIMIT 8),
+        |plc AS MATERIALIZED (SELECT an.vec_id AS query_id, an.v AS qv,
+        |    c.c_lbl AS pb
+        |  FROM an, c4 c
+        |  QUALIFY row_number() OVER (PARTITION BY an.vec_id
+        |    ORDER BY round(list_cosine_similarity(an.v, c.cv), 4) DESC,
+        |      c.c_lbl) <= 2),
+        |rl AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |  SELECT p.query_id, m.vec_id, row_number() OVER (
+        |      PARTITION BY p.query_id
+        |      ORDER BY round(list_cosine_similarity(m.v, p.qv), 4) DESC,
+        |        m.vec_id) AS rn
+        |  FROM plc p JOIN post m ON m.bucket = p.pb
+        |    AND m.vec_id <> p.query_id) t WHERE rn <= 5),
+        |ncf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ea),
+        |ccf AS (SELECT greatest(10, (SELECT CAST(max(s.s) AS BIGINT)
+        |  FROM generate_series(1, 4000) s(s), ncf
+        |  WHERE s.s * s.s <= ncf.n)) AS c),
+        |sdf AS MATERIALIZED (
+        |  SELECT CAST(rn - 1 AS BIGINT) AS c_lbl, v AS cv FROM (
+        |    SELECT v, row_number() OVER (ORDER BY
+        |      ('0x' || substring(md5('0#' ||
+        |        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM ea) t
+        |  WHERE rn <= (SELECT c FROM ccf)),
+        |af0 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT ea.vec_id, ea.v, s.c_lbl,
+        |      row_number() OVER (PARTITION BY ea.vec_id
+        |        ORDER BY round(list_cosine_similarity(ea.v, s.cv), 4) DESC,
+        |          s.c_lbl) AS prn
+        |    FROM ea, sdf s) t WHERE prn = 1),
+        |cf1 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM af0 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |af1 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT ea.vec_id, ea.v, c.c_lbl,
+        |      row_number() OVER (PARTITION BY ea.vec_id
+        |        ORDER BY round(list_cosine_similarity(ea.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM ea, cf1 c) t WHERE prn = 1),
+        |cf2 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM af1 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |af2 AS MATERIALIZED (
+        |  SELECT vec_id, v, c_lbl AS bucket FROM (
+        |    SELECT ea.vec_id, ea.v, c.c_lbl,
+        |      row_number() OVER (PARTITION BY ea.vec_id
+        |        ORDER BY round(list_cosine_similarity(ea.v, c.cv), 4) DESC,
+        |          c.c_lbl) AS prn
+        |    FROM ea, cf2 c) t WHERE prn = 1),
+        |cf3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT a.bucket, t.dim, round(avg(a.v[t.dim]), 6) AS cd
+        |    FROM af2 a, generate_series(1, 64) AS t(dim)
+        |    GROUP BY a.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |pfc AS MATERIALIZED (SELECT an.vec_id AS query_id, an.v AS qv,
+        |    c.c_lbl AS pb
+        |  FROM an, cf3 c
+        |  QUALIFY row_number() OVER (PARTITION BY an.vec_id
+        |    ORDER BY round(list_cosine_similarity(an.v, c.cv), 4) DESC,
+        |      c.c_lbl) <= 2),
+        |rf AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |  SELECT p.query_id, m.vec_id, row_number() OVER (
+        |      PARTITION BY p.query_id
+        |      ORDER BY round(list_cosine_similarity(m.v, p.qv), 4) DESC,
+        |        m.vec_id) AS rn
+        |  FROM pfc p JOIN af2 m ON m.bucket = p.pb
+        |    AND m.vec_id <> p.query_id) t WHERE rn <= 5)
+        |SELECT an.vec_id AS anchor_id,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rl
+        |    WHERE rl.query_id = an.vec_id) AS n_lifecycle,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rf
+        |    WHERE rf.query_id = an.vec_id) AS n_fresh,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rl
+        |    JOIN rf USING (query_id, vec_id)
+        |    WHERE rl.query_id = an.vec_id) AS n_common
+        |FROM an ORDER BY anchor_id""".stripMargin),
+      "IVF lifecycle round-trip: build -> insert -> flagged split -> serve, bounded against a fresh-build serve"),
   )
 
   /** Shared oracle prefix for the q253-q255 family: the corpus-scaled

@@ -219,15 +219,58 @@ object Warehouse {
                         groupCols: Seq[String],
                         value: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
+    val s0 = supportState(
+      base.withColumn("sign", lit(1L)), groupCols, value)
+    val ds = supportState(delta, groupCols, value)
+    distinctViewFromSupport(
+      mergeSupportState(Seq(s0, ds), groupCols), groupCols)
+  }
+
+  /** Per-(group, value) SUPPORT partial of one signed batch — the
+    * distinct-IVM state unit ([[distinctViewDelta]]'s header). `delta`
+    * carries `sign` (+1 insert, −1 retraction); the partial is the
+    * per-key sign sum, map-side combined. Support addition is abelian,
+    * so partials from any batch split merge to the same state
+    * ([[mergeSupportState]]) — which is what makes the state
+    * PERSISTABLE per batch under the BatchState discipline: write each
+    * batch's merged state to parquet, and maintenance per batch costs
+    * one delta-sized agg plus a keyed merge against the stored table —
+    * the base corpus is never re-scanned (q270's plan contract).
+    */
+  def supportState(delta: DataFrame, groupCols: Seq[String],
+                   value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
     val keys = (groupCols :+ "__v").map(col)
-    val s0 = base.select(groupCols.map(col) :+ value.as("__v"): _*)
-      .groupBy(keys: _*).agg(count(lit(1)).cast("long").as("support"))
-    val ds = delta.select(groupCols.map(col) :+ value.as("__v")
+    delta.select(groupCols.map(col) :+ value.as("__v")
         :+ col("sign").cast("long").as("sign"): _*)
       .groupBy(keys: _*).agg(sum("sign").as("support"))
-    s0.unionAll(ds)
+  }
+
+  /** Merge support partials/states by key addition (abelian — order
+    * and batch split invariant). Inputs are select-normalized before
+    * the union (the round-10 positional-union lesson).
+    */
+  def mergeSupportState(states: Seq[DataFrame],
+                        groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = (groupCols :+ "__v").map(col)
+    states.map(_.select(keys :+ col("support"): _*))
+      .reduce(_ unionAll _)
       .groupBy(keys: _*).agg(sum("support").as("support"))
-      .groupBy(groupCols.map(col): _*)
+  }
+
+  /** Derive the distinct-count view from a support table:
+    * n_distinct = |values with support > 0| per group, negative
+    * support SURFACED per group (never clamped — impossible under
+    * consistent deltas, so it must reach the output where a test or
+    * oracle mismatch will catch it), n_rows = surviving multiplicity.
+    * Groups with no surviving rows and no anomaly vanish, matching a
+    * from-scratch recompute.
+    */
+  def distinctViewFromSupport(support: DataFrame,
+                              groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    support.groupBy(groupCols.map(col): _*)
       .agg(
         sum(when(col("support") > 0, lit(1L)).otherwise(lit(0L)))
           .as("n_distinct"),

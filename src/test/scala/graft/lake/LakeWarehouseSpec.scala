@@ -167,4 +167,68 @@ class LakeWarehouseSpec extends SparkSpec {
     assert(got === Seq(("g1", 1L, 0L, 2L), ("g2", 1L, 0L, 1L),
       ("g3", 0L, 1L, -1L)))
   }
+
+  test("persisted support state: any batch split and a post-gc retry resolve " +
+      "the identical view; maintenance never re-reads base") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.BatchState
+    import graft.warehouse.Warehouse
+    // the q270 discipline driven by hand: the same signed feed split
+    // into 1 batch vs 3 batches, each batch merging its partial
+    // against the stored parquet state (BatchState commit + gc), must
+    // land on the identical final view — support addition is abelian,
+    // so the state provably survives arbitrary engine batch splits —
+    // and a RETRY of the last batch after gc idempotently rewrites
+    // only its own dir and resolves the same view
+    val rows = Seq(("g1", 1L, 1L), ("g1", 1L, 1L), ("g1", 2L, 1L),
+      ("g2", 3L, 1L), ("g1", 1L, -1L), ("g1", 2L, -1L),
+      ("g2", 4L, 1L), ("g2", 3L, -1L))
+    def run(stateBase: String, splits: Seq[Seq[(String, Long, Long)]])
+        : Seq[(String, Long, Long, Long)] = {
+      splits.zipWithIndex.foreach { case (batch, i) =>
+        val b = batch.toDF("g", "u", "sign")
+        val partial = Warehouse.supportState(b, Seq("g"), col("u"))
+        val merged = BatchState.prevId(stateBase, Seq("support"), i) match {
+          case None => partial
+          case Some(p) => Warehouse.mergeSupportState(
+            Seq(spark.read.parquet(BatchState.dir(stateBase, "support", p)),
+              partial), Seq("g"))
+        }
+        merged.write.mode("overwrite")
+          .parquet(BatchState.dir(stateBase, "support", i))
+        BatchState.gc(stateBase, Seq("support"), i)
+      }
+      Warehouse.distinctViewFromSupport(
+          spark.read.parquet(BatchState.dir(stateBase, "support",
+            BatchState.lastId(stateBase, Seq("support"), "spec"))),
+          Seq("g"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    }
+    val one = graft.util.TmpDirs.perProcess("graft_supp_one")
+    val three = graft.util.TmpDirs.perProcess("graft_supp_three")
+    val vOne = run(one, Seq(rows))
+    val vThree = run(three, Seq(rows.take(3), rows.slice(3, 6), rows.drop(6)))
+    assert(vOne === vThree, "final view must be batch-split invariant")
+    assert(vOne === Seq(("g1", 1L, 0L, 1L), ("g2", 1L, 0L, 1L)))
+    // retry of the final batch (id 2) after its gc: merges from 1,
+    // overwrites only support_2, view unchanged
+    assert(BatchState.prevId(three, Seq("support"), 2L) === Some(1L))
+    val b2 = rows.drop(6).toDF("g", "u", "sign")
+    val partial2 = Warehouse.supportState(b2, Seq("g"), col("u"))
+    val merged2 = Warehouse.mergeSupportState(
+      Seq(spark.read.parquet(BatchState.dir(three, "support", 1L)), partial2),
+      Seq("g"))
+    merged2.write.mode("overwrite")
+      .parquet(BatchState.dir(three, "support", 2L))
+    BatchState.gc(three, Seq("support"), 2L)
+    val vRetry = Warehouse.distinctViewFromSupport(
+        spark.read.parquet(BatchState.dir(three, "support", 2L)), Seq("g"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(vRetry === vOne, "a retried final batch must resolve the same view")
+  }
 }

@@ -624,4 +624,143 @@ class SimilaritySpec extends SparkSpec {
     assert(deltaByBucket.values.sum === 2L)
     base.unpersist()
   }
+
+  test("mutualNnMarginIvfSampled: m >= corpus degenerates to the full pass; " +
+      "m < corpus equals the full pass restricted to sampled-endpoint pairs") {
+    val idx = Similarity.kmeansBuckets(
+        emb, col("vec_id"), col("embedding"), rounds = 2)
+      .localCheckpoint(eager = true)
+    val full = Similarity.mutualNnMarginIvf(idx,
+        col("vec_id"), col("v"), col("bucket"), k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val degenerate = Similarity.mutualNnMarginIvfSampled(idx,
+        col("vec_id"), col("v"), col("bucket"), k = 4, nprobe = 2,
+        m = 1000000, seed = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(degenerate === full, "m >= corpus must equal the full pass")
+    val anchors = Similarity.anchorSampleIds(
+        idx.select("vec_id"), col("vec_id"), m = 200, seed = 11)
+      .collect().map(_.getLong(0)).toSet
+    val sampled = Similarity.mutualNnMarginIvfSampled(idx,
+        col("vec_id"), col("v"), col("bucket"), k = 4, nprobe = 2,
+        m = 200, seed = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val restricted = full.filter(p =>
+      anchors.contains(p._1) && anchors.contains(p._2))
+    assert(sampled === restricted,
+      "sampled mining must equal the full pass restricted to pairs " +
+        "with both endpoints sampled (index side stays full-corpus)")
+    assert(sampled.size < full.size,
+      "the m=200 sample must actually cut the pair set on this fixture")
+  }
+
+  test("int8 mining path: exact on integer-valued vectors, deterministic " +
+      "and bucket-identical on the real corpus") {
+    import spark.implicits._
+    // vectors whose components are already int8 with max |x| = 127:
+    // quantizeInt8 maps them to themselves (scale = 1), so ByteCosine
+    // must reproduce the double path EXACTLY — the bit-identical
+    // bargain the q84 oracle relies on, pinned here for the mining
+    // composition
+    val rng = new scala.util.Random(7)
+    val ints = (0L until 60L).map { i =>
+      val v = Array.fill(8)((rng.nextInt(200) - 100))
+      v(rng.nextInt(8)) = if (rng.nextBoolean()) 127 else -127
+      (i, v.map(_.toDouble))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.kmeansBuckets(
+        ints, col("vec_id"), col("embedding"), rounds = 1)
+      .localCheckpoint(eager = true)
+    def run(int8: Boolean) = Similarity.mutualNnMarginIvfSampled(idx,
+        col("vec_id"), col("v"), col("bucket"), k = 3, nprobe = 2,
+        m = 1000, seed = 0, int8 = int8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(run(int8 = true) === run(int8 = false),
+      "byte-domain scoring must be bit-identical to double scoring " +
+        "over integer-valued max-127 vectors")
+    // on the real (non-integer) corpus: deterministic, and the pair
+    // ids come from the same bucket structure (assignment is exact on
+    // both paths — only SCORES quantize)
+    val idxE = Similarity.kmeansBuckets(
+        emb, col("vec_id"), col("embedding"), rounds = 2)
+      .localCheckpoint(eager = true)
+    val a = Similarity.mutualNnMarginIvfSampled(idxE, col("vec_id"),
+        col("v"), col("bucket"), k = 4, nprobe = 2, m = 200, seed = 11,
+        int8 = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.mutualNnMarginIvfSampled(idxE, col("vec_id"),
+        col("v"), col("bucket"), k = 4, nprobe = 2, m = 200, seed = 11,
+        int8 = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "int8 mining must be deterministic across runs")
+  }
+
+  test("kmeansBucketsCapped: skewed fixture — cap splits the megabucket, " +
+      "membership conserved, unflagged untouched") {
+    import spark.implicits._
+    // 70 members of one dominant direction with a deterministic
+    // per-id spread in dim1 (pairwise-distinct 4dp cosines — no split
+    // ties) + 30 spread vectors: Lloyd packs the family into a few
+    // oversize buckets that a 5/4 cap must split (simulated
+    // exhaustively off-line: 4 flagged buckets, every one splitting
+    // into two non-empty children)
+    val rows = (0L until 100L).map { i =>
+      val v = new Array[Double](8)
+      if (i < 70L) { v(0) = 100.0; v(1) = 3.0 * (i % 40).toDouble }
+      else { v((i % 7 + 1).toInt) = 50.0; v(0) = (i % 5).toDouble }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val plain = Similarity.kmeansBuckets(rows,
+        col("vec_id"), col("embedding"), rounds = 2)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = plain.size.toLong
+    val c = math.max(10L, graft.functions.IntMath.isqrt(n))
+    val sizes = plain.groupBy(_._2).map { case (b, m) => b -> m.size.toLong }
+    val over = sizes.filter { case (_, sz) => sz * 4 * c > 5 * n }.keySet
+    assert(over.nonEmpty, "fixture must actually produce an oversize bucket")
+    val capped = Similarity.kmeansBucketsCapped(rows,
+        col("vec_id"), col("embedding"), rounds = 2,
+        capNum = 5, capDen = 4)
+      .select("vec_id", "bucket", "parent", "was_split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // membership conserved row-for-row
+    assert(capped.map(_._1).toSet === plain.keySet)
+    assert(capped.length === plain.size)
+    // every flagged parent split into exactly two non-empty children;
+    // children partition the parent's membership
+    over.foreach { parent =>
+      val kids = capped.filter(_._3 == parent)
+      assert(kids.forall(_._4 == 1L), "split rows must carry was_split=1")
+      val childBuckets = kids.map(_._2).toSet
+      assert(childBuckets.size === 2,
+        s"parent $parent must split into exactly two children")
+      assert(kids.map(_._1).toSet ===
+        plain.filter(_._2 == parent).keySet,
+        "children must partition the parent's membership exactly")
+    }
+    // unflagged rows pass through with their Lloyd bucket untouched
+    capped.filter(_._4 == 0L).foreach { case (id, b, p, _) =>
+      assert(b === p && plain(id) === b,
+        "pass-through rows must keep bucket = parent = Lloyd label")
+    }
+  }
+
+  test("ivfLifecycleServe: empty delta degenerates to fresh == lifecycle") {
+    // with no delta there is no drift, no flagged bucket, no split —
+    // the lifecycle index IS the fresh build, so the two serves must
+    // agree exactly: n_common == n_lifecycle == n_fresh on every anchor
+    val base = emb.limit(200)
+    val delta = emb.filter(lit(false))
+    val out = Similarity.ivfLifecycleServe(base, delta,
+        col("vec_id"), col("embedding"), rounds = 2, flagBp = 2500L,
+        m = 6, seed = 13, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length === 6)
+    out.foreach { case (a, nl, nf, nc) =>
+      assert(nl === nf && nc === nl,
+        s"anchor $a: no-drift lifecycle serve must equal the fresh serve")
+      assert(nl === 5L, s"anchor $a: serve must fill k=5 on this corpus")
+    }
+  }
 }

@@ -435,4 +435,99 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"cartesian in the bucket split:\n$p")
   }
+
+  test("q255: kmeans-index mining is the pure IVF path — TopKPerKey lists, LeftSemi mutuality") {
+    val p = plan("q255_hard_negatives_kmeans")
+    assert(p.contains("TopKPerKey"),
+      "per-query k=2 lists must run on the TopKPerKey node")
+    assert(p.contains("LeftSemi"),
+      "mutuality must be a semi-join of the top-1 table against its transpose")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the kmeans mining assembly:\n$p")
+  }
+
+  test("q258: full assignment = one corpus scan + two broadcast argmax folds, no shuffle") {
+    val p = plan("q258_kmeans_sampled_build")
+    // the sampled TRAIN work ran behind the build's checkpoints; what
+    // this consumer plan shows is exactly the full-corpus contract:
+    // the corpus is scanned ONCE, assigned by TWO broadcast
+    // nested-loop folds (prev + final centroid rows — bucket0 and
+    // bucket for the moved audit), and never hash-shuffles
+    assert(occurrences(p, "FileScan") === 1,
+      s"corpus must be scanned exactly once in the final assignment:\n$p")
+    assert(occurrences(p, "BroadcastNestedLoopJoin") === 2,
+      "assignment must be two broadcast argmax folds (prev + final centroids)")
+    assert(occurrences(p, "Exchange hashpartitioning") === 0,
+      s"the corpus must never shuffle in the sampled-build assignment:\n$p")
+  }
+
+  test("q260: canonical rollup joins a broadcast, windows per cluster, no merge join") {
+    val p = plan("q260_cluster_canonical_dist")
+    assert(p.contains("BroadcastHashJoin"),
+      "cluster table must broadcast against the doc stats — not a shuffle join")
+    assert(occurrences(p, "SortMergeJoin") === 0,
+      s"rollup regressed to a merge self-join:\n$p")
+    assert(p.contains("hashpartitioning(cluster_id"),
+      "keep-list window must partition by cluster_id (cluster-sized, never global)")
+    assert(p.contains("partial_count"),
+      "per-cluster rollup lost its map-side combine")
+  }
+
+  test("q265: sampled mining anchors the probe side on a broadcast semi-join") {
+    val p = plan("q265_mutual_nn_kmeans_sampled")
+    // the m/n cut must happen on the probe side BEFORE the scored
+    // join: anchor ids ride a TakeOrdered sample (no global sort)
+    // into a broadcast LeftSemi against the probe projection — the
+    // corpus-sized candidate scan never sees the anchor filter
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"anchor restriction must be a broadcast semi-join on the probe side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "anchor sample must plan as TakeOrdered over the hash projection, not a global sort")
+    assert(p.contains("TopKPerKey"),
+      "per-anchor lists must still run on the TopKPerKey node")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the sampled mining assembly:\n$p")
+  }
+
+  test("q268: build-time cap reuses the broadcast split kernel; pass-through is a LeftAnti") {
+    val p = plan("q268_kmeans_capped_build")
+    assert(p.contains("LeftAnti"),
+      "unflagged buckets must anti-probe the broadcast flagged set")
+    assert(occurrences(p, "BroadcastExchange") >= 3,
+      "flagged set / seeds / rank rows must all ride broadcasts")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the capped build:\n$p")
+  }
+
+  test("q270: a maintenance batch reads state + delta parquet only — no join, no base re-scan") {
+    // asserted on the building block (the foreachBatch body runs
+    // during query construction, so the query's own plan only shows
+    // the final view derivation): one batch's maintenance = signed
+    // agg over the batch file + keyed merge against the stored
+    // support table. Two parquet scans, partial-combined aggs, ZERO
+    // joins — scanning the base corpus here would break the
+    // delta-sized cost contract.
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.TmpDirs.perProcess("graft_q270_plan_probe")
+    val ev = graft.util.Tables(spark, sfDir, "events")
+      .select(col("event_type"),
+        round(col("value") * 10000).cast("long").as("vbp"),
+        lit(1L).as("sign"))
+    graft.warehouse.Warehouse.supportState(ev, Seq("event_type"), col("vbp"))
+      .write.mode("overwrite").parquet(s"$dir/state_0")
+    ev.limit(50).write.mode("overwrite").parquet(s"$dir/batch_1")
+    val merged = graft.warehouse.Warehouse.mergeSupportState(Seq(
+      spark.read.parquet(s"$dir/state_0"),
+      graft.warehouse.Warehouse.supportState(
+        spark.read.parquet(s"$dir/batch_1"), Seq("event_type"), col("vbp"))),
+      Seq("event_type"))
+    val p = merged.queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Join"),
+      s"distinct-IVM maintenance batch grew a join:\n$p")
+    assert(occurrences(p, "FileScan") === 2,
+      s"maintenance must read exactly the stored state and the batch file:\n$p")
+    assert(p.contains("partial_sum"),
+      "support merge lost its map-side combine")
+  }
 }

@@ -280,7 +280,9 @@ object Dedup {
     * distortion.
     */
   def prefixJaccard(df: DataFrame, id: Column, text: Column, n: Int,
-                    thr: Double, maxPost: Int): DataFrame = {
+                    thr: Double, maxPost: Int,
+                    pairBudget: Long = 1000000000L): DataFrame = {
+    require(pairBudget >= 1, "prefixJaccard needs pairBudget >= 1")
     // Grams hashed per-gram to longs at the source (the q23/q24
     // xxhash64 bargain, P[collision] ≈ G²/2⁶⁵): every downstream
     // stage — df counts, rank ordering (df asc, hash as tiebreak),
@@ -340,6 +342,31 @@ object Dedup {
         col("doc_id").cast("string"),
         lit(" sz="), col("sz").cast("string"))))
     val packed = prefix.select(col("token"), pk.as("pk"))
+    // ADMISSION GUARD (round-11 sf10 rehearsal): the emitted candidate
+    // space is exactly Σ_token C(min(c, maxPost-capped), 2) — one cheap
+    // agg over the prefix postings, knowable BEFORE the fan-out — and
+    // on a closed vocabulary it grows ~n² (measured: 312K pairs at
+    // sf0.1 → 39.7M at sf1 → 4.28G at sf10, where the pair-distinct's
+    // shuffle alone exceeded a 252 GB node's disk and took the whole
+    // bench session down with it). A job that is going to fill the
+    // cluster's disks must refuse LOUDLY at plan-admission time, not
+    // die 20 minutes in: if the bound exceeds `pairBudget`, raise with
+    // the measured bound and the documented escalation path (capped
+    // q23 n-gram Jaccard / LSH q24). Buckets over maxPost are dropped
+    // by BoundedLongList (null → filtered), so they contribute 0.
+    val candBound = packed.groupBy("token")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") <= maxPost,
+        expr("c * (c - 1) div 2")).otherwise(lit(0L))), lit(0L)))
+      .head().getLong(0)
+    require(candBound <= pairBudget,
+      s"prefixJaccard: candidate-pair bound $candBound exceeds " +
+        s"pairBudget=$pairBudget — the lossless prefix join is " +
+        "inherently Omega(pairs) on this corpus (closed vocabulary / " +
+        "dense prefixes). Escalate to the capped n-gram Jaccard " +
+        "(Dedup.ngramJaccard, q23) or MinHash-LSH (Dedup.minhashLsh, " +
+        "q24), or raise pairBudget explicitly if the cluster's " +
+        "shuffle capacity genuinely covers it.")
     val cand = bucketPairs(
         packed.groupBy(col("token"))
           .agg(graft.functions.BoundedLongList(col("pk"), maxPost).as("docs"))

@@ -25,6 +25,24 @@ import graft.util.Tables
   */
 object PipelineQueries {
 
+  /** Pin the streaming state-partition count to `n` for the duration
+    * of `f`, restoring the session default after. A streaming query
+    * pins `spark.sql.shuffle.partitions` at START as its state-store
+    * count, and every micro-batch pays a commit per store — at the
+    * bench's key cardinalities (150 users × 5 types) 32 stores are
+    * pure fixed overhead (the q95/q172 lesson, round-10 verdict #8,
+    * now applied to every stateful stream in the suite). This is the
+    * real production decision: state partitions ≈ key cardinality /
+    * target per-store size — at 100 TB the same knob goes UP, never
+    * inherits the batch default. Batch queries are unaffected; the
+    * returned frame's own evaluation runs after the restore.
+    */
+  private def withStateParts[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def q35(s: SparkSession, d: String): DataFrame = {
     val conf = Pipeline.Config(
       lakePath = graft.util.TmpDirs.perProcess("graft_q35_lake"))
@@ -101,7 +119,7 @@ object PipelineQueries {
     // test SF; the production shape is MicroBatch.runToParquet
     // (append mode + watermark + checkpoint).
     Q("q74_streaming_window_agg",
-      (s, d) => {
+      (s, d) => withStateParts(s, 4) {
         val qname = s"graft_q74_sink_${streamSinkRuns.incrementAndGet()}"
         val schema = s.read.parquet(s"$d/events.parquet").schema
         // the file-stream source wants a DIRECTORY to incrementally list;
@@ -131,7 +149,7 @@ object PipelineQueries {
     // arrival order. Production adds dropDuplicatesWithinWatermark to
     // bound state (graft.streaming.StreamingDedup).
     Q("q77_streaming_dedup",
-      (s, d) => {
+      (s, d) => withStateParts(s, 4) {
         val qname = s"graft_q77_sink_${streamSinkRuns.incrementAndGet()}"
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val query = s.readStream.schema(schema)
@@ -164,7 +182,7 @@ object PipelineQueries {
     // StreamingDedupSpec keeps covering the eviction behavior an
     // all-inside-watermark oracle cannot express.
     Q("q80_streaming_dedup_watermark",
-      (s, d) => {
+      (s, d) => withStateParts(s, 4) {
         val qname = s"graft_q80_sink_${streamSinkRuns.incrementAndGet()}"
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val stream = s.readStream.schema(schema)
@@ -199,7 +217,7 @@ object PipelineQueries {
     // cross-engine float-sum residual). StatefulSessionsSpec covers the
     // cross-micro-batch checkpoint-resume path the oracle cannot see.
     Q("q86_streaming_sessions",
-      (s, d) => {
+      (s, d) => withStateParts(s, 4) {
         val qname = s"graft_q86_sink_${streamSinkRuns.incrementAndGet()}"
         val ev = Tables(s, d, "events").select(col("user_id"), col("ts"), col("value"))
         val maxUs = ev.agg(max(unix_micros(col("ts"))).as("m"))
@@ -558,7 +576,7 @@ object PipelineQueries {
     // into batches the final state provably equals the oracle's full
     // recompute — same oracle as q99, entirely different machinery.
     Q("q101_streaming_agg_maintenance",
-      (s, d) => {
+      (s, d) => withStateParts(s, 4) {
         import graft.warehouse.Warehouse
         import graft.streaming.BatchState
         val run = streamSinkRuns.incrementAndGet()
@@ -657,7 +675,7 @@ object PipelineQueries {
     // actually survives an out-of-order feed at scale; the oracle is
     // the batch last-change-per-key answer.
     Q("q123_streaming_cdc_apply",
-      (s, d) => {
+      (s, d) => withStateParts(s, 4) {
         import graft.warehouse.Warehouse
         val run = streamSinkRuns.incrementAndGet()
         // (k, linenumber) is NOT unique in the feed, so the version
@@ -831,7 +849,7 @@ object PipelineQueries {
     // — arrival-order-proof); the final TVD compares accumulated live
     // counts against the frozen reference. Exact integers throughout.
     Q("q141_streaming_drift",
-      (s, d) => {
+      (s, d) => withStateParts(s, 4) {
         import graft.functions.IntMath
         val run = streamSinkRuns.incrementAndGet()
         val k = 20
@@ -932,7 +950,7 @@ object PipelineQueries {
   // lazy: referenced from `qs` above its definition point — object init
   // order would otherwise read null
   private lazy val q204 = Q("q204_streaming_checksum",
-    (s, d) => {
+    (s, d) => withStateParts(s, 4) {
       import graft.operators.Integrity
       val run = streamSinkRuns.incrementAndGet()
       val docs = Tables(s, d, "documents")
@@ -995,7 +1013,7 @@ object PipelineQueries {
   // feed splits into batches, the final state provably equals the
   // one-pass batch distribution — the oracle IS the batch computation.
   private lazy val q228 = Q("q228_streaming_percentiles",
-    (s, d) => {
+    (s, d) => withStateParts(s, 4) {
       val run = streamSinkRuns.incrementAndGet()
       val ord = Tables(s, d, "orders").select(
         col("o_orderpriority").as("pri"),
@@ -1130,7 +1148,7 @@ object PipelineQueries {
   // COUNT(DISTINCT) on the post-change rows — equality also proves
   // n_neg_support == 0 everywhere.
   private lazy val q270 = Q("q270_distinct_ivm_persisted",
-    (s, d) => {
+    (s, d) => withStateParts(s, 4) {
       import graft.functions.TextFunctions.hash60
       import graft.warehouse.Warehouse
       val BS = graft.streaming.BatchState
@@ -1195,7 +1213,7 @@ object PipelineQueries {
     "distinct-count IVM with PERSISTED support state: delta-sized per-batch maintenance, BatchState commit/gc, no base re-scan")
 
   private lazy val q252 = Q("q252_streaming_cms_hh",
-    (s, d) => {
+    (s, d) => withStateParts(s, 4) {
       import graft.functions.TextFunctions.{words, hash60}
       val run = streamSinkRuns.incrementAndGet()
       val cmsD = 4

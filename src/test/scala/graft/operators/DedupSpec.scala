@@ -447,6 +447,26 @@ class DedupSpec extends SparkSpec {
       s"expected the pack-time raise_error, got: $e")
   }
 
+  test("prefixJaccard pair-budget guard refuses loudly at admission time") {
+    import spark.implicits._
+    // 4 identical docs -> every prefix token posts all 4 -> bound
+    // Sum C(4,2) >= 6 per token: a budget of 1 must refuse BEFORE the
+    // fan-out, naming the escalation path; a generous budget admits
+    // and the result is unchanged
+    val t = "alpha beta gamma delta epsilon"
+    val d = Seq((1L, t), (2L, t), (3L, t), (4L, t)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.prefixJaccard(d, col("doc_id"), col("text"),
+        n = 3, thr = 0.5, maxPost = 100, pairBudget = 1L)
+    }
+    assert(e.getMessage.contains("candidate-pair bound") &&
+      e.getMessage.contains("minhashLsh"),
+      s"guard must report the bound and the escalation path: $e")
+    val ok = Dedup.prefixJaccard(d, col("doc_id"), col("text"),
+      n = 3, thr = 0.5, maxPost = 100).collect()
+    assert(ok.length === 6, "all C(4,2) identical pairs must verify")
+  }
+
   test("minhashLshIncremental: cap crossing retires stored pairs; equals full recompute") {
     // identical texts share every band signature, so each text cluster
     // is one bucket per band; maxBucket = 3

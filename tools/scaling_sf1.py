@@ -62,7 +62,31 @@ R10_NARRATIVE = (
     "from the same table — 134.5 s, exp 1.02 (the residual cost is "
     "the one-time pair fan-out + degree build, linear by design). "
     "The peel lesson generalizes: express the round as work "
-    "proportional to what LEAVES, never to what survives.")
+    "proportional to what LEAVES, never to what survives.\n\n"
+    "Round-11 extension — the dedup/text set joins the decade, and "
+    "the two ⚠ rows get their scale-safe replacements measured side "
+    "by side: q265/q266 re-run the q254/q255 mining contracts over a "
+    "deterministic 256-anchor hash sample (index side full-corpus; "
+    "output = the full mining restricted to both-endpoints-sampled "
+    "pairs, spec-pinned) at exp 0.55/0.53 — build-dominated, linear "
+    "in the corpus for fixed m — and q267 adds the int8-packed probe "
+    "scan (exp 0.53). q254/q255 stay in the table as the honest "
+    "full-self-mining asymptote; at 100 TB 'mine every vector' is "
+    "the wrong query, and the sampled rows are the production path. "
+    "What the round-11 rehearsal CAUGHT: q174's lossless prefix "
+    "join — candidate-pair bound 312K (sf0.1) → 39.7M (sf1) → "
+    "4.28G (sf10) on the closed fixture vocabulary; at sf10 the "
+    "pair-distinct's shuffle alone filled the 252 GB node's disk "
+    "('No space left on device' 18 minutes in) and took the whole "
+    "bench session down. The operator now computes that exact bound "
+    "BEFORE the fan-out (Σ C(c,2) over the capped prefix postings — "
+    "one cheap agg) and REFUSES over pairBudget (default 1e9) with "
+    "the measured bound and the escalation path in the error — "
+    "capped q23 (exp 0.13) and LSH q24 (exp 0.14) are the measured "
+    "scale paths for such corpora, and q73/q78/q69 (substring "
+    "dedup, containment) hold exp 0.22–0.25 through the decade. A "
+    "job that will fill the cluster's disks must refuse at "
+    "admission time, not 20 minutes in.")
 
 
 def parse(path):

@@ -30,12 +30,18 @@ object PipelineQueries {
     * pins `spark.sql.shuffle.partitions` at START as its state-store
     * count, and every micro-batch pays a commit per store — at the
     * bench's key cardinalities (150 users × 5 types) 32 stores are
-    * pure fixed overhead (the q95/q172 lesson, round-10 verdict #8,
-    * now applied to every stateful stream in the suite). This is the
-    * real production decision: state partitions ≈ key cardinality /
-    * target per-store size — at 100 TB the same knob goes UP, never
-    * inherits the batch default. Batch queries are unaffected; the
-    * returned frame's own evaluation runs after the restore.
+    * pure fixed overhead (the q95/q172 lesson, round-10 verdict #8).
+    * Applied ONLY to streams with real state stores (windowed agg,
+    * dedup state, flatMapGroupsWithState, stream-stream joins —
+    * measured −2.0 s across q74/q77/q80/q86): for the foreachBatch
+    * MONITORS the same knob governs the batch aggregation's
+    * parallelism, not a store count, and pinning it to 4 measurably
+    * SLOWED five of six monitors (compute at 4-way on a 32-core
+    * session) — they keep the session default. The production
+    * decision stays explicit either way: state partitions ≈ key
+    * cardinality / target per-store size, never blindly the batch
+    * default. Batch queries are unaffected; the returned frame's own
+    * evaluation runs after the restore.
     */
   private def withStateParts[T](s: SparkSession, n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -576,7 +582,7 @@ object PipelineQueries {
     // into batches the final state provably equals the oracle's full
     // recompute — same oracle as q99, entirely different machinery.
     Q("q101_streaming_agg_maintenance",
-      (s, d) => withStateParts(s, 4) {
+      (s, d) => {
         import graft.warehouse.Warehouse
         import graft.streaming.BatchState
         val run = streamSinkRuns.incrementAndGet()
@@ -675,7 +681,7 @@ object PipelineQueries {
     // actually survives an out-of-order feed at scale; the oracle is
     // the batch last-change-per-key answer.
     Q("q123_streaming_cdc_apply",
-      (s, d) => withStateParts(s, 4) {
+      (s, d) => {
         import graft.warehouse.Warehouse
         val run = streamSinkRuns.incrementAndGet()
         // (k, linenumber) is NOT unique in the feed, so the version
@@ -849,7 +855,7 @@ object PipelineQueries {
     // — arrival-order-proof); the final TVD compares accumulated live
     // counts against the frozen reference. Exact integers throughout.
     Q("q141_streaming_drift",
-      (s, d) => withStateParts(s, 4) {
+      (s, d) => {
         import graft.functions.IntMath
         val run = streamSinkRuns.incrementAndGet()
         val k = 20
@@ -950,7 +956,7 @@ object PipelineQueries {
   // lazy: referenced from `qs` above its definition point — object init
   // order would otherwise read null
   private lazy val q204 = Q("q204_streaming_checksum",
-    (s, d) => withStateParts(s, 4) {
+    (s, d) => {
       import graft.operators.Integrity
       val run = streamSinkRuns.incrementAndGet()
       val docs = Tables(s, d, "documents")
@@ -1013,7 +1019,7 @@ object PipelineQueries {
   // feed splits into batches, the final state provably equals the
   // one-pass batch distribution — the oracle IS the batch computation.
   private lazy val q228 = Q("q228_streaming_percentiles",
-    (s, d) => withStateParts(s, 4) {
+    (s, d) => {
       val run = streamSinkRuns.incrementAndGet()
       val ord = Tables(s, d, "orders").select(
         col("o_orderpriority").as("pri"),
@@ -1148,7 +1154,7 @@ object PipelineQueries {
   // COUNT(DISTINCT) on the post-change rows — equality also proves
   // n_neg_support == 0 everywhere.
   private lazy val q270 = Q("q270_distinct_ivm_persisted",
-    (s, d) => withStateParts(s, 4) {
+    (s, d) => {
       import graft.functions.TextFunctions.hash60
       import graft.warehouse.Warehouse
       val BS = graft.streaming.BatchState
@@ -1213,7 +1219,7 @@ object PipelineQueries {
     "distinct-count IVM with PERSISTED support state: delta-sized per-batch maintenance, BatchState commit/gc, no base re-scan")
 
   private lazy val q252 = Q("q252_streaming_cms_hh",
-    (s, d) => withStateParts(s, 4) {
+    (s, d) => {
       import graft.functions.TextFunctions.{words, hash60}
       val run = streamSinkRuns.incrementAndGet()
       val cmsD = 4

@@ -155,7 +155,13 @@ object Plans {
     "q261_ivf_incremental_insert" -> "the base build is q253's shape (broadcast argmax folds, C x dim partial-combined centroid aggs); the DELTA batch touches only a broadcast of the frozen per-bucket centroids — |delta| rows through one argmax fold, zero base re-scan; the audit is two |C|-row aggregates joined on bucket.",
     "q262_join_ivm" -> "all three bilinear delta terms join a BROADCAST delta side (dA x B0, A0 x dB, dA x dB): delta-sized probe cost, never a base-base re-join; only the V0 recompute (stored state in production) is a full shuffle join; state merge is partial-combined sums over the group keys; no cartesian.",
     "q263_ivf_bucket_split" -> "split cost is proportional to the FLAGGED membership only: flagged buckets select via a broadcast semi-probe, pass-through buckets via a broadcast LeftAnti on the |C|-row audit; per-bucket 2-means seeds ride a broadcast into a bucket-partitioned argmax window; the sole unpartitioned window ranks the <= C flagged rows; no cartesian, no corpus re-pair.",
-    "q264_distinct_ivm" -> "JOIN-FREE maintenance: per-(group, value) support state as two partial-combined aggregates (base = stored state, delta-sized batch agg) merged by one keyed sum; the distinct rollup derives from support signs; negative support SURFACES per group instead of clamping.")
+    "q264_distinct_ivm" -> "JOIN-FREE maintenance: per-(group, value) support state as two partial-combined aggregates (base = stored state, delta-sized batch agg) merged by one keyed sum; the distinct rollup derives from support signs; negative support SURFACES per group instead of clamping.",
+    "q265_mutual_nn_kmeans_sampled" -> "the anchor cut happens on the PROBE side before the scored join: the m-anchor sample rides a TakeOrdered over the hash projection (no global sort) into a broadcast LeftSemi against the probe projection — the corpus-sized candidate scan never sees the filter; the rest is q254's salted bucket join + TopKPerKey; cost m·nprobe·(n/C), linear in the corpus for fixed m (measured sf1→sf10 exp 0.55 vs q254's 1.22).",
+    "q266_hard_negatives_kmeans_sampled" -> "q255's triplet assembly under the same broadcast-LeftSemi anchor cut: k=2 lists for anchors only, mutuality LeftSemi (both endpoints sampled by construction), rank-2 negative joined on the anchor id — the index side stays full-corpus.",
+    "q267_mutual_nn_kmeans_int8" -> "q265's anchored shape with the probe SCAN in the byte domain: both sides quantize through PackInt8 to physical binary and score through the fused long-arithmetic ByteCosine kernel (8x less memory traffic than array<double>); bucket assignment and probe RANKING stay exact — only the compute-bound pair scoring quantizes, and the oracle scores q8::DOUBLE[] bit-identically.",
+    "q268_kmeans_capped_build" -> "the oversize flag is exact integer arithmetic over the |C|-row size table (sz·capDen·C > capNum·n — no division); flagged buckets split through the shared broadcast 2-means kernel (seeds broadcast into a bucket-partitioned argmax window), pass-through rides a broadcast LeftAnti; the one-round residual is OBSERVABLE as still_over, never hidden.",
+    "q269_ivf_lifecycle_roundtrip" -> "build → frozen-centroid insert → drift-flagged split → serve in ONE plan: each lifecycle stage materializes via localCheckpoint (the depth-≥2 nested-cache lesson), both serves broadcast the 8-anchor probe set against their membership scan (the corpus is scanned, never shuffled, per serve), and the scoreboard is three |anchors|-row aggregates joined back to the anchor list.",
+    "q270_distinct_ivm_persisted" -> "the maintenance batch's plan is TWO parquet scans (stored support state + the batch file) + partial-combined aggs + one keyed merge — ZERO joins, no base re-scan (plan-contracted on the building block); state lives under BatchState commit/gc, so the steady-state footprint is two snapshots and a retried batch re-reads its strict predecessor.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

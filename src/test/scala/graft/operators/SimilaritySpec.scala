@@ -654,6 +654,36 @@ class SimilaritySpec extends SparkSpec {
       "the m=200 sample must actually cut the pair set on this fixture")
   }
 
+  test("hardNegativesIvfSampled: m >= corpus degenerates to the full pass; " +
+      "sampled triplets = full triplets with both mutual endpoints sampled") {
+    val idx = Similarity.kmeansBuckets(
+        emb, col("vec_id"), col("embedding"), rounds = 2)
+      .localCheckpoint(eager = true)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))
+    val full = Similarity.hardNegativesIvf(idx,
+        col("vec_id"), col("v"), col("bucket"), nprobe = 2)
+      .collect().map(key).toSet
+    val degenerate = Similarity.hardNegativesIvfSampled(idx,
+        col("vec_id"), col("v"), col("bucket"), nprobe = 2,
+        m = 1000000, seed = 11)
+      .collect().map(key).toSet
+    assert(degenerate === full, "m >= corpus must equal the full pass")
+    val anchors = Similarity.anchorSampleIds(
+        idx.select("vec_id"), col("vec_id"), m = 200, seed = 11)
+      .collect().map(_.getLong(0)).toSet
+    val sampled = Similarity.hardNegativesIvfSampled(idx,
+        col("vec_id"), col("v"), col("bucket"), nprobe = 2,
+        m = 200, seed = 11)
+      .collect().map(key).toSet
+    val restricted = full.filter(t =>
+      anchors.contains(t._1) && anchors.contains(t._2))
+    assert(sampled === restricted,
+      "sampled triplets must equal the full pass restricted to " +
+        "mutual pairs with both endpoints sampled (negatives are " +
+        "unrestricted corpus vectors by construction)")
+  }
+
   test("int8 mining path: exact on integer-valued vectors, deterministic " +
       "and bucket-identical on the real corpus") {
     import spark.implicits._

@@ -2049,6 +2049,107 @@ object SimilarityQueries {
         |    WHERE rl.query_id = an.vec_id) AS n_common
         |FROM an ORDER BY anchor_id""".stripMargin),
       "IVF lifecycle round-trip: build -> insert -> flagged split -> serve, bounded against a fresh-build serve"),
+
+    // q271 — the round-11 pieces COMPOSED: sampled-anchor mining runs
+    // UNCHANGED over the capped build's post-split membership (q268's
+    // kmeansBucketsCapped feeds q265's mutualNnMarginIvfSampled as its
+    // label column) — the cap is a build-entry guard precisely because
+    // every downstream IVF operator derives its quantizer from
+    // whatever assignment it is handed (the fixed-point re-derivation
+    // contract). Tighter 9/8 cap so several buckets actually split at
+    // both SFs; the oracle replays build → flag → split → post
+    // centroids → reassignment → anchored mining end to end.
+    Q("q271_mining_on_capped_index",
+      (s, d) => {
+        val post = graft.operators.Similarity.kmeansBucketsCapped(
+          Tables(s, d, "embeddings"), col("vec_id"), col("embedding"),
+          rounds = 2, capNum = 9, capDen = 8)
+        graft.operators.Similarity.mutualNnMarginIvfSampled(
+            post.select("vec_id", "v", "bucket"),
+            col("vec_id"), col("v"), col("bucket"),
+            k = 3, nprobe = 2, m = 192, seed = 17)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""$kmeansCtes,
+        |sz AS MATERIALIZED (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM a2 GROUP BY 1),
+        |fl AS MATERIALIZED (SELECT bucket FROM sz, nc, cc
+        |  WHERE sz.n * 8 * cc.c > 9 * nc.n),
+        |mx AS (SELECT max(bucket) AS maxb FROM a2),
+        |fr AS (SELECT bucket, CAST(row_number() OVER (ORDER BY bucket)
+        |    AS BIGINT) AS rnk FROM fl),
+        |fm AS MATERIALIZED (SELECT m.vec_id, m.v, m.bucket
+        |  FROM a2 m JOIN fl USING (bucket)),
+        |sd2 AS MATERIALIZED (SELECT bucket,
+        |    CAST(rn - 1 AS BIGINT) AS side, v AS sv FROM (
+        |    SELECT bucket, vec_id, v, row_number() OVER (
+        |      PARTITION BY bucket ORDER BY
+        |        ('0x' || substring(md5('0#' ||
+        |          CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |        vec_id) AS rn
+        |    FROM fm) t WHERE rn <= 2),
+        |asg AS MATERIALIZED (SELECT bucket, vec_id, side FROM (
+        |  SELECT fm.bucket, fm.vec_id, s.side,
+        |    row_number() OVER (PARTITION BY fm.bucket, fm.vec_id
+        |      ORDER BY round(list_cosine_similarity(fm.v, s.sv), 4)
+        |        DESC, s.side) AS rn
+        |  FROM fm JOIN sd2 s USING (bucket)) t WHERE rn = 1),
+        |post AS MATERIALIZED (
+        |  SELECT m.vec_id, m.v, m.bucket
+        |  FROM a2 m WHERE m.bucket NOT IN (SELECT bucket FROM fl)
+        |  UNION ALL
+        |  SELECT a.vec_id, m.v,
+        |    CASE WHEN a.side = 0 THEN a.bucket
+        |         ELSE mx.maxb + fr.rnk END
+        |  FROM asg a JOIN a2 m ON m.vec_id = a.vec_id
+        |      AND m.bucket = a.bucket
+        |    JOIN fr ON fr.bucket = a.bucket, mx),
+        |c3 AS MATERIALIZED (
+        |  SELECT bucket AS c_lbl, list(cd ORDER BY dim) AS cv FROM (
+        |    SELECT p.bucket, t.dim, round(avg(p.v[t.dim]), 6) AS cd
+        |    FROM post p, generate_series(1, 64) AS t(dim)
+        |    GROUP BY p.bucket, t.dim) u
+        |  GROUP BY bucket),
+        |pc AS MATERIALIZED (
+        |  SELECT e.vec_id, c.c_lbl, row_number() OVER (
+        |    PARTITION BY e.vec_id
+        |    ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+        |      c.c_lbl) AS prn
+        |  FROM e, c3 c),
+        |aa AS MATERIALIZED (SELECT e.vec_id, e.v, pc.c_lbl AS bucket
+        |  FROM e JOIN pc ON pc.vec_id = e.vec_id AND pc.prn = 1),
+        |an AS MATERIALIZED (SELECT vec_id FROM e
+        |  ORDER BY ('0x' || substring(md5('17#' ||
+        |    CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+        |  LIMIT 192),
+        |p AS MATERIALIZED (SELECT e.vec_id AS query_id, e.v AS qv,
+        |    pc.c_lbl AS pb
+        |  FROM e JOIN an USING (vec_id)
+        |    JOIN pc ON pc.vec_id = e.vec_id AND pc.prn <= 2),
+        |r AS MATERIALIZED (SELECT query_id, vec_id, cos_sim,
+        |    CAST(round(cos_sim * 10000) AS BIGINT) AS cu,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM (SELECT p.query_id, a.vec_id,
+        |      round(list_cosine_similarity(a.v, p.qv), 4) AS cos_sim
+        |    FROM p JOIN aa a ON a.bucket = p.pb
+        |      AND a.vec_id <> p.query_id) s),
+        |tk AS MATERIALIZED (SELECT * FROM r WHERE rn <= 3),
+        |sm AS (SELECT query_id, CAST(sum(cu) AS BIGINT) AS sv
+        |  FROM tk GROUP BY 1),
+        |t1 AS (SELECT query_id AS src, vec_id AS dst, cos_sim, cu
+        |  FROM tk WHERE rn = 1),
+        |mu AS (SELECT x.src, x.dst, x.cos_sim, x.cu FROM t1 x
+        |  JOIN t1 y ON y.src = x.dst AND y.dst = x.src
+        |  WHERE x.src < x.dst)
+        |SELECT mu.src AS vec_a, mu.dst AS vec_b, mu.cos_sim,
+        |  CAST((2 * 3 * mu.cu * 10000) // (sx.sv + sy.sv) AS BIGINT)
+        |    AS margin_bp
+        |FROM mu JOIN sm sx ON sx.query_id = mu.src
+        |        JOIN sm sy ON sy.query_id = mu.dst
+        |WHERE mu.cu > 0 AND sx.sv + sy.sv > 0
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      "sampled-anchor mining composed over the capped build's post-split membership (q268 -> q265 end to end)"),
   )
 
   /** Shared oracle prefix for the q253-q255 family: the corpus-scaled

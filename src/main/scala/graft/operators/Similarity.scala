@@ -848,6 +848,16 @@ object Similarity {
       .join(broadcast(flagged), Seq("bucket"), "left_anti")
       .select(col("vec_id"), col("v"), col("bucket"),
         col("bucket").as("parent"), lit(0L).as("was_split"))
+    // Deliberately NOT materialized, measured both ways at sf10:
+    // count-only consumers (q263's rollup) rely on column PRUNING to
+    // drop the 64-dim vectors from the recompute (6.1 s unmaterialized
+    // vs 23.1 s checkpointed — the checkpoint forces the full
+    // membership incl. vectors onto the block manager), and even the
+    // fan-out mining consumer (q271) measured FASTER recomputing the
+    // pruned branches than reading the materialized rows
+    // (173.8 s vs 192.8 s). The general localCheckpoint-per-round rule
+    // applies to ITERATED state, not to a one-shot kernel whose
+    // consumers prune differently.
     splitRows.unionAll(passRows)
   }
 

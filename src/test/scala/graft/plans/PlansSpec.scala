@@ -426,6 +426,27 @@ class PlansSpec extends SparkSpec {
       s"cartesian in the distinct-IVM plan:\n$p")
   }
 
+  test("split kernel: broadcast probes of the flagged set; bucket-partitioned argmax; LeftAnti pass-through") {
+    import org.apache.spark.sql.functions._
+    val members = graft.util.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        (col("vec_id") % 7).as("bucket"))
+    val flagged = members.groupBy("bucket")
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > 10)
+      .select("bucket").localCheckpoint(true)
+    val p = graft.operators.Similarity
+      .splitBucketsLocal(members, flagged)
+      .queryExecution.explainString(SimpleMode)
+    assert(occurrences(p, "BroadcastExchange") >= 3,
+      s"flagged set / seeds / rank rows must all ride broadcasts:\n$p")
+    assert(p.contains("LeftAnti"),
+      "pass-through buckets must anti-probe the broadcast flagged set")
+    assert(p.contains("hashpartitioning(bucket"),
+      "the 2-means argmax window must partition by bucket (never global)")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the split kernel:\n$p")
+  }
+
   test("q263: split cost rides broadcast probes of the flagged set; pass-through is a LeftAnti") {
     val p = plan("q263_ivf_bucket_split")
     assert(occurrences(p, "BroadcastExchange") >= 3,
@@ -496,6 +517,8 @@ class PlansSpec extends SparkSpec {
       "unflagged buckets must anti-probe the broadcast flagged set")
     assert(occurrences(p, "BroadcastExchange") >= 3,
       "flagged set / seeds / rank rows must all ride broadcasts")
+    assert(p.contains("partial_count"),
+      "per-bucket rollup lost its map-side combine")
     assert(!p.contains("CartesianProduct"),
       s"cartesian in the capped build:\n$p")
   }

@@ -86,7 +86,15 @@ R10_NARRATIVE = (
     "scale paths for such corpora, and q73/q78/q69 (substring "
     "dedup, containment) hold exp 0.22–0.25 through the decade. A "
     "job that will fill the cluster's disks must refuse at "
-    "admission time, not 20 minutes in.")
+    "admission time, not 20 minutes in. q271 (the composed "
+    "cap→split→mine chain) holds exp 1.01 — linear, with a larger "
+    "constant than q265's plain-index mining because the whole "
+    "build→flag→split→reassign chain re-derives per consumer "
+    "branch; MEASURED both ways before keeping it unmaterialized "
+    "(column pruning drops the 64-dim vectors from count-only "
+    "consumers: q263 6.1 s unmaterialized vs 23.1 s checkpointed "
+    "at sf10, q271 173.8 s vs 192.8 s — the one-shot kernel is not "
+    "the iterated-state case the localCheckpoint rule targets).")
 
 
 def parse(path):

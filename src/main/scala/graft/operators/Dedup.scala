@@ -341,7 +341,13 @@ object Dedup {
           "(need 0 <= doc_id < 2^40, |grams| < 2^23): doc_id="),
         col("doc_id").cast("string"),
         lit(" sz="), col("sz").cast("string"))))
-    val packed = prefix.select(col("token"), pk.as("pk"))
+    // Cached like `grams` above (released by the runner's clearCache):
+    // the admission guard's .head() below materializes this lineage
+    // eagerly, and without the cache the candidate build would replay
+    // the whole postings pipeline (gram hashing, df counts, rank
+    // window) a second time — the guard must cost ONE postings scan,
+    // not two (round-11 ADVICE).
+    val packed = prefix.select(col("token"), pk.as("pk")).cache()
     // ADMISSION GUARD (round-11 sf10 rehearsal): the emitted candidate
     // space is exactly Σ_token C(min(c, maxPost-capped), 2) — one cheap
     // agg over the prefix postings, knowable BEFORE the fan-out — and

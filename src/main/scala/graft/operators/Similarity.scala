@@ -617,15 +617,7 @@ object Similarity {
                      vec: Column, rounds: Int, flagBp: Long): DataFrame = {
     require(flagBp >= 1 && flagBp <= 10000, "flagBp must be in [1, 10000]")
     val (idx, dAssigned) = insertParts(base, delta, id, vec, rounds)
-    val nb = idx.groupBy("bucket")
-      .agg(count(lit(1)).cast("long").as("n_base"))
-    val nd = dAssigned.groupBy("bucket")
-      .agg(count(lit(1)).cast("long").as("n_delta"))
-    nb.join(nd, Seq("bucket"), "left")
-      .select(col("bucket"), col("n_base"),
-        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
-      .withColumn("delta_share_bp",
-        expr("(10000 * n_delta) div (n_base + n_delta)"))
+    bucketAudit(membershipUnion(idx, dAssigned))
       .withColumn("rebuild",
         when(col("delta_share_bp") >= flagBp, lit(1L)).otherwise(lit(0L)))
   }
@@ -643,6 +635,42 @@ object Similarity {
       delta.select(id.as("vec_id"), toDouble(vec).as("v")), cents)
     (idx, dAssigned)
   }
+
+  /** Union the built and delta assignments into ONE membership table
+    * tagged `is_delta` — the shared first step of every insert-side
+    * audit. Columns select-normalized on both branches (the round-10
+    * positional-union lesson). Unmaterialized: callers that fan out
+    * over it localCheckpoint it themselves.
+    */
+  private def membershipUnion(idx: DataFrame, dA: DataFrame): DataFrame =
+    idx.select(col("vec_id"), col("v"), col("bucket"),
+        lit(0L).as("is_delta"))
+      .unionAll(dA.select(col("vec_id"), col("v"), col("bucket"),
+        lit(1L).as("is_delta")))
+
+  /** The per-bucket drift audit — THE one place the delta-share
+    * contract lives (round-11 verdict #4 de-triplication): per-bucket
+    * base/delta membership counts off one partial-combined agg over a
+    * [[membershipUnion]] table, and the integer drift share
+    * delta_share_bp = (10000·n_delta) div (n_base + n_delta).
+    * [[ivfInsertAudit]] REPORTS it (rebuild flag), [[ivfBucketSplit]]
+    * and [[ivfLifecycleServe]] ACT on it (via [[flaggedBuckets]]).
+    * Delta buckets are a subset of built buckets by construction
+    * (assignment only targets existing centroids), so the rollup's
+    * bucket set is exactly the non-empty built buckets.
+    */
+  private def bucketAudit(members: DataFrame): DataFrame =
+    members.groupBy("bucket").agg(
+        sum(lit(1L) - col("is_delta")).cast("long").as("n_base"),
+        sum(col("is_delta")).cast("long").as("n_delta"))
+      .withColumn("delta_share_bp",
+        expr("(10000 * n_delta) div (n_base + n_delta)"))
+
+  /** Buckets whose drift share crosses `flagBp` — the rebuild/split
+    * admission set. Unmaterialized (callers broadcast or checkpoint).
+    */
+  private def flaggedBuckets(audit: DataFrame, flagBp: Long): DataFrame =
+    audit.filter(col("delta_share_bp") >= flagBp).select("bucket")
 
   /** PARTIAL index rebuild — split only the buckets the insert audit
     * flags: the rebalance step that closes the q253 → q261 lifecycle
@@ -667,18 +695,10 @@ object Similarity {
     require(flagBp >= 1 && flagBp <= 10000, "flagBp must be in [1, 10000]")
     import org.apache.spark.sql.expressions.Window
     val (idx, dA) = insertParts(base, delta, id, vec, rounds)
-    val members = idx.select(col("vec_id"), col("v"), col("bucket"),
-        lit(0L).as("is_delta"))
-      .unionAll(dA.select(col("vec_id"), col("v"), col("bucket"),
-        lit(1L).as("is_delta")))
+    val members = membershipUnion(idx, dA).localCheckpoint(eager = true)
+    val audit = bucketAudit(members)
+    val flagged = flaggedBuckets(audit, flagBp)
       .localCheckpoint(eager = true)
-    val audit = members.groupBy("bucket").agg(
-        sum(lit(1L) - col("is_delta")).cast("long").as("n_base"),
-        sum(col("is_delta")).cast("long").as("n_delta"))
-      .withColumn("delta_share_bp",
-        expr("(10000 * n_delta) div (n_base + n_delta)"))
-    val flagged = audit.filter(col("delta_share_bp") >= flagBp)
-      .select("bucket").localCheckpoint(eager = true)
     val post = splitBucketsLocal(
       members.select("vec_id", "v", "bucket"), flagged)
     val splitCounts = post.filter(col("was_split") === 1L)
@@ -754,18 +774,10 @@ object Similarity {
       k: Int, nprobe: Int): DataFrame = {
     require(flagBp >= 1 && flagBp <= 10000, "flagBp must be in [1, 10000]")
     val (idx, dA) = insertParts(base, delta, id, vec, rounds)
-    val members = idx.select(col("vec_id"), col("v"), col("bucket"),
-        lit(0L).as("is_delta"))
-      .unionAll(dA.select(col("vec_id"), col("v"), col("bucket"),
-        lit(1L).as("is_delta")))
+    val members = membershipUnion(idx, dA).localCheckpoint(eager = true)
+    val audit = bucketAudit(members)
+    val flagged = flaggedBuckets(audit, flagBp)
       .localCheckpoint(eager = true)
-    val audit = members.groupBy("bucket").agg(
-        sum(lit(1L) - col("is_delta")).cast("long").as("n_base"),
-        sum(col("is_delta")).cast("long").as("n_delta"))
-      .withColumn("delta_share_bp",
-        expr("(10000 * n_delta) div (n_base + n_delta)"))
-    val flagged = audit.filter(col("delta_share_bp") >= flagBp)
-      .select("bucket").localCheckpoint(eager = true)
     val post = splitBucketsLocal(
       members.select("vec_id", "v", "bucket"), flagged)
       .select("vec_id", "v", "bucket")
@@ -784,13 +796,16 @@ object Similarity {
       .agg(count(lit(1)).cast("long").as("n_lifecycle"))
     val nf = servedF.groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_fresh"))
-    val ncm = servedL.join(servedF, Seq("query_id", "vec_id"))
+    // every scoreboard side below is anchor-bounded (≤ m rows / m·k
+    // pairs) — broadcast explicitly so the assembly never plans a
+    // merge join even before AQE sizes it
+    val ncm = servedL.join(broadcast(servedF), Seq("query_id", "vec_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_common"))
     anchors.select(col("vec_id").as("query_id"))
-      .join(nl, Seq("query_id"), "left")
-      .join(nf, Seq("query_id"), "left")
-      .join(ncm, Seq("query_id"), "left")
+      .join(broadcast(nl), Seq("query_id"), "left")
+      .join(broadcast(nf), Seq("query_id"), "left")
+      .join(broadcast(ncm), Seq("query_id"), "left")
       .select(col("query_id").as("anchor_id"),
         coalesce(col("n_lifecycle"), lit(0L)).as("n_lifecycle"),
         coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),

@@ -42,6 +42,16 @@ object PipelineQueries {
     * cardinality / target per-store size, never blindly the batch
     * default. Batch queries are unaffected; the returned frame's own
     * evaluation runs after the restore.
+    *
+    * CONCURRENCY CONTRACT (round-11 ADVICE): this mutates the
+    * session-GLOBAL `spark.sql.shuffle.partitions` for the duration
+    * of `f` — any query planned concurrently in the same session
+    * would silently plan at `n` partitions, and nested use restores
+    * the inner value. Safe here because Bench/Verify/the specs run
+    * queries strictly serially in their session (the repo-wide
+    * execution contract). A caller that needs concurrent planning
+    * must give the stream its own `spark.newSession()` and set the
+    * conf there instead of using this helper.
     */
   private def withStateParts[T](s: SparkSession, n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")

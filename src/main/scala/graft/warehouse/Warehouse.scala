@@ -249,6 +249,17 @@ object Warehouse {
   /** Merge support partials/states by key addition (abelian — order
     * and batch split invariant). Inputs are select-normalized before
     * the union (the round-10 positional-union lesson).
+    *
+    * Keys whose merged support lands at exactly 0 are COMPACTED away:
+    * an absent key is semantically identical to a zero-support key
+    * for both the derived view ([[distinctViewFromSupport]] counts
+    * support > 0 and support < 0 only; n_rows sums are unchanged by
+    * dropping zeros) and every future merge (adding 0 is the
+    * identity). Without this, a persisted state under
+    * retraction-heavy churn grows with total-EVER-distinct values —
+    * the snapshot COUNT is bounded by BatchState.gc but the snapshot
+    * SIZE would not be (round-11 ADVICE). Negative support is kept:
+    * it is the anomaly signal distinctViewFromSupport surfaces.
     */
   def mergeSupportState(states: Seq[DataFrame],
                         groupCols: Seq[String]): DataFrame = {
@@ -257,6 +268,7 @@ object Warehouse {
     states.map(_.select(keys :+ col("support"): _*))
       .reduce(_ unionAll _)
       .groupBy(keys: _*).agg(sum("support").as("support"))
+      .filter(col("support") =!= 0L)
   }
 
   /** Derive the distinct-count view from a support table:

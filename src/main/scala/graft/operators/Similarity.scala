@@ -577,7 +577,8 @@ object Similarity {
   def kmeansBucketsCapped(df: DataFrame, id: Column, vec: Column,
       rounds: Int, capNum: Int, capDen: Int, minC: Int = 10,
       buildSamplePerMille: Int = 1000,
-      buildSampleSeed: Int = 0): DataFrame = {
+      buildSampleSeed: Int = 0,
+      narrowCheckpoint: Boolean = false): DataFrame = {
     require(capNum >= 1 && capDen >= 1 && capNum > capDen,
       "cap must be a ratio > 1 (capNum > capDen >= 1)")
     val idx = kmeansBuckets(df, id, vec, rounds, minC,
@@ -590,7 +591,21 @@ object Similarity {
       .agg(count(lit(1)).cast("long").as("sz"))
       .filter(col("sz") * capDen * c > capNum * n)
       .select("bucket").localCheckpoint(eager = true)
-    splitBucketsLocal(idx, flagged)
+    val post = splitBucketsLocal(idx, flagged)
+    // `narrowCheckpoint` pins the post-split ASSIGNMENT — four longs
+    // per row, no vectors — so a fan-out consumer (q271's mining reads
+    // the membership from four branches) replays a checkpoint-to-
+    // checkpoint hash join instead of the whole split kernel
+    // (windows + broadcast argmax) per branch. The FULL-width
+    // checkpoint was measured WORSE at sf10 for both consumer classes
+    // (SCALING.md r11: it defeats column pruning of the 64-dim
+    // vectors); this is the middle point the r11 verdict asked to
+    // measure. Default off: single-consumer callers (q268's audit
+    // rollup) don't re-derive enough to pay for the materialization.
+    if (!narrowCheckpoint) post
+    else idx.select(col("vec_id"), col("v"))
+      .join(post.select("vec_id", "bucket", "parent", "was_split")
+        .localCheckpoint(eager = true), "vec_id")
   }
 
   /** Incremental IVF INSERT maintenance + staleness audit — the serve

@@ -70,9 +70,11 @@ R10_NARRATIVE = (
     "output = the full mining restricted to both-endpoints-sampled "
     "pairs, spec-pinned) at exp 0.55/0.53 — build-dominated, linear "
     "in the corpus for fixed m — and q267 adds the int8-packed probe "
-    "scan (exp 0.53). q254/q255 stay in the table as the honest "
-    "full-self-mining asymptote; at 100 TB 'mine every vector' is "
-    "the wrong query, and the sampled rows are the production path. "
+    "scan (exp 0.53). q254/q255 stayed in the r11 table as the "
+    "honest full-self-mining asymptote (round 12 retired them to the "
+    "sf1 tier — see the tiering paragraph below); at 100 TB 'mine "
+    "every vector' is the wrong query, and the sampled rows are the "
+    "production path. "
     "What the round-11 rehearsal CAUGHT: q174's lossless prefix "
     "join — candidate-pair bound 312K (sf0.1) → 39.7M (sf1) → "
     "4.28G (sf10) on the closed fixture vocabulary; at sf10 the "
@@ -94,7 +96,37 @@ R10_NARRATIVE = (
     "(column pruning drops the 64-dim vectors from count-only "
     "consumers: q263 6.1 s unmaterialized vs 23.1 s checkpointed "
     "at sf10, q271 173.8 s vs 192.8 s — the one-shot kernel is not "
-    "the iterated-state case the localCheckpoint rule targets).")
+    "the iterated-state case the localCheckpoint rule targets).\n\n"
+    "Round-12 tiering (the r11 verdict's q191/q194 disposition, "
+    "applied): q254/q255 — full self-mining on the kmeans index, the "
+    "only ⚠ rows of the three-decade record (sf10 exp 1.22/1.17, "
+    "216 s/194 s, the HONEST Θ(n^1.5) asymptote of 'mine every "
+    "vector' under C ≈ √n) — are RETIRED from the sf10 decade and "
+    "kept as the exact full-mining ground truth at sf1 and below, "
+    "where they still gate the sampled path's equality contract "
+    "(q265/q266 = the full pass restricted to both-endpoints-sampled "
+    "pairs, spec-pinned). Their sf10-decade representatives are the "
+    "landed production miners q265/q266/q267 (exp ≤ 0.55). The r11 "
+    "row values are preserved above this paragraph's history in git; "
+    "re-admitting them needs a documented reduced scope, not a "
+    "silent re-run. q271's per-consumer re-derivation constant got "
+    "the r11 verdict's remaining middle point measured: a NARROW "
+    "(vec_id, bucket, parent, was_split) checkpoint of the split "
+    "kernel with vectors re-joined from the build checkpoint WINS at "
+    "sf0.1 (5.8 s vs 7.3 s unmaterialized) and LOSES at sf10 "
+    "(194.7 s vs 183.2 s, ProfileQ271, fresh JVMs): the kernel "
+    "replay is proportional to the FLAGGED membership while the "
+    "re-join pays a full-corpus hash join per consumer branch — at "
+    "scale the flagged share shrinks and recompute beats "
+    "materialization, so unmaterialized stays the default "
+    "(kmeansBucketsCapped(narrowCheckpoint = true) keeps the "
+    "measured alternative one flag away). Round-12 also brings the "
+    "relational/IVM family into the second decade for the first "
+    "time — q262 join-IVM (broadcast bilinear delta terms), q151 "
+    "star join, q229 bucketed co-located join, q88 incremental "
+    "upsert — exactly the shapes whose constants change character "
+    "when the base side stops fitting in memory; all four hold "
+    "sublinear (exp 0.60/0.63/0.61/0.43), no ⚠.")
 
 
 def parse(path):

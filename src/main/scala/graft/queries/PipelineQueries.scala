@@ -59,6 +59,59 @@ object PipelineQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Write `df` as `nChunks` event-time-span chunk files with strictly
+    * increasing modification times: the file source (latestFirst =
+    * false) processes oldest-mod-time first, so arrival order ==
+    * event-time order — the premise of the bounded-delay watermark
+    * proofs (q172/q272: maxTs(k) − delay < maxTs(k) <= minTs(k+1) for
+    * disjoint ascending spans, so no row is ever watermark-late). ONE
+    * partitioned write job (chunk = time-span bucket), parts renamed
+    * into the feed dir with pinned mtimes — not sequential filtered
+    * writes. `extraFiles` appends (suffix, frame) pairs as their own
+    * files AFTER every chunk (later mtimes) — the q272 flush rows that
+    * drive the final watermark past the whole feed.
+    */
+  private def writeTimeOrdered(df: DataFrame, tsCol: String, dir: String,
+      nChunks: Int,
+      extraFiles: Seq[(String, DataFrame)] = Seq.empty): Unit = {
+    val dirF = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dirF)
+    dirF.mkdirs()
+    val mm = df.agg(min(unix_micros(col(tsCol))).as("lo"),
+      max(unix_micros(col(tsCol))).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = (hi - lo) / nChunks + 1
+    val tmp = graft.util.TmpDirs.perProcess("graft_feed_chunks_tmp")
+    df.withColumn("chunk",
+        ((unix_micros(col(tsCol)) - lo) / span).cast("int"))
+      .repartition(col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
+    (0 until nChunks).foreach { k =>
+      val partDir = new java.io.File(tmp, s"chunk=$k")
+      Option(partDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (part, i) =>
+          val dst = new java.io.File(dirF, f"chunk$k%02d-$i%d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // deterministic arrival order even under same-ms writes
+          dst.setLastModified(1700000000000L + k * 60000L + i)
+        }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    extraFiles.zipWithIndex.foreach { case ((suffix, frame), j) =>
+      val xtmp = graft.util.TmpDirs.perProcess("graft_feed_extra_tmp")
+      frame.coalesce(1).write.mode("overwrite").parquet(xtmp)
+      val part = new java.io.File(xtmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dirF, s"zz$j-$suffix.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + nChunks * 60000L + j + 1)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(xtmp))
+    }
+  }
+
   private def q35(s: SparkSession, d: String): DataFrame = {
     val conf = Pipeline.Config(
       lakePath = graft.util.TmpDirs.perProcess("graft_q35_lake"))
@@ -411,43 +464,14 @@ object PipelineQueries {
         // ONE partitioned write job per side (chunk = time-span bucket),
         // then the parts are renamed into the feed dir with pinned
         // mtimes — not sequential filtered writes.
-        val nChunks = 2
-        def writeOrdered(df: org.apache.spark.sql.DataFrame, tsCol: String,
-                         dir: String): Unit = {
-          val dirF = new java.io.File(dir)
-          org.apache.commons.io.FileUtils.deleteQuietly(dirF)
-          dirF.mkdirs()
-          val mm = df.agg(min(unix_micros(col(tsCol))).as("lo"),
-            max(unix_micros(col(tsCol))).as("hi")).head()
-          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-          val span = (hi - lo) / nChunks + 1
-          val tmp = graft.util.TmpDirs.perProcess("graft_q172_tmp")
-          df.withColumn("chunk",
-              ((unix_micros(col(tsCol)) - lo) / span).cast("int"))
-            .repartition(col("chunk"))
-            .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
-          (0 until nChunks).foreach { k =>
-            val partDir = new java.io.File(tmp, s"chunk=$k")
-            Option(partDir.listFiles()).getOrElse(Array.empty)
-              .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-              .zipWithIndex.foreach { case (part, i) =>
-                val dst = new java.io.File(dirF, f"chunk$k%02d-$i%d.parquet")
-                java.nio.file.Files.move(part.toPath, dst.toPath,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-                // deterministic arrival order even under same-ms writes
-                dst.setLastModified(1700000000000L + k * 60000L + i)
-              }
-          }
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-        }
         val feedV = graft.util.FeedCache.ensure("q172_views", d) { p =>
-          writeOrdered(ev.filter(col("event_type") === "view")
+          writeTimeOrdered(ev.filter(col("event_type") === "view")
             .select(col("user_id"), col("event_id").as("view_id"),
-              col("ts").as("v_ts")), "v_ts", p) }
+              col("ts").as("v_ts")), "v_ts", p, nChunks = 2) }
         val feedC = graft.util.FeedCache.ensure("q172_clicks", d) { p =>
-          writeOrdered(ev.filter(col("event_type") === "click")
+          writeTimeOrdered(ev.filter(col("event_type") === "click")
             .select(col("user_id"), col("event_id").as("click_id"),
-              col("ts").as("c_ts")), "c_ts", p) }
+              col("ts").as("c_ts")), "c_ts", p, nChunks = 2) }
         val vs = s.readStream.schema(s.read.parquet(feedV).schema)
           .option("maxFilesPerTrigger", "1").parquet(feedV)
         val cs = s.readStream.schema(s.read.parquet(feedC).schema)
@@ -946,7 +970,88 @@ object PipelineQueries {
         |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
         |FROM cnt JOIN tot ON cnt.g = tot.g
         |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
-      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230, q252, q270)
+      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230, q252, q270, q272)
+
+  // q272 — LEFT OUTER stream-stream interval join: the attribution
+  // query production actually runs (q95/q172 prove the inner match
+  // set; a marketing/abuse pipeline needs the NON-converting views
+  // too). Every view emits — matched rows as the click arrives,
+  // unmatched rows with null click columns once the watermark PROVES
+  // no click can still arrive (the engine emits the null-padded row
+  // when it evicts the view's join state — "unmatched" is a
+  // watermark-certified verdict, never a timeout guess). On a finite
+  // feed the tail views would still be buffered when the files run
+  // out, so each side's feed ends with a sentinel FLUSH row 10 years
+  // past max(ts) (the q86 close-the-books pattern; the global
+  // watermark is the MIN across sources, hence both sides): the final
+  // no-data batch's watermark then passes every v_ts + gap, all
+  // verdicts emit, and the sentinels (keys -1/-2, matching nothing)
+  // are filtered from the output. Equality with the batch LEFT JOIN:
+  // the match set is arrival-order independent (q95's argument) and
+  // the unmatched set is its exact complement — certified row by row
+  // by the watermark under the same event-time-ordered chunk feed as
+  // q172 (writeTimeOrdered). 100 TB shape: state stays bounded by the
+  // gap + delay horizon exactly as in the inner join; the outer
+  // verdicts add no state, only an emit-on-evict.
+  private lazy val q272 = Q("q272_stream_join_outer",
+    (s, d) => {
+      val qname = s"graft_q272_sink_${streamSinkRuns.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val ev = Tables(s, d, "events")
+        val maxUs = ev.agg(max(unix_micros(col("ts"))).as("m"))
+        def flushRow(idName: String, tsName: String, key: Long) =
+          maxUs.select(lit(key).as("user_id"), lit(-1L).as(idName),
+            expr("timestamp_micros(m + 315360000000000)").as(tsName))
+        val feedV = graft.util.FeedCache.ensure("q272_views", d) { p =>
+          writeTimeOrdered(ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("v_ts")), "v_ts", p, nChunks = 2,
+            extraFiles = Seq(("flush", flushRow("view_id", "v_ts", -1L)))) }
+        val feedC = graft.util.FeedCache.ensure("q272_clicks", d) { p =>
+          writeTimeOrdered(ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts")), "c_ts", p, nChunks = 2,
+            extraFiles = Seq(("flush", flushRow("click_id", "c_ts", -2L)))) }
+        val vs = s.readStream.schema(s.read.parquet(feedV).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedV)
+        val cs = s.readStream.schema(s.read.parquet(feedC).schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedC)
+        // The sentinel filter must NOT live inside the streaming plan:
+        // a deterministic predicate on view_id gets pushed below the
+        // EventTimeWatermark node into the left scan, the flush row
+        // never registers its event time, and the global watermark
+        // (min across sources) stays 30 min behind max(ts) forever —
+        // stranding the tail views' unmatched verdicts in state
+        // (observed: exactly the feed's last-2.5h views missing).
+        // Sentinels are filtered from the SINK read instead.
+        val joined = graft.streaming.IntervalJoin
+          .withinOuter(vs, "v_ts", cs, "c_ts", "user_id",
+            gap = "2 hours", delay = "30 minutes")
+          .select(col("l.user_id").as("user_id"), col("view_id"),
+            col("click_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+              .as("gap_us"))
+        val query = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname).filter(col("view_id") >= 0)
+          .orderBy(col("view_id"), col("click_id").asc_nulls_first)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+    Some("""WITH v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      |    FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+      |    FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, v.view_id, c.click_id,
+      |  epoch_us(c.c_ts) - epoch_us(v.v_ts) AS gap_us
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      | AND c.c_ts >= v.v_ts AND c.c_ts <= v.v_ts + INTERVAL 2 HOUR
+      |ORDER BY view_id, click_id NULLS FIRST""".stripMargin),
+    "LEFT OUTER stream-stream interval join: watermark-certified unmatched verdicts, oracle-compared to batch LEFT JOIN")
 
   /** Streaming memory-sink name counter (q74/q77): Bench re-runs every query in one
     * session, and a finished streaming query's name can be reused only

@@ -59,6 +59,43 @@ object PipelineQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Move the part files of one partitionBy subdir into the feed dir
+    * with pinned, strictly increasing mtimes — the file source
+    * (latestFirst = false) processes oldest-mod-time first, so the
+    * subdir index IS the arrival order, deterministic even under
+    * same-millisecond writes.
+    */
+  private def moveParts(tmp: String, sub: String, dirF: java.io.File,
+                        k: Int): Unit = {
+    val partDir = new java.io.File(tmp, sub)
+    Option(partDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (part, i) =>
+        val dst = new java.io.File(dirF, f"chunk$k%02d-$i%d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + k * 60000L + i)
+      }
+  }
+
+  /** Write `df` as one file per value of the integer `bCol` (0 until
+    * n), arrival-ordered by that index — the micro-batch feed shape
+    * for the signed-delta monitors (q273): ONE partitioned write job,
+    * parts renamed with pinned mtimes. `bCol` itself is consumed by
+    * the partitioning and does not reach the feed schema.
+    */
+  private def writeBatchOrdered(df: DataFrame, bCol: String, n: Int,
+                                dir: String): Unit = {
+    val dirF = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dirF)
+    dirF.mkdirs()
+    val tmp = graft.util.TmpDirs.perProcess("graft_feed_batches_tmp")
+    df.repartition(col(bCol))
+      .write.mode("overwrite").partitionBy(bCol).parquet(tmp)
+    (0 until n).foreach(k => moveParts(tmp, s"$bCol=$k", dirF, k))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   /** Write `df` as `nChunks` event-time-span chunk files with strictly
     * increasing modification times: the file source (latestFirst =
     * false) processes oldest-mod-time first, so arrival order ==
@@ -86,18 +123,7 @@ object PipelineQueries {
         ((unix_micros(col(tsCol)) - lo) / span).cast("int"))
       .repartition(col("chunk"))
       .write.mode("overwrite").partitionBy("chunk").parquet(tmp)
-    (0 until nChunks).foreach { k =>
-      val partDir = new java.io.File(tmp, s"chunk=$k")
-      Option(partDir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (part, i) =>
-          val dst = new java.io.File(dirF, f"chunk$k%02d-$i%d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // deterministic arrival order even under same-ms writes
-          dst.setLastModified(1700000000000L + k * 60000L + i)
-        }
-    }
+    (0 until nChunks).foreach(k => moveParts(tmp, s"chunk=$k", dirF, k))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     extraFiles.zipWithIndex.foreach { case ((suffix, frame), j) =>
       val xtmp = graft.util.TmpDirs.perProcess("graft_feed_extra_tmp")
@@ -970,7 +996,153 @@ object PipelineQueries {
         |    // (2 * (2 * t1 * t2)) AS BIGINT) AS tvd_bp
         |FROM cnt JOIN tot ON cnt.g = tot.g
         |GROUP BY cnt.g, t1, t2 ORDER BY event_type""".stripMargin),
-      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230, q252, q270, q272)
+      "streaming drift monitor: frozen reference histogram vs micro-batch-accumulated live counts")) ++ Seq(q204, q228, q230, q252, q270, q272, q273)
+
+  // q273 — incremental TOP-K view maintenance under inserts AND
+  // deletions (graft.operators.TopKState): the IVM family's
+  // order-statistic member, the one that is NOT abelian — q200's
+  // aggregates, q262's join views and q264/q270's COUNT(DISTINCT)
+  // support state all merge by addition, but a deleted top row needs
+  // a row NOBODY kept. State = per-group top-B buffer (B = 2k) + the
+  // θ threshold of the best row ever evicted; the invariant
+  // (buffer = all live rows above θ) makes the top-k read EXACT while
+  // |buffer| >= k, and the one case deletion churn can break —
+  // buffer drained below k with live rows still outstanding — is a
+  // CERTIFIED condition (nb < k AND n_live > nb), answered by a
+  // per-flagged-group refill from the base feed (broadcast semi-join)
+  // and surfaced as the `refilled` output column. The feed's shape is
+  // chosen so the drain actually happens: mid-stream deletes (30% of
+  // early inserts, landing while later insert waves still refill the
+  // buffer) exercise in-buffer and below-θ deletion, and a final
+  // CHURN WAVE (batch 3: 60% of the survivors deleted AFTER the last
+  // insert) drains buffers below k with live rows still outstanding —
+  // the refill path runs, it is not dormant.
+  // State rides BatchState (buf/meta components, _SUCCESS commit,
+  // two-snapshot gc); the oracle replays the whole three-batch state
+  // machine — admission, eviction, θ promotion, refill — in SQL.
+  private lazy val q273 = Q("q273_topk_ivm_refill",
+    (s, d) => {
+      import graft.functions.TextFunctions.hash60
+      val run = streamSinkRuns.incrementAndGet()
+      val k = 10
+      val bCap = 2 * k
+      val base0 = Tables(s, d, "orders").select(
+        col("o_orderpriority").as("pri"),
+        col("o_orderkey").cast("long").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val ks = col("id").cast("string")
+      val insB = pmod(hash60(ks, 3), lit(3)).cast("int")
+      val midDel = pmod(hash60(ks, 7), lit(1000)) < 300 && insB < 2
+      val midB = (insB + lit(1) +
+        pmod(hash60(ks, 11), lit(2) - insB).cast("int")).cast("int")
+      val waveDel = !(pmod(hash60(ks, 7), lit(1000)) < 300 && insB < 2) &&
+        pmod(hash60(ks, 13), lit(1000)) < 600
+      val signed = base0
+        .withColumn("b", insB).withColumn("sign", lit(1L))
+        .unionByName(base0.filter(midDel)
+          .withColumn("b", midB).withColumn("sign", lit(-1L)))
+        .unionByName(base0.filter(waveDel)
+          .withColumn("b", lit(3).cast("int")).withColumn("sign", lit(-1L)))
+        .select("b", "pri", "id", "v", "sign")
+      val feed = graft.util.FeedCache.ensure("q273_feed", d) { p =>
+        writeBatchOrdered(signed, "b", 4, p) }
+      val stateBase = graft.util.TmpDirs.perProcess(s"graft_q273_state_$run")
+      val BS = graft.streaming.BatchState
+      val comps = Seq("buf", "meta")
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val query = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val (bufP, metaP) = BS.prevId(stateBase, comps, batchId) match {
+            case None => graft.operators.TopKState
+              .emptyState(batch, Seq("pri"))
+            case Some(p) => (
+              s.read.parquet(BS.dir(stateBase, "buf", p)),
+              s.read.parquet(BS.dir(stateBase, "meta", p)))
+          }
+          val (bufN, metaN) = graft.operators.TopKState
+            .step(bufP, metaP, batch, Seq("pri"), bCap)
+          bufN.write.mode("overwrite")
+            .parquet(BS.dir(stateBase, "buf", batchId))
+          metaN.write.mode("overwrite")
+            .parquet(BS.dir(stateBase, "meta", batchId))
+          BS.gc(stateBase, comps, batchId)
+          ()
+        }
+        .option("checkpointLocation",
+          graft.util.TmpDirs.perProcess(s"graft_q273_ckpt_$run"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val last = BS.lastId(stateBase, comps, "q273")
+      graft.operators.TopKState.topkWithRefill(
+          s.read.parquet(BS.dir(stateBase, "buf", last)),
+          s.read.parquet(BS.dir(stateBase, "meta", last)),
+          s.read.parquet(feed), Seq("pri"), k)
+        .orderBy("pri", "rnk")
+    },
+    Some("""WITH o AS MATERIALIZED (SELECT o_orderpriority AS pri,
+      |    CAST(o_orderkey AS BIGINT) AS id,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    ('0x' || substring(md5('3#' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT % 3 AS ib,
+      |    ('0x' || substring(md5('7#' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h7,
+      |    ('0x' || substring(md5('11#' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT AS h11,
+      |    ('0x' || substring(md5('13#' || CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h13
+      |  FROM orders),
+      |ins AS MATERIALIZED (SELECT ib AS b, pri, id, v FROM o),
+      |del AS MATERIALIZED (
+      |  SELECT ib + 1 + h11 % (2 - ib) AS b, pri, id
+      |  FROM o WHERE h7 < 300 AND ib < 2
+      |  UNION ALL
+      |  SELECT 3 AS b, pri, id FROM o
+      |  WHERE NOT (h7 < 300 AND ib < 2) AND h13 < 600),
+      |c0 AS MATERIALIZED (SELECT pri, id, v, row_number() OVER (
+      |    PARTITION BY pri ORDER BY v DESC, id ASC) AS rn
+      |  FROM ins WHERE b = 0),
+      |b0 AS MATERIALIZED (SELECT pri, id, v FROM c0 WHERE rn <= 20),
+      |t0 AS MATERIALIZED (SELECT pri, v AS tv, id AS tid FROM c0 WHERE rn = 21),
+      |a1 AS (SELECT i.pri, i.id, i.v FROM ins i LEFT JOIN t0 ON t0.pri = i.pri
+      |  WHERE i.b = 1 AND (t0.pri IS NULL OR i.v > t0.tv
+      |    OR (i.v = t0.tv AND i.id < t0.tid))),
+      |c1 AS MATERIALIZED (SELECT pri, id, v, row_number() OVER (
+      |    PARTITION BY pri ORDER BY v DESC, id ASC) AS rn FROM (
+      |    SELECT * FROM b0 UNION ALL SELECT * FROM a1) u
+      |  WHERE u.id NOT IN (SELECT id FROM del WHERE b = 1)),
+      |b1 AS MATERIALIZED (SELECT pri, id, v FROM c1 WHERE rn <= 20),
+      |t1 AS MATERIALIZED (SELECT pri, COALESCE(e.tv, t0.tv) AS tv,
+      |    COALESCE(e.tid, t0.tid) AS tid
+      |  FROM (SELECT pri, v AS tv, id AS tid FROM c1 WHERE rn = 21) e
+      |  FULL OUTER JOIN t0 USING (pri)),
+      |a2 AS (SELECT i.pri, i.id, i.v FROM ins i LEFT JOIN t1 ON t1.pri = i.pri
+      |  WHERE i.b = 2 AND (t1.pri IS NULL OR i.v > t1.tv
+      |    OR (i.v = t1.tv AND i.id < t1.tid))),
+      |c2 AS MATERIALIZED (SELECT pri, id, v, row_number() OVER (
+      |    PARTITION BY pri ORDER BY v DESC, id ASC) AS rn FROM (
+      |    SELECT * FROM b1 UNION ALL SELECT * FROM a2) u
+      |  WHERE u.id NOT IN (SELECT id FROM del WHERE b = 2)),
+      |b2 AS MATERIALIZED (SELECT pri, id, v FROM c2 WHERE rn <= 20),
+      |b3 AS MATERIALIZED (SELECT pri, id, v FROM b2
+      |  WHERE id NOT IN (SELECT id FROM del WHERE b = 3)),
+      |live AS MATERIALIZED (SELECT pri, id, v FROM ins
+      |  WHERE id NOT IN (SELECT id FROM del)),
+      |nl AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_live FROM live GROUP BY pri),
+      |nb AS (SELECT pri, CAST(count(*) AS BIGINT) AS nb FROM b3 GROUP BY pri),
+      |fl AS MATERIALIZED (SELECT nl.pri, COALESCE(nb.nb, 0) AS nb, nl.n_live,
+      |    CASE WHEN COALESCE(nb.nb, 0) < 10
+      |      AND nl.n_live > COALESCE(nb.nb, 0)
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS refilled
+      |  FROM nl LEFT JOIN nb ON nb.pri = nl.pri),
+      |rows_ AS (SELECT b3.pri, b3.id, b3.v FROM b3
+      |    JOIN fl ON fl.pri = b3.pri AND fl.refilled = 0
+      |  UNION ALL
+      |  SELECT l.pri, l.id, l.v FROM live l
+      |    JOIN fl ON fl.pri = l.pri AND fl.refilled = 1),
+      |rk AS (SELECT pri, id, v, row_number() OVER (
+      |    PARTITION BY pri ORDER BY v DESC, id ASC) AS rnk FROM rows_)
+      |SELECT rk.pri, fl.refilled, CAST(rk.rnk AS BIGINT) AS rnk, rk.id, rk.v
+      |FROM rk JOIN fl ON fl.pri = rk.pri WHERE rk.rnk <= 10
+      |ORDER BY rk.pri, rnk""".stripMargin),
+    "incremental top-k view maintenance: top-B buffer + θ threshold state, certified refill on deletion drain, full state-machine replay oracle")
 
   // q272 — LEFT OUTER stream-stream interval join: the attribution
   // query production actually runs (q95/q172 prove the inner match

@@ -1317,4 +1317,90 @@ object Dedup {
           .as("chunk"))
       .filter(length(col("chunk")) >= minLen)
   }
+
+  /** Bounded EDIT-DISTANCE self-join (PassJoin's segment pigeonhole):
+    * all pairs with levenshtein(a, b) <= d — the CHARACTER-level
+    * near-dup family member (the token-based family — n-gram Jaccard,
+    * MinHash, SimHash — is blind to single-character typo/OCR drift,
+    * which is exactly what edit distance catches).
+    *
+    * LOSSLESS candidate rule: partition every string into d+1
+    * contiguous segments (PassJoin's even-partition scheme — the
+    * first (d+1) − (L mod (d+1)) segments take floor(L/(d+1)) chars,
+    * the rest one more). If ed(a, b) <= d, the <= d edits touch at
+    * most d segments, so at least ONE segment of a survives verbatim
+    * in b, displaced by at most d positions (each edit shifts later
+    * text by <= 1). Candidates are therefore the equality join of a's
+    * indexed segments (la, q, content) against b's probe substrings —
+    * for each candidate partner length la in [len(b)−d, len(b)+d],
+    * segment q's window start shifted by −d..d — and the join misses
+    * no qualifying pair BY CONSTRUCTION; `levenshtein` (codegen'd,
+    * same unit-cost DP as the DuckDB oracle) then verifies exactly.
+    *
+    * Scale shape: probe fan-out is a CONSTANT (2d+1)²·(d+1) keys per
+    * string (49·4 at d = 3); candidates meet on hash-partitioned
+    * (la, q, content) keys — short segments on a skewed alphabet
+    * densify buckets, which is the documented escalation to longer
+    * strings or a posting cap (the q174 admission discipline), not a
+    * silent slowdown. Verification is one distinct + one per-pair DP
+    * on candidate pairs only. Strings shorter than d+1 cannot fill
+    * their segments and FAIL LOUDLY (raise_error) — the short-string
+    * regime belongs to an exact small-bucket product, not to this
+    * pigeonhole.
+    *
+    * Output: (doc_a < doc_b, dist), dist = exact levenshtein <= d.
+    */
+  def editDistanceJoin(df: DataFrame, id: Column, text: Column,
+                       d: Int): DataFrame = {
+    require(d >= 1 && d <= 5, "editDistanceJoin needs 1 <= d <= 5")
+    val k = d + 1
+    val docs = df.select(id.as("doc_id"), text.as("txt"))
+      .withColumn("len",
+        when(length(col("txt")) >= k, length(col("txt")).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"editDistanceJoin: string shorter than d+1 = $k " +
+              "cannot fill its pigeonhole segments (escalate short " +
+              "strings to an exact small-bucket pass): doc_id="),
+            col("doc_id").cast("string")))))
+    def segCols(laCol: Column, q: Column): (Column, Column) = {
+      // PassJoin even partition of length la into k segments, all in
+      // exact integer arithmetic (operands non-negative, div == floor)
+      val base = laCol.divide(k).cast("int")
+      val nSmall = lit(k) - (laCol % k)
+      val slen = base + when(q >= nSmall, 1).otherwise(0)
+      val start = q * base + greatest(lit(0), q - nSmall)
+      (start, slen)
+    }
+    val qIdx = explode(sequence(lit(0), lit(d)))
+    val index = docs.select(col("doc_id"), col("txt"),
+        col("len").as("la"))
+      .withColumn("q", qIdx)
+    val (iStart, iLen) = segCols(col("la"), col("q"))
+    val segs = index
+      .withColumn("seg", col("txt").substr(iStart + 1, iLen))
+      .select(col("doc_id").as("id_a"), col("la"), col("q"), col("seg"))
+    val probes0 = docs.select(col("doc_id"), col("txt"), col("len"))
+      .withColumn("la", explode(sequence(col("len") - d, col("len") + d)))
+      .filter(col("la") >= k)
+      .withColumn("q", qIdx)
+    val (pStart, pLen) = segCols(col("la"), col("q"))
+    val probes = probes0
+      .withColumn("shift", explode(sequence(lit(-d), lit(d))))
+      .withColumn("pos", pStart + col("shift"))
+      .filter(col("pos") >= 0 && col("pos") + pLen <= col("len"))
+      .withColumn("sub", col("txt").substr(col("pos") + 1, pLen))
+      .select(col("doc_id").as("id_b"), col("la"), col("q"), col("sub"))
+    val cand = segs.join(probes,
+        segs("la") === probes("la") && segs("q") === probes("q") &&
+          col("seg") === col("sub") && col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+      .distinct()
+    val ta = docs.select(col("doc_id").as("doc_a"), col("txt").as("ta"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("txt").as("tb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= d)
+      .select("doc_a", "doc_b", "dist")
+  }
 }

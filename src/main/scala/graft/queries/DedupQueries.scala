@@ -1537,5 +1537,31 @@ object DedupQueries {
         |    AS canonical_doc
         |FROM jm GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
       "q234's canonical keep-list on the DISTRIBUTED min-label strategy — both physical paths hash-identical"),
+
+    // q274 — bounded EDIT-DISTANCE near-dup join (PassJoin segment
+    // pigeonhole + exact levenshtein verify): the CHARACTER-level
+    // member the token-based dedup family is blind to — single-char
+    // typo/OCR drift moves every token-level similarity barely while
+    // ed(a, b) counts it exactly. Candidates are provably lossless
+    // (one of the d+1 segments of a must survive verbatim in b,
+    // displaced <= d), so the oracle is the brute-force pair scan —
+    // no replay needed: losslessness IS the contract under test.
+    // Runs on the 30-char document prefixes (the dedup campaign's
+    // "title key" shape); d = 3.
+    Q("q274_edit_distance_join",
+      (s, d) => Dedup.editDistanceJoin(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), substring(col("text"), 1, 30).as("sk")),
+          col("doc_id"), col("sk"), 3)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH p AS (SELECT doc_id, substring(text, 1, 30) AS sk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.sk, b.sk) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        | AND abs(len(a.sk) - len(b.sk)) <= 3
+        |WHERE levenshtein(a.sk, b.sk) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      "PassJoin edit-distance self-join: lossless segment-pigeonhole candidates, exact levenshtein verify vs brute-force oracle"),
   )
 }

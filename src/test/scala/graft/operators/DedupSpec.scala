@@ -597,4 +597,57 @@ class DedupSpec extends SparkSpec {
     assert(tail.nonEmpty && tail.forall(editedSet.contains),
       s"tail chunks must survive the edit: $tail vs $editedSet")
   }
+
+  test("editDistanceJoin: lossless pigeonhole candidates at exactly d, across lengths, under shifts") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "abcdefghijklmnop",        // base, len 16
+      2L -> "Xbcdefghijklmnop",        // 1 substitution
+      3L -> "XbcdefghijklmnoY",        // 2 substitutions
+      4L -> "XbcYefghijklmnoZ",        // 3 substitutions — exactly d
+      5L -> "XbcYefgWijklmnoZ",        // 4 substitutions — just over d
+      6L -> "abcdefghijklm",           // 3 deletions at the tail (ed 3)
+      7L -> "ZZZabcdefghijklmnop",     // 3-char head insertion: every
+                                       //   segment SHIFTED by d (ed 3)
+      8L -> "zzzzzzzzzzzzzzzz")        // unrelated, same length
+    val out = Dedup.editDistanceJoin(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), d = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force truth over the fixture
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val truth = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      dist = lev(sa, sb) if dist <= 3
+    } yield (ia, ib, dist.toLong)).toSet
+    assert(out === truth,
+      s"pigeonhole join diverged from brute force:\nout=$out\ntruth=$truth")
+    assert(truth.exists(_._3 == 3L), "fixture must exercise dist == d exactly")
+    assert(truth.contains((1L, 7L, 3L)),
+      "the d-shifted head-insertion pair is the candidate-window edge case")
+  }
+
+  test("editDistanceJoin: strings shorter than d+1 refuse loudly") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Dedup.editDistanceJoin(
+          Seq(1L -> "abc", 2L -> "ab").toDF("doc_id", "text"),
+          col("doc_id"), col("text"), d = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("pigeonhole") ||
+      Option(e.getCause).exists(_.getMessage.contains("pigeonhole")),
+      s"short strings must hit the raise_error guard: ${e.getMessage}")
+  }
 }

@@ -162,7 +162,9 @@ object Plans {
     "q268_kmeans_capped_build" -> "the oversize flag is exact integer arithmetic over the |C|-row size table (sz·capDen·C > capNum·n — no division); flagged buckets split through the shared broadcast 2-means kernel (seeds broadcast into a bucket-partitioned argmax window), pass-through rides a broadcast LeftAnti; the one-round residual is OBSERVABLE as still_over, never hidden.",
     "q269_ivf_lifecycle_roundtrip" -> "build → frozen-centroid insert → drift-flagged split → serve in ONE plan: each lifecycle stage materializes via localCheckpoint (the depth-≥2 nested-cache lesson), both serves broadcast the 8-anchor probe set against their membership scan (the corpus is scanned, never shuffled, per serve), and the scoreboard is three |anchors|-row aggregates joined back to the anchor list.",
     "q270_distinct_ivm_persisted" -> "the maintenance batch's plan is TWO parquet scans (stored support state + the batch file) + partial-combined aggs + one keyed merge — ZERO joins, no base re-scan (plan-contracted on the building block); state lives under BatchState commit/gc, so the steady-state footprint is two snapshots and a retried batch re-reads its strict predecessor.",
-    "q271_mining_on_capped_index" -> "the capped build's post-split membership feeds the anchored mining UNCHANGED (label column = post-split bucket): the cap is transparent to every downstream IVF operator because each derives its quantizer from the assignment it is handed (the fixed-point re-derivation contract); the plan is q268's broadcast split kernel materialized behind checkpoints + q265's broadcast-LeftSemi anchor cut and salted TopKPerKey bucket join.")
+    "q271_mining_on_capped_index" -> "the capped build's post-split membership feeds the anchored mining UNCHANGED (label column = post-split bucket): the cap is transparent to every downstream IVF operator because each derives its quantizer from the assignment it is handed (the fixed-point re-derivation contract); the plan is q268's broadcast split kernel materialized behind checkpoints + q265's broadcast-LeftSemi anchor cut and salted TopKPerKey bucket join.",
+    "q273_topk_ivm_refill" -> "the READ plan (maintenance ran per batch under BatchState): flagged-group routing by broadcast LeftSemi (base refill scan gated per flagged group) and LeftAnti (healthy buffers served from state), final lists on the TopKPerKey node — no window over anything corpus-sized, no cartesian; per-batch maintenance cost is O(|delta above θ| + B·|groups|) by the θ-admission filter.",
+    "q274_edit_distance_join" -> "pigeonhole candidates meet on a hash-partitioned (partner-length, segment, content) key join fed by constant-per-string explode fan-outs — (2d+1)²(d+1) probe keys per string, never an all-pairs — then ONE distinct and a per-pair codegen levenshtein verify; lossless by the PassJoin segment argument, so the oracle is the brute-force scan.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -592,6 +592,38 @@ class PlansSpec extends SparkSpec {
       s"cartesian in the composed capped-build mining chain:\n$p")
   }
 
+  test("q273: top-k read routes refill by broadcast semi/anti; lists ride TopKPerKey") {
+    val p = plan("q273_topk_ivm_refill")
+    // (the foreachBatch maintenance ran at construction; this is the
+    // READ plan): flagged groups split the sources by broadcast
+    // semi/anti probes — the base is scanned only through the
+    // semi-join — and the final lists run on the TopKPerKey node
+    assert(p.contains("TopKPerKey"),
+      "top-k read must run on the TopKPerKey node")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("LeftSemi")),
+      "refill base scan must be gated by a semi-join on flagged groups")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("LeftAnti")),
+      "buffer side must anti-probe the flagged set")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the top-k read:\n$p")
+  }
+
+  test("q274: pigeonhole candidates meet on a hash-partitioned key join; verify is per-pair levenshtein") {
+    val p = plan("q274_edit_distance_join")
+    assert(p.contains("levenshtein"),
+      "verification must be the codegen levenshtein, not a UDF")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation regressed to a cross product:\n$p")
+    // both sides fan out via Generate (explode) before the key join —
+    // the constant-per-string probe enumeration, never an all-pairs
+    assert(occurrences(p, "Generate explode") >= 2,
+      "segment/probe enumeration must be the explode fan-out")
+    assert(p.contains("HashAggregate"),
+      "candidate pair distinct lost its hash aggregation")
+  }
+
   test("q270: a maintenance batch reads state + delta parquet only — no join, no base re-scan") {
     // asserted on the building block (the foreachBatch body runs
     // during query construction, so the query's own plan only shows

@@ -1348,11 +1348,25 @@ object Dedup {
     * regime belongs to an exact small-bucket product, not to this
     * pigeonhole.
     *
+    * ADMISSION GUARD (the q174/pairBudget discipline, triggered by
+    * this operator's own sf1 rehearsal): segment selectivity is a
+    * function of the KEY, not the corpus — 7-char segments (30-char
+    * keys at d = 3) over natural-ish text saturated their buckets and
+    * the candidate space grew ~quadratically (337K pairs at 5K docs →
+    * 30.8M at 50K — a disk-filling ~3G at 500K) while the TRUE answer
+    * stayed sparse (~2.8K). The exact candidate bound
+    * Σ_key |segments| · |probes| is knowable from two linear
+    * aggregations BEFORE the join fan-out; over `candBudget` the job
+    * refuses loudly with the measured bound and the escalation path
+    * (longer keys — 60-char keys cut the same corpus's candidates
+    * ~80× — or smaller d, never a silent quadratic).
+    *
     * Output: (doc_a < doc_b, dist), dist = exact levenshtein <= d.
     */
   def editDistanceJoin(df: DataFrame, id: Column, text: Column,
-                       d: Int): DataFrame = {
+                       d: Int, candBudget: Long = 1000000000L): DataFrame = {
     require(d >= 1 && d <= 5, "editDistanceJoin needs 1 <= d <= 5")
+    require(candBudget >= 1, "editDistanceJoin needs candBudget >= 1")
     val k = d + 1
     val docs = df.select(id.as("doc_id"), text.as("txt"))
       .withColumn("len",
@@ -1390,6 +1404,27 @@ object Dedup {
       .filter(col("pos") >= 0 && col("pos") + pLen <= col("len"))
       .withColumn("sub", col("txt").substr(col("pos") + 1, pLen))
       .select(col("doc_id").as("id_b"), col("la"), col("q"), col("sub"))
+      .cache() // guard + candidate join share one fan-out each
+               // (released by the runner's clearCache)
+    segs.cache()
+    // admission: exact candidate bound from two linear aggregations —
+    // refuse BEFORE the join can materialize a quadratic bucket space
+    val candBound = segs.groupBy("la", "q", "seg")
+      .agg(count(lit(1)).as("ns"))
+      .join(probes.groupBy(col("la").as("pla"), col("q").as("pq"),
+            col("sub"))
+          .agg(count(lit(1)).as("np")),
+        col("la") === col("pla") && col("q") === col("pq") &&
+          col("seg") === col("sub"))
+      .agg(coalesce(sum(col("ns") * col("np")), lit(0L)))
+      .head().getLong(0)
+    require(candBound <= candBudget,
+      s"editDistanceJoin: candidate bound $candBound exceeds " +
+        s"candBudget=$candBudget - the segment buckets are saturated " +
+        "for this key length (pigeonhole selectivity is a property " +
+        "of the KEY, not the corpus). Escalate to a longer key " +
+        "column, a smaller d, or raise candBudget if the cluster's " +
+        "shuffle capacity genuinely covers it.")
     val cand = segs.join(probes,
         segs("la") === probes("la") && segs("q") === probes("q") &&
           col("seg") === col("sub") && col("id_a") =!= col("id_b"))

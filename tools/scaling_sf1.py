@@ -126,7 +126,17 @@ R10_NARRATIVE = (
     "star join, q229 bucketed co-located join, q88 incremental "
     "upsert — exactly the shapes whose constants change character "
     "when the base side stops fitting in memory; all four hold "
-    "sublinear (exp 0.60/0.63/0.61/0.43), no ⚠.")
+    "sublinear (exp 0.60/0.63/0.61/0.43), no ⚠. The three round-12 "
+    "operators rehearsed through both decades on arrival: q272 outer "
+    "interval join exp 0.56 (trigger-count dominated), q273 top-k IVM "
+    "exp 0.48 (θ-admission keeps batches delta-sized), q274 "
+    "edit-distance join exp 0.86 — and q274's FIRST sf1 run caught "
+    "segment-bucket saturation (30-char keys: 337K → 30.8M candidates "
+    "for 10× docs against a ~2.8K-pair truth, a disk-filling ~3G at "
+    "sf10), which became the operator's candidate-budget admission "
+    "guard plus the 60-char production key (~80× fewer candidates) "
+    "BEFORE any production-scale run could hit it — the rehearsal "
+    "discipline doing exactly its job.")
 
 
 def parse(path):

@@ -448,5 +448,50 @@ object JoinQueries {
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM post GROUP BY 1 ORDER BY 1""".stripMargin),
       "distinct-count IVM: support-table state == from-scratch COUNT(DISTINCT) on the post-change table"),
+
+    // q275 — DYNAMIC PARTITION PRUNING: the cornerstone 100 TB scan
+    // mechanism the suite had not yet pinned. The fact lands
+    // partitioned by priority (the lake's partitionBy discipline, one
+    // dir per value); the dim's qualifying priorities exist only at
+    // RUNTIME (derived from nation rows filtered by region — no
+    // literal in-list the planner could fold), so a static plan must
+    // scan all five partitions while DPP inserts a subquery filter on
+    // the fact's PARTITION column and the scan reads 2 of 5
+    // partitions (regions {1,3} ≡ nationkeys {1,3} mod 5 → priorities
+    // {2-HIGH, 4-NOT SPECIFIED}). At 100 TB this is the difference
+    // between reading the whole fact and reading the qualifying
+    // slice; the plan contract pins the `dynamicpruning` expression
+    // on the scan. Fact written once per JVM (FeedCache — a fixture,
+    // exactly like the streaming feeds).
+    Q("q275_dynamic_partition_pruning",
+      (s, d) => {
+        val fact = graft.util.FeedCache.ensure("q275_fact", d) { p =>
+          Tables(s, d, "orders").select(
+              col("o_orderkey"),
+              round(col("o_totalprice") * 100).cast("long").as("cents"),
+              col("o_orderpriority").as("pri"))
+            .write.mode("overwrite").partitionBy("pri").parquet(p) }
+        val prios = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW").map(lit): _*)
+        val dim = Tables(s, d, "nation")
+          .filter(col("n_regionkey").isin(1, 3))
+          .select(element_at(prios,
+            (col("n_nationkey") % 5).cast("int") + 1).as("pri"))
+          .distinct()
+        s.read.parquet(fact).join(dim, "pri")
+          .groupBy("pri")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .orderBy("pri")
+      },
+      Some("""WITH dimp AS (SELECT DISTINCT
+        |    ['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']
+        |      [CAST(n_nationkey % 5 AS INT) + 1] AS pri
+        |  FROM nation WHERE n_regionkey IN (1, 3))
+        |SELECT o.o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders o JOIN dimp ON dimp.pri = o.o_orderpriority
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "dynamic partition pruning: runtime dim-derived partition filter on the partitioned fact scan (plan-contracted)"),
   )
 }

@@ -624,6 +624,21 @@ class PlansSpec extends SparkSpec {
       "candidate pair distinct lost its hash aggregation")
   }
 
+  test("q275: fact scan carries a dynamicpruning partition filter from the runtime dim") {
+    val p = plan("q275_dynamic_partition_pruning")
+    // the qualifying priorities exist only at runtime (nation-derived)
+    // — the partitioned fact scan must carry the DPP subquery filter,
+    // not read all five partitions
+    assert(p.contains("dynamicpruning"),
+      s"partitioned fact scan lost dynamic partition pruning:\n$p")
+    assert(p.contains("PartitionFilters"),
+      "fact scan must prune on the partition column")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "2-row dim must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the DPP join:\n$p")
+  }
+
   test("q270: a maintenance batch reads state + delta parquet only — no join, no base re-scan") {
     // asserted on the building block (the foreachBatch body runs
     // during query construction, so the query's own plan only shows

@@ -493,5 +493,81 @@ object JoinQueries {
         |FROM orders o JOIN dimp ON dimp.pri = o.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin),
       "dynamic partition pruning: runtime dim-derived partition filter on the partitioned fact scan (plan-contracted)"),
+
+    // q276 — RUNTIME BLOOM-FILTER join pruning: DPP's row-level
+    // sibling, for the join 100 TB clusters actually dread — fact ⋈
+    // dim on a NON-partition column with the dim too big to
+    // broadcast. Spark's InjectRuntimeFilter builds a bloom filter
+    // over the dim's selective side and pushes
+    // `might_contain(xxhash64(key))` into the fact scan, so the
+    // shuffle carries only rows that can possibly match instead of
+    // the whole fact. The injection thresholds default to
+    // cluster-scale sizes (application side > 10 GB), so the query
+    // pins them for the bench corpus and DISABLES auto-broadcast —
+    // the broadcast join would be the right plan at this SF, but the
+    // mechanism under contract is the one that matters when the dim
+    // side outgrows broadcast (conf set/restored around planning, the
+    // serial-session discipline). Semantics are untouched: the bloom
+    // filter only PRUNES — the join itself re-verifies every
+    // surviving row — so the oracle is the plain join.
+    Q("q276_runtime_bloom_join",
+      (s, d) => {
+        // CONF-WINDOW SUBTLETY: Spark optimizes LAZILY — a frame
+        // returned from inside a set/restore block would plan AFTER
+        // the restore and the filter would silently never inject.
+        // The aggregate (3 rows) therefore MATERIALIZES inside the
+        // window (localCheckpoint); the work is still timed (the
+        // query fn runs it) and the plan contract builds the frame
+        // under the same confs (q276Frame, shared).
+        withBloomConfs(s) {
+          q276Frame(s, d).localCheckpoint(eager = true)
+        }.orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "runtime bloom-filter join pruning: might_contain pushed into the fact scan of a shuffle join (plan-contracted)"),
   )
+
+  /** q276's conf window: bloom injection on, application-side size
+    * threshold collapsed to the bench corpus, auto-broadcast off (the
+    * dim-outgrows-broadcast scenario under contract). Set/restore —
+    * safe under the repo's serial-session execution contract (the
+    * withStateParts discipline).
+    */
+  private[graft] def withBloomConfs[T](
+      s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1")
+      f
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  /** q276's logical frame — shared by the query (which materializes
+    * it inside the conf window) and the PlansSpec contract (which
+    * explains it inside the same window).
+    */
+  private[graft] def q276Frame(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val dim = t(s, d, "part")
+      .filter(col("p_size") < 5)
+      .select(col("p_partkey"))
+    t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+  }
 }

@@ -639,6 +639,26 @@ class PlansSpec extends SparkSpec {
       s"cartesian in the DPP join:\n$p")
   }
 
+  test("q276: runtime bloom filter pushed into the fact scan of the shuffle join") {
+    // built inside the conf window — the injection happens at
+    // optimization time, so the frame must be EXPLAINED under the
+    // same confs the query materializes under (the lazy-planning
+    // subtlety q276's body documents)
+    val p = graft.queries.JoinQueries.withBloomConfs(spark) {
+      val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      try graft.queries.JoinQueries.q276Frame(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    }
+    assert(p.contains("might_contain"),
+      s"bloom filter not injected into the fact side:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the contracted scenario is the shuffle join (dim outgrows broadcast)")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the bloom-pruned join:\n$p")
+  }
+
   test("q270: a maintenance batch reads state + delta parquet only — no join, no base re-scan") {
     // asserted on the building block (the foreachBatch body runs
     // during query construction, so the query's own plan only shows

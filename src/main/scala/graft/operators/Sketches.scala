@@ -187,4 +187,80 @@ object Sketches {
     regs.crossJoin(broadcast(est)).crossJoin(broadcast(nTrue))
       .select(col("register"), col("rho"), col("est"), col("n_true"))
   }
+
+  /** Per-group HLL register PARTIAL of one insert batch — the
+    * distinct-IVM state for cardinalities where the exact support
+    * table (q270, size ∝ total distinct values) is unaffordable: at
+    * most m = 2^p rows per group, FOREVER, whatever the data volume.
+    * Registers are sparse (an absent register means rho 0), so small
+    * groups cost only their occupied registers.
+    *
+    * The state algebra is register-wise MAX — associative, commutative
+    * and IDEMPOTENT, which buys what neither counter nor support state
+    * has: replaying a duplicate batch (at-least-once delivery, a
+    * BatchState retry) is a NO-OP on the merged state, so the sketch
+    * path needs no exactly-once bookkeeping at all. The price is
+    * insert-only maintenance — max has no inverse, so a workload with
+    * retractions takes the exact support state instead; the two are a
+    * documented pairing (q270 exact / q277 approximate), not
+    * alternatives hiding each other's limits.
+    *
+    * Scale shape: one map-side-combined aggregation per batch keyed on
+    * (group, register) — partials collapse every partition to ≤ m rows
+    * per group before the one tiny shuffle; maintenance never rescans
+    * history ([[mergeHllState]] is state ∪ partial → max).
+    */
+  def hllState(df: DataFrame, groupCols: Seq[String], key: Column,
+               p: Int): DataFrame = {
+    require(p >= 2 && p <= 16, "hllState supports p in [2,16]")
+    val m = 1 << p
+    val h = hash60(key.cast("string"), 0)
+    val rem = shiftright(h, p)
+    df.select(groupCols.map(col) :+ pmod(h, lit(m)).as("register")
+        :+ when(rem === 0, lit((60 - p) + 1).cast("long"))
+          .otherwise((lit((60 - p) + 1) - length(bin(rem))).cast("long"))
+          .as("rho"): _*)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max("rho").as("rho"))
+  }
+
+  /** Merge register states/partials by (group, register) max — the
+    * abelian idempotent fold that makes the state batch-split and
+    * replay invariant ([[hllState]]'s header). Inputs are
+    * select-normalized before the union (the round-10 positional-union
+    * lesson).
+    */
+  def mergeHllState(states: Seq[DataFrame],
+                    groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeHllState needs at least one state")
+    val keys = (groupCols :+ "register").map(col)
+    states.map(_.select(keys :+ col("rho"): _*))
+      .reduce(_ unionAll _)
+      .groupBy(keys: _*).agg(max("rho").as("rho"))
+  }
+
+  /** Derive the per-group raw-HLL estimate from a sparse register
+    * state: sv = Σ_occupied 2^(60−rho) + (m − n_occupied)·2^60 (the
+    * absent registers' rho-0 terms restored in closed form — no dense
+    * m-row completion per group), est = 0.709·m² · 2^60 div (sv/1000)
+    * in exact decimal arithmetic, same constants as [[hllReplay]] so
+    * the oracle replays the estimate bit-for-bit.
+    */
+  def hllEstimateFromState(state: DataFrame, groupCols: Seq[String],
+                           p: Int): DataFrame = {
+    require(p >= 2 && p <= 16, "hllEstimateFromState supports p in [2,16]")
+    val m = 1 << p
+    val pow60 = "CAST(1152921504606846976 AS DECIMAL(38,0))" // 2^60
+    val alphaNum = BigDecimal(709) * m * m * BigDecimal(2).pow(60)
+    state
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(
+          "CAST(shiftleft(CAST(1 AS BIGINT), 60 - CAST(rho AS INT)) AS DECIMAL(38,0))"))
+          .as("__sv_occ"))
+      .select(groupCols.map(col) :+ col("n_regs") :+ expr(
+        s"""CAST(CAST($alphaNum AS DECIMAL(38,0)) div
+           |(1000 * (__sv_occ + ($m - n_regs) * $pow60)) AS BIGINT)"""
+          .stripMargin.replace('\n', ' ')).as("est"): _*)
+  }
 }

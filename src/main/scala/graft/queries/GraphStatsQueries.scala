@@ -1393,5 +1393,64 @@ object GraphStatsQueries {
         |FROM comp, mv
         |ORDER BY n_nodes DESC, component LIMIT 25""".stripMargin),
       "distributed connected components (6 min-label rounds, convergence audited) over the sparse co-purchase graph"),
+
+    // q277 — APPROXIMATE distinct-IVM with fixed-size register state:
+    // the companion to q270's exact support table for cardinalities
+    // where "state ∝ total distinct values" is unaffordable — per-group
+    // HLL registers (p=6, ≤ 64 rows per group FOREVER) maintained
+    // across three md5-gated insert batches, with one batch REPLAYED
+    // into the merge (at-least-once retry): register-wise max is
+    // idempotent, so the duplicate is a provable no-op — the property
+    // neither counters nor support sums have, and the reason the
+    // sketch path needs no exactly-once bookkeeping. The oracle
+    // recomputes registers and estimate from the unsplit table in one
+    // pass: equality proves batch-split invariance AND replay immunity
+    // in the same hash compare. Insert-only by construction (max has
+    // no inverse) — retraction workloads take q270. Exact n_true rides
+    // along as the audit column (q179's contract discipline).
+    Q("q277_hll_distinct_ivm",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        import graft.operators.Sketches
+        val ev = Tables(s, d, "events").select(
+          col("event_type"), col("user_id"),
+          (hash60(col("event_id").cast("string"), 7) % 3).as("b"))
+        val parts = (0 until 3).map(b =>
+          Sketches.hllState(ev.filter(col("b") === b),
+            Seq("event_type"), col("user_id"), p = 6))
+        val merged = Sketches.mergeHllState(parts, Seq("event_type"))
+        // duplicate replay of batch 0: must change nothing
+        val replayed = Sketches.mergeHllState(
+          Seq(merged, parts(0)), Seq("event_type"))
+        val nTrue = Tables(s, d, "events").groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("n_true"))
+        Sketches.hllEstimateFromState(replayed, Seq("event_type"), p = 6)
+          .join(broadcast(nTrue), "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type,
+        |    CAST(('0x' || substring(md5('0#' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h % 64 AS register,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |         ELSE 55 - length(bin(h >> 6)) END AS rho0
+        |  FROM h),
+        |occ AS (SELECT event_type, register, max(rho0) AS rho
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS n_regs,
+        |    sum(CAST(1 AS HUGEINT) << CAST(60 - rho AS INT)) AS sv_occ
+        |  FROM occ GROUP BY 1),
+        |est AS (SELECT event_type, CAST(n_regs AS BIGINT) AS n_regs,
+        |    CAST((709 * 64 * 64 * (CAST(1 AS HUGEINT) << 60)) //
+        |      (1000 * (sv_occ + (64 - n_regs) *
+        |        (CAST(1 AS HUGEINT) << 60))) AS BIGINT) AS est
+        |  FROM agg),
+        |n AS (SELECT event_type, count(DISTINCT user_id) AS n_true
+        |  FROM events GROUP BY 1)
+        |SELECT est.event_type, est.n_regs, est.est, n.n_true
+        |FROM est JOIN n USING (event_type)
+        |ORDER BY event_type""".stripMargin),
+      "approximate distinct-IVM: fixed-size per-group HLL register state, batch-split + duplicate-replay invariant, estimate replayed exactly by the oracle"),
   )
 }

@@ -153,4 +153,43 @@ object IvmProperties extends Properties("graft.ivm") {
         }.toSet
         stateA == stateB && stateA == supportTruth && got == viewTruth
     }
+
+  /** The approximate counterpart (q277): per-group HLL register state
+    * under ANY batch split AND duplicate batch replays must merge to
+    * the one-pass state — max is associative, commutative and
+    * idempotent, so at-least-once redelivery is a provable no-op.
+    * Insert-only lives (no deletes) because max has no inverse; that
+    * boundary is the operator's documented contract, not a test gap.
+    */
+  property("hll register state: any batch split + duplicate replays merge to the one-pass state") =
+    forAll(for {
+      nb <- Gen.choose(2, 4)
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("g0", "g1")
+        k <- Gen.choose(0L, 50L)
+        b <- Gen.choose(0, nb - 1)
+      } yield (g, k, b))
+      replay <- Gen.choose(0, nb - 1)
+    } yield (nb, rows, replay)) { case (nb, rows, replay) =>
+      import spark.implicits._
+      import graft.operators.Sketches
+      val partials = (0 until nb).map { b =>
+        Sketches.hllState(
+          rows.filter(_._3 == b).map(r => (r._1, r._2)).toDF("g", "k"),
+          Seq("g"), col("k"), p = 4)
+      }
+      val merged = Sketches.mergeHllState(
+        partials :+ partials(replay), Seq("g"))
+      val onePass = Sketches.hllState(
+        rows.map(r => (r._1, r._2)).toDF("g", "k"), Seq("g"), col("k"),
+        p = 4)
+      val a = merged.as[(String, Long, Long)].collect().toSet
+      val b = onePass.as[(String, Long, Long)].collect().toSet
+      val estA = Sketches.hllEstimateFromState(merged, Seq("g"), p = 4)
+        .as[(String, Long, Long)].collect().toSet
+      val estB = Sketches.hllEstimateFromState(onePass, Seq("g"), p = 4)
+        .as[(String, Long, Long)].collect().toSet
+      a == b && estA == estB
+    }
 }

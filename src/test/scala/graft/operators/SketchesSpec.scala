@@ -101,4 +101,50 @@ class SketchesSpec extends SparkSpec {
       "est_intersect = (n_both_in_k * est_union) div k")
     assert((got.getLong(5), got.getLong(6)) === ((90L, 30L)))
   }
+
+  private def grouped(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toDF("g", "k")
+  }
+
+  test("hllState: sparse per-group registers, duplicates absorbed, state agrees with hllReplay") {
+    import spark.implicits._
+    // duplicates of the same key must not add registers or move rho
+    val st = Sketches.hllState(
+      grouped(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")),
+      Seq("g"), col("k"), p = 6)
+      .as[(String, Long, Long)].collect().toSet
+    val regsA = st.filter(_._1 == "a")
+    assert(regsA.size <= 2 && regsA.nonEmpty, s"sparse occupied-only rows: $st")
+    // group b's single-key state matches the whole-table replay's
+    // occupied register for the same key (same hash derivation)
+    val replay = Sketches.hllReplay(Seq("x").toDF("k"), col("k"), p = 6)
+      .filter(col("rho") > 0).as[(Long, Long, Long, Long)].collect()
+    assert(st.filter(_._1 == "b").map(r => (r._2, r._3)) ===
+      replay.map(r => (r._1, r._2)).toSet)
+  }
+
+  test("hllState/mergeHllState: split + duplicate replay == one pass; estimate exact under-m behavior") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => (if (i % 2 == 0) "even" else "odd", s"k$i"))
+    val b0 = grouped(rows.take(15): _*)
+    val b1 = grouped(rows.drop(15): _*)
+    val p0 = Sketches.hllState(b0, Seq("g"), col("k"), p = 6)
+    val p1 = Sketches.hllState(b1, Seq("g"), col("k"), p = 6)
+    // replay p0 twice: idempotent merge must equal the one-pass state
+    val merged = Sketches.mergeHllState(Seq(p0, p1, p0), Seq("g"))
+    val onePass = Sketches.hllState(grouped(rows: _*), Seq("g"), col("k"), p = 6)
+    assert(merged.as[(String, Long, Long)].collect().toSet ===
+      onePass.as[(String, Long, Long)].collect().toSet)
+    val est = Sketches.hllEstimateFromState(merged, Seq("g"), p = 6)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, _, e) => g -> e }.toMap
+    // RAW estimator sanity band only: at 20 keys in 64 registers the
+    // raw formula sits in its known high-bias regime (n ≪ m is where
+    // full HLL would switch to linear counting — q277 reports the raw
+    // value by contract, same as q179, with n_true alongside), so the
+    // band is wide; exactness is the oracle's job, equality-under-merge
+    // is asserted above
+    est.values.foreach(e => assert(e >= 10 && e <= 200, s"est out of band: $est"))
+  }
 }

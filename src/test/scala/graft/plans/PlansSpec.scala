@@ -689,4 +689,33 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       "support merge lost its map-side combine")
   }
+
+  test("q277: HLL maintenance batch reads state + batch parquet only — no join, map-side max") {
+    // same discipline as the q270 contract, on the approximate state:
+    // one batch's maintenance = register partial over the batch file
+    // merged (register-wise max) against the stored state. Two parquet
+    // scans, partial-combined max aggs, ZERO joins — and the state the
+    // merge scans is ≤ m rows per group, never the corpus.
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.TmpDirs.perProcess("graft_q277_plan_probe")
+    val ev = graft.util.Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id"))
+    graft.operators.Sketches.hllState(ev, Seq("event_type"),
+        col("user_id"), p = 6)
+      .write.mode("overwrite").parquet(s"$dir/state_0")
+    ev.limit(50).write.mode("overwrite").parquet(s"$dir/batch_1")
+    val merged = graft.operators.Sketches.mergeHllState(Seq(
+      spark.read.parquet(s"$dir/state_0"),
+      graft.operators.Sketches.hllState(
+        spark.read.parquet(s"$dir/batch_1"), Seq("event_type"),
+        col("user_id"), p = 6)),
+      Seq("event_type"))
+    val p = merged.queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Join"),
+      s"HLL-IVM maintenance batch grew a join:\n$p")
+    assert(occurrences(p, "FileScan") === 2,
+      s"maintenance must read exactly the stored state and the batch file:\n$p")
+    assert(p.contains("partial_max"),
+      "register merge lost its map-side combine")
+  }
 }

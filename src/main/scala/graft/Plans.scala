@@ -166,7 +166,8 @@ object Plans {
     "q273_topk_ivm_refill" -> "the READ plan (maintenance ran per batch under BatchState): flagged-group routing by broadcast LeftSemi (base refill scan gated per flagged group) and LeftAnti (healthy buffers served from state), final lists on the TopKPerKey node — no window over anything corpus-sized, no cartesian; per-batch maintenance cost is O(|delta above θ| + B·|groups|) by the θ-admission filter.",
     "q274_edit_distance_join" -> "pigeonhole candidates meet on a hash-partitioned (partner-length, segment, content) key join fed by constant-per-string explode fan-outs — (2d+1)²(d+1) probe keys per string, never an all-pairs — then ONE distinct and a per-pair codegen levenshtein verify; lossless by the PassJoin segment argument, candidate space admission-bounded (Σ|seg|·|probe| over budget refuses loudly).",
     "q275_dynamic_partition_pruning" -> "the partitioned fact scan carries PartitionFilters: [... dynamicpruningexpression(pri IN dynamicpruning#N)] — the qualifying partition values exist only at runtime (nation-derived dim, no foldable in-list), and DPP reads 2 of 5 partitions instead of the whole fact; the 2-row dim broadcasts. At 100 TB this is the whole-fact-vs-qualifying-slice scan decision, plan-contracted.",
-    "q277_hll_distinct_ivm" -> "approximate distinct-IVM: per-group sparse HLL registers (p=6, ≤ 64 rows per group FOREVER) built per md5-gated batch by one map-side-combined (group, register) max agg, merged by the same idempotent max — a duplicate batch replay is a provable no-op, so at-least-once delivery needs no exactly-once bookkeeping; maintenance is JOIN-FREE (plan-contracted like q270's) and the only join in the query is the broadcast of the exact n_true audit. The 100 TB contrast: q270's exact support state grows with total distinct values; this state is capped at m rows per group whatever the volume.")
+    "q277_hll_distinct_ivm" -> "approximate distinct-IVM: per-group sparse HLL registers (p=6, ≤ 64 rows per group FOREVER) built per md5-gated batch by one map-side-combined (group, register) max agg, merged by the same idempotent max — a duplicate batch replay is a provable no-op, so at-least-once delivery needs no exactly-once bookkeeping; maintenance is JOIN-FREE (plan-contracted like q270's) and the only join in the query is the broadcast of the exact n_true audit. The 100 TB contrast: q270's exact support state grows with total distinct values; this state is capped at m rows per group whatever the volume.",
+    "q278_cms_frequency_ivm" -> "approximate frequency-IVM with RETRACTIONS: signed count-min cells (d=4, w=256, ≤ 1024 cells FOREVER) built per batch by one map-side-combined (r, bkt) sum, merged by abelian addition — linearity makes the merged state equal the one-pass sketch of the post-change table, deletes subtract from exactly the cells their inserts added, and every estimate dominates the true count for consistent histories. Maintenance is JOIN-FREE (plan-contracted); the probe pass broadcasts the ≤ d·w-cell state. The matrix this completes: q200 exact counts / q270 exact distinct / q277 approx distinct (insert-only, replay-immune) / q278 approx counts (retractable, replay-sensitive — keeps the BatchState commit discipline).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

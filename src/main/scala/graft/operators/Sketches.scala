@@ -239,6 +239,80 @@ object Sketches {
       .groupBy(keys: _*).agg(max("rho").as("rho"))
   }
 
+  /** Signed COUNT-MIN cell partial of one batch — the approximate
+    * FREQUENCY-IVM state, completing the matrix the exact/approximate
+    * pairing spans: q200/applyAggDelta (exact per-key counts, state ∝
+    * keys) ↔ this (approximate counts, state ≤ depth·width cells
+    * FOREVER), as q270's support table (exact distinct) ↔ q277's HLL
+    * registers (approximate distinct). Unlike HLL's max, CMS cells
+    * are SUMS — abelian with an inverse — so retractions work (a
+    * delete subtracts from the same depth cells its insert added, and
+    * the estimate stays ≥ the true count for any consistent history:
+    * every cell holds true_count(key) + Σ colliding net counts, all
+    * ≥ 0). The flip side, documented not hidden: sums are NOT
+    * idempotent, so a replayed batch double-counts — CMS maintenance
+    * needs the BatchState commit discipline that HLL's idempotent max
+    * lets q277 skip.
+    *
+    * `delta` carries `sign` (+1 insert, −1 retraction of an existing
+    * row). Cells landing at 0 are compacted away (absent == 0 for
+    * both the estimate's left join and every future merge). Hashing
+    * is `hash60(key, 101 + r)` — the q118 constants, so the DuckDB
+    * oracle replays every cell.
+    *
+    * Scale shape: one map-side-combined aggregation per batch keyed
+    * on (r, bkt) — ≤ depth·width rows survive per partition before
+    * the one tiny shuffle; maintenance never rescans history
+    * ([[mergeCmsState]] is state ∪ partial → sum).
+    */
+  def cmsState(delta: DataFrame, key: Column, depth: Int,
+               width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "cmsState needs depth >= 1, width >= 2")
+    val rows = delta.select(key.cast("string").as("__k"),
+      col("sign").cast("long").as("sign"))
+    rows.select(col("sign"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          (hash60(col("__k"), 101 + r) % width).cast("int").as("bkt"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .agg(sum("sign").as("c"))
+      .filter(col("c") =!= 0L)
+  }
+
+  /** Merge CMS cell states/partials by (r, bkt) addition — abelian, so
+    * any batch split folds to the same state; zero cells compacted
+    * ([[cmsState]]'s header). Inputs select-normalized before the
+    * union (the round-10 positional-union lesson).
+    */
+  def mergeCmsState(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeCmsState needs at least one state")
+    states.map(_.select(col("r"), col("bkt"), col("c")))
+      .reduce(_ unionAll _)
+      .groupBy("r", "bkt").agg(sum("c").as("c"))
+      .filter(col("c") =!= 0L)
+  }
+
+  /** Point estimates from a CMS state for the keys of `probes`
+    * (expected distinct on `key`): min over the depth cells, absent
+    * cells reading 0 through the left join. Broadcasting the ≤
+    * depth·width-cell state makes the probe pass one map-side join —
+    * the whole reason the sketch replaces a key-cardinality shuffle.
+    */
+  def cmsEstimateFor(state: DataFrame, probes: DataFrame, key: Column,
+                     depth: Int, width: Int): DataFrame = {
+    val keyed = probes.withColumn("__k", key.cast("string"))
+    keyed
+      .select(col("*"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          (hash60(col("__k"), 101 + r) % width).cast("int").as("bkt"))): _*))
+        .as("rb"))
+      .select(col("*"), col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .join(broadcast(state), Seq("r", "bkt"), "left")
+      .groupBy((keyed.columns.map(col)): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+      .drop("__k")
+  }
+
   /** Derive the per-group raw-HLL estimate from a sparse register
     * state: sv = Σ_occupied 2^(60−rho) + (m − n_occupied)·2^60 (the
     * absent registers' rho-0 terms restored in closed form — no dense

@@ -1452,5 +1452,73 @@ object GraphStatsQueries {
         |FROM est JOIN n USING (event_type)
         |ORDER BY event_type""".stripMargin),
       "approximate distinct-IVM: fixed-size per-group HLL register state, batch-split + duplicate-replay invariant, estimate replayed exactly by the oracle"),
+
+    // q278 — APPROXIMATE frequency-IVM with RETRACTIONS: the cell of
+    // the IVM matrix q200 (exact counts, state ∝ keys), q270 (exact
+    // distinct), and q277 (approximate distinct, insert-only) leave
+    // open — per-user event counts maintained in a signed COUNT-MIN
+    // sketch (d=4, w=256, ≤ 1024 cells FOREVER) under the q262 md5
+    // gates: base inserts, new inserts, 5% retractions, one signed
+    // cell partial per batch, merged by abelian (r, bkt) addition.
+    // Linearity makes the merged state EQUAL the one-pass sketch of
+    // the post-change table — which is what the oracle recomputes, so
+    // the hash match proves split invariance AND retraction handling
+    // at once. Estimates for the post-change exact top-10 users ride
+    // with exact counts and the (provably ≥ 0) overcount; the 100 TB
+    // contrast with q277 is documented in cmsState's header: sums
+    // retract but do NOT absorb replays, so CMS maintenance keeps the
+    // BatchState commit discipline HLL's idempotent max can skip.
+    Q("q278_cms_frequency_ivm",
+      (s, d) => {
+        import graft.functions.TextFunctions.hash60
+        import graft.operators.Sketches
+        val ev = Tables(s, d, "events").select(
+          col("user_id"),
+          (hash60(col("event_id").cast("string"), 7) % 1000).as("ha"),
+          (hash60(col("event_id").cast("string"), 8) % 1000).as("hd"))
+        val base = ev.filter(col("ha") < 900)
+          .select(col("user_id"), lit(1L).as("sign"))
+        val ins = ev.filter(col("ha") >= 900)
+          .select(col("user_id"), lit(1L).as("sign"))
+        val del = ev.filter(col("ha") < 900 && col("hd") < 50)
+          .select(col("user_id"), lit(-1L).as("sign"))
+        val merged = Sketches.mergeCmsState(Seq(base, ins, del)
+          .map(b => Sketches.cmsState(b, col("user_id"), 4, 256)))
+        val post = base.unionAll(ins).unionAll(del)
+          .groupBy("user_id").agg(sum("sign").as("exact_cnt"))
+          .filter(col("exact_cnt") =!= 0L)
+        val top = post.orderBy(col("exact_cnt").desc, col("user_id"))
+          .limit(10)
+        Sketches.cmsEstimateFor(merged, top, col("user_id"), 4, 256)
+          .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |    ('0x' || substring(md5('7#' ||
+        |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ha,
+        |    ('0x' || substring(md5('8#' ||
+        |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hd
+        |  FROM events),
+        |post AS (SELECT user_id FROM e
+        |  WHERE ha >= 900 OR (ha < 900 AND hd >= 50)),
+        |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM post GROUP BY 1),
+        |rb AS (SELECT user_id, exact_cnt, r.r,
+        |    CAST(('0x' || substring(md5((101 + r.r)::VARCHAR || '#' ||
+        |      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 256 AS INTEGER) AS bkt
+        |  FROM exact, generate_series(0, 3) AS r(r)),
+        |sums AS (SELECT r, bkt, CAST(sum(exact_cnt) AS BIGINT) AS c
+        |  FROM rb GROUP BY r, bkt),
+        |top AS (SELECT user_id, exact_cnt FROM exact
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 10)
+        |SELECT t.user_id, t.exact_cnt, min(s.c) AS cms_est,
+        |  min(s.c) - t.exact_cnt AS overcount
+        |FROM top t JOIN rb ON rb.user_id = t.user_id
+        |JOIN sums s ON s.r = rb.r AND s.bkt = rb.bkt
+        |GROUP BY t.user_id, t.exact_cnt
+        |ORDER BY t.exact_cnt DESC, t.user_id""".stripMargin),
+      "approximate frequency-IVM with retractions: signed count-min cell state (d=4 w=256), merged == one-pass sketch of the post-change table, cells replayed exactly by the oracle"),
   )
 }

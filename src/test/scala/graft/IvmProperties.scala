@@ -192,4 +192,43 @@ object IvmProperties extends Properties("graft.ivm") {
         .as[(String, Long, Long)].collect().toSet
       a == b && estA == estB
     }
+
+  /** The signed CMS (q278): linearity means the merged cell state of
+    * ANY batching of ANY consistent signed history equals the one-pass
+    * sketch of the surviving multiset — retractions included, which is
+    * what HLL's max cannot do — and every key's estimate dominates its
+    * true count (cells are true + Σ colliding net counts, all ≥ 0).
+    * Width 8 on a 20-key domain forces real collisions, so the
+    * dominance is tested where it is not vacuously equality.
+    */
+  property("signed CMS: any batching merges to the one-pass sketch; estimates dominate true counts") =
+    forAll(Gen.choose(2, 4).flatMap(nb => historyGen(nb).map((nb, _)))) {
+      case (nb, lives) =>
+        import spark.implicits._
+        import graft.operators.Sketches
+        val (d, w) = (3, 8)
+        val partials = (0 until nb).map { b =>
+          val rows =
+            lives.filter(_.ins == b).map(l => (s"${l.k}:${l.v}", 1L)) ++
+            lives.filter(_.del.contains(b)).map(l => (s"${l.k}:${l.v}", -1L))
+          Sketches.cmsState(rows.toDF("key", "sign"), col("key"), d, w)
+        }
+        val merged = Sketches.mergeCmsState(partials)
+        val surviving = lives.filter(_.del.isEmpty)
+          .map(l => (s"${l.k}:${l.v}", 1L))
+        val onePass = Sketches.cmsState(
+          surviving.toDF("key", "sign"), col("key"), d, w)
+        val a = merged.as[(Int, Int, Long)].collect().toSet
+        val b = onePass.as[(Int, Int, Long)].collect().toSet
+        val truth = surviving.groupBy(_._1).map { case (k, ls) =>
+          (k, ls.size.toLong)
+        }
+        val dominated = truth.isEmpty || {
+          val probes = truth.keys.toSeq.toDF("key")
+          Sketches.cmsEstimateFor(merged, probes, col("key"), d, w)
+            .as[(String, Long)].collect()
+            .forall { case (k, est) => est >= truth(k) }
+        }
+        a == b && dominated
+    }
 }

@@ -147,4 +147,33 @@ class SketchesSpec extends SparkSpec {
     // is asserted above
     est.values.foreach(e => assert(e >= 10 && e <= 200, s"est out of band: $est"))
   }
+
+  test("cmsState: retraction zeroes and compacts cells; replay double-counts (not idempotent)") {
+    import spark.implicits._
+    val d = 2; val w = 8
+    val ins = Sketches.cmsState(
+      Seq(("a", 1L), ("a", 1L), ("b", 1L)).toDF("k", "sign"), col("k"), d, w)
+    val del = Sketches.cmsState(
+      Seq(("b", -1L)).toDF("k", "sign"), col("k"), d, w)
+    // b fully retracted: its cells (where a doesn't collide) vanish
+    val merged = Sketches.mergeCmsState(Seq(ins, del))
+      .as[(Int, Int, Long)].collect().toSet
+    val aOnly = Sketches.cmsState(
+      Seq(("a", 1L), ("a", 1L)).toDF("k", "sign"), col("k"), d, w)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(merged === aOnly, "retraction must leave exactly a's sketch")
+    // sums are NOT idempotent: replaying the insert batch inflates —
+    // the documented contrast with hllState's replay immunity (q277),
+    // and why CMS maintenance keeps the BatchState commit discipline
+    val replayed = Sketches.mergeCmsState(Seq(ins, del, ins))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(replayed !== merged, "a replayed CMS batch must double-count")
+    val est = Sketches.cmsEstimateFor(
+      Sketches.mergeCmsState(Seq(ins, del)),
+      Seq("a", "b").toDF("k"), col("k"), d, w)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") === 2L)
+    assert(est("b") >= 0L && est("b") <= 2L,
+      "fully-retracted key reads 0 unless a collides into BOTH its cells")
+  }
 }

@@ -718,4 +718,29 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_max"),
       "register merge lost its map-side combine")
   }
+
+  test("q278: CMS maintenance batch reads state + batch parquet only — no join, map-side sum") {
+    // the frequency sibling of the q270/q277 contracts: one batch's
+    // maintenance = signed cell partial over the batch file merged
+    // ((r, bkt) sum) against the stored ≤ d·w-cell state. Two parquet
+    // scans, partial-combined sums, ZERO joins.
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.TmpDirs.perProcess("graft_q278_plan_probe")
+    val ev = graft.util.Tables(spark, sfDir, "events")
+      .select(col("user_id"), lit(1L).as("sign"))
+    graft.operators.Sketches.cmsState(ev, col("user_id"), 4, 256)
+      .write.mode("overwrite").parquet(s"$dir/state_0")
+    ev.limit(50).write.mode("overwrite").parquet(s"$dir/batch_1")
+    val merged = graft.operators.Sketches.mergeCmsState(Seq(
+      spark.read.parquet(s"$dir/state_0"),
+      graft.operators.Sketches.cmsState(
+        spark.read.parquet(s"$dir/batch_1"), col("user_id"), 4, 256)))
+    val p = merged.queryExecution.explainString(SimpleMode)
+    assert(!p.contains("Join"),
+      s"CMS-IVM maintenance batch grew a join:\n$p")
+    assert(occurrences(p, "FileScan") === 2,
+      s"maintenance must read exactly the stored state and the batch file:\n$p")
+    assert(p.contains("partial_sum"),
+      "cell merge lost its map-side combine")
+  }
 }

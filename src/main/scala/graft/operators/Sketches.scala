@@ -216,7 +216,13 @@ object Sketches {
     val m = 1 << p
     val h = hash60(key.cast("string"), 0)
     val rem = shiftright(h, p)
-    df.select(groupCols.map(col) :+ pmod(h, lit(m)).as("register")
+    // NULL keys are IGNORED — SQL COUNT(DISTINCT) semantics, and the
+    // contract the estimate needs: an unfiltered null hashes to a
+    // (group, NULL register) state row whose rho the harmonic sum
+    // skips but whose n_regs the completion term counts, silently
+    // skewing every estimate for the group.
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) :+ pmod(h, lit(m)).as("register")
         :+ when(rem === 0, lit((60 - p) + 1).cast("long"))
           .otherwise((lit((60 - p) + 1) - length(bin(rem))).cast("long"))
           .as("rho"): _*)
@@ -268,8 +274,12 @@ object Sketches {
   def cmsState(delta: DataFrame, key: Column, depth: Int,
                width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "cmsState needs depth >= 1, width >= 2")
-    val rows = delta.select(key.cast("string").as("__k"),
-      col("sign").cast("long").as("sign"))
+    // NULL keys are IGNORED (SQL COUNT(col) semantics) — unfiltered
+    // they would land a NULL-bucket cell row that every later merge
+    // carries and no probe can read (hllState's contract, same reason)
+    val rows = delta.filter(key.isNotNull)
+      .select(key.cast("string").as("__k"),
+        col("sign").cast("long").as("sign"))
     rows.select(col("sign"), explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"),
           (hash60(col("__k"), 101 + r) % width).cast("int").as("bkt"))): _*))

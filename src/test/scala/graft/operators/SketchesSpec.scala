@@ -176,4 +176,29 @@ class SketchesSpec extends SparkSpec {
     assert(est("b") >= 0L && est("b") <= 2L,
       "fully-retracted key reads 0 unless a collides into BOTH its cells")
   }
+
+  test("null keys are ignored by both sketch states (SQL count semantics)") {
+    import spark.implicits._
+    val withNull = Seq(Some("x"), None, Some("x"))
+      .map(k => ("g", k)).toDF("g", "k")
+    val clean = Seq(("g", "x"), ("g", "x")).toDF("g", "k")
+    assert(
+      Sketches.hllState(withNull, Seq("g"), col("k"), p = 6)
+        .as[(String, Long, Long)].collect().toSet ===
+      Sketches.hllState(clean, Seq("g"), col("k"), p = 6)
+        .as[(String, Long, Long)].collect().toSet,
+      "a NULL key must not mint a NULL-register state row")
+    val sWithNull = Sketches.cmsState(
+      withNull.withColumn("sign", lit(1L)), col("k"), 2, 8)
+    val sClean = Sketches.cmsState(
+      clean.withColumn("sign", lit(1L)), col("k"), 2, 8)
+    assert(sWithNull.as[(Int, Int, Long)].collect().toSet ===
+      sClean.as[(Int, Int, Long)].collect().toSet,
+      "a NULL key must not mint a NULL-bucket cell")
+    // a null probe reads 0 through the left join — absent == zero
+    val est = Sketches.cmsEstimateFor(sClean,
+      Seq(Option.empty[String]).toDF("k"), col("k"), 2, 8)
+      .select("cms_est").as[Long].collect()
+    assert(est === Array(0L))
+  }
 }

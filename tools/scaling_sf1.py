@@ -39,6 +39,25 @@ R9_NARRATIVE = (
     "corpora lean on the prefix filter, closed ones escalate to capped "
     "q23 / LSH q24 as documented).")
 
+R12_SF1_NARRATIVE = (
+    "Round-12 refresh (regenerated fixtures after a host reset; 46 "
+    "queries — the prior 42 plus q275 DPP, q276 bloom pruning, q277 "
+    "HLL distinct-IVM, q278 signed-CMS frequency-IVM, the last two "
+    "flat as fixed-size-state operators must be, exp 0.23/0.25). The "
+    "two ⚠ rows are q191/q194 — the BRUTE-FORCE all-pairs "
+    "mutual-NN / hard-negative mining ground truths, quadratic BY "
+    "DESIGN (they exist to gate the sampled and IVF production "
+    "variants' equality contracts; those variants hold exp ≤ "
+    "0.82 here: q247 0.62, q248 0.82, q254 0.73, q265/q266 via the "
+    "3-SF record). Their exponents read higher than the r10 rows "
+    "(0.91/0.87 → 1.31/1.34) because the sf0.1 DENOMINATORS "
+    "halved in this leaner 46-query pass (less suite context than "
+    "the old 42-run session), not because sf1 got slower (19.6 "
+    "→ 22.1 s, 24.6 → 27.5 s, within noise of the "
+    "regenerated fixture). Disposition unchanged from the r11 "
+    "verdict: exact ground truth stays at sf1 and below, the "
+    "sampled/IVF miners are the decade representatives.")
+
 R10_NARRATIVE = (
     "Second rehearsal decade (round 10): sf1 → sf10 on the IVF + "
     "graph heavy set, after the round-10 fixes (corpus-scaled "
@@ -170,7 +189,7 @@ def main(lo_path, hi_path, top="sf1"):
             f"Totals: sf0.1 = {lo['value']:.0f}s, sf1 = {hi['value']:.0f}s "
             f"({len(rows)} queries). Exponent = log₁₀(t₁/t₀.₁); "
             f"⚠ = worse than ~linear (exp > 1.15) at a material runtime.")
-        lines += ["", R9_NARRATIVE]
+        lines += ["", R9_NARRATIVE, "", R12_SF1_NARRATIVE]
     else:
         lines.append(
             f"Heavy-set rehearsal TWO decades past the driver's largest "

@@ -195,10 +195,26 @@ object Analytics {
     * |types|² aggregate.
     */
   def skipGramPairs(df: DataFrame, user: Column, ts: Column, ordId: Column,
-                    typ: Column, win: Int): DataFrame = {
+                    typ: Column, win: Int,
+                    pairBudget: Long = 1000000000L): DataFrame = {
     require(win >= 1, "skipGramPairs needs win >= 1")
-    val ranked = df.select(user.as("u"), ts.as("ts"), ordId.as("oid"),
+    val base = df.select(user.as("u"), ts.as("ts"), ordId.as("oid"),
         typ.as("typ"))
+      .cache() // guard count + rank window share one scan (released
+               // by the runner's clearCache)
+    // ADMISSION GUARD (AdmissionGuard, the q174 discipline): each row
+    // emits exactly 2·win probes, so 2·win·|rows| bounds the pair
+    // fan-out from above (boundary rows emit fewer). Linear in the
+    // corpus for fixed win — but a caller passing a corpus-scale win
+    // (skip-grams over whole sessions) reinvents the quadratic
+    // self-join; the bound names that before the shuffle pays for it.
+    AdmissionGuard.admit("skipGramPairs", "probe fan-out bound",
+      AdmissionGuard.measuredBound(base, count(lit(1)) * (2L * win)),
+      "pairBudget", pairBudget,
+      "The per-row probe fan-out 2*win at this corpus size exceeds " +
+        "the budget; shrink win or pre-filter the event stream to " +
+        "the sequence slice the trainer actually consumes.")
+    val ranked = base
       .withColumn("rn", row_number().over(
         Window.partitionBy("u").orderBy("ts", "oid")))
     val deltas = (-win to win).filter(_ != 0)

@@ -360,19 +360,16 @@ object Dedup {
     // the measured bound and the documented escalation path (capped
     // q23 n-gram Jaccard / LSH q24). Buckets over maxPost are dropped
     // by BoundedLongList (null → filtered), so they contribute 0.
-    val candBound = packed.groupBy("token")
-      .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(when(col("c") <= maxPost,
-        expr("c * (c - 1) div 2")).otherwise(lit(0L))), lit(0L)))
-      .head().getLong(0)
-    require(candBound <= pairBudget,
-      s"prefixJaccard: candidate-pair bound $candBound exceeds " +
-        s"pairBudget=$pairBudget — the lossless prefix join is " +
-        "inherently Omega(pairs) on this corpus (closed vocabulary / " +
-        "dense prefixes). Escalate to the capped n-gram Jaccard " +
-        "(Dedup.ngramJaccard, q23) or MinHash-LSH (Dedup.minhashLsh, " +
-        "q24), or raise pairBudget explicitly if the cluster's " +
-        "shuffle capacity genuinely covers it.")
+    AdmissionGuard.admit("prefixJaccard", "candidate-pair bound",
+      AdmissionGuard.measuredBound(
+        packed.groupBy("token").agg(count(lit(1)).as("c")),
+        sum(when(col("c") <= maxPost,
+          expr("c * (c - 1) div 2")).otherwise(lit(0L)))),
+      "pairBudget", pairBudget,
+      "The lossless prefix join is inherently Omega(pairs) on this " +
+        "corpus (closed vocabulary / dense prefixes); escalate to the " +
+        "capped n-gram Jaccard (Dedup.ngramJaccard, q23) or " +
+        "MinHash-LSH (Dedup.minhashLsh, q24).")
     val cand = bucketPairs(
         packed.groupBy(col("token"))
           .agg(graft.functions.BoundedLongList(col("pk"), maxPost).as("docs"))
@@ -1176,7 +1173,8 @@ object Dedup {
     */
   def sortedNeighborhoodPairs(df: DataFrame, id: Column, text: Column,
                               n: Int, keyLen: Int, blockLen: Int,
-                              win: Int, minBp: Long): DataFrame = {
+                              win: Int, minBp: Long,
+                              pairBudget: Long = 1000000000L): DataFrame = {
     require(win >= 2, "sortedNeighborhoodPairs needs win >= 2")
     require(minBp >= 1, "minBp >= 1 (zero-overlap pairs are never emitted)")
     val base = df.select(id.as("doc_id"), words(text).as("ws"),
@@ -1185,6 +1183,25 @@ object Dedup {
       .select(col("doc_id"), col("ws"),
         substring(col("t"), 1, keyLen).as("skey"),
         substring(col("t"), 1, blockLen).as("blk"))
+      .cache() // guard + rank window + gram branch share one scan
+               // (released by the runner's clearCache)
+    // ADMISSION GUARD (AdmissionGuard, the q174 discipline): the
+    // candidate fan-out is EXACT from block sizes alone — a block of
+    // c rows emits Σ_{k<c} min(win−1, k) pairs = C(c,2) when the
+    // whole block fits one window, else w(w+1)/2 + (c−1−w)·w with
+    // w = win−1. Callers widening `win` toward the block size turn
+    // SNM back into the all-pairs join it exists to avoid; the bound
+    // makes that visible before the fan-out, not after.
+    val w = win - 1L
+    AdmissionGuard.admit("sortedNeighborhoodPairs", "candidate-pair bound",
+      AdmissionGuard.measuredBound(
+        base.groupBy("blk").agg(count(lit(1)).as("c")),
+        sum(when(col("c") - 1 <= w, expr("c * (c - 1) div 2"))
+          .otherwise(lit(w * (w + 1) / 2) + (col("c") - 1 - w) * w))),
+      "pairBudget", pairBudget,
+      "The window spans whole blocks, so SNM has degenerated to " +
+        "all-pairs inside them; shrink win, lengthen blockLen, or " +
+        "escalate to MinHash-LSH (Dedup.minhashLsh, q24).")
     val ranked = base.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("blk").orderBy("skey", "doc_id")))
@@ -1409,22 +1426,20 @@ object Dedup {
     segs.cache()
     // admission: exact candidate bound from two linear aggregations —
     // refuse BEFORE the join can materialize a quadratic bucket space
-    val candBound = segs.groupBy("la", "q", "seg")
-      .agg(count(lit(1)).as("ns"))
-      .join(probes.groupBy(col("la").as("pla"), col("q").as("pq"),
-            col("sub"))
-          .agg(count(lit(1)).as("np")),
-        col("la") === col("pla") && col("q") === col("pq") &&
-          col("seg") === col("sub"))
-      .agg(coalesce(sum(col("ns") * col("np")), lit(0L)))
-      .head().getLong(0)
-    require(candBound <= candBudget,
-      s"editDistanceJoin: candidate bound $candBound exceeds " +
-        s"candBudget=$candBudget - the segment buckets are saturated " +
-        "for this key length (pigeonhole selectivity is a property " +
-        "of the KEY, not the corpus). Escalate to a longer key " +
-        "column, a smaller d, or raise candBudget if the cluster's " +
-        "shuffle capacity genuinely covers it.")
+    AdmissionGuard.admit("editDistanceJoin", "candidate bound",
+      AdmissionGuard.measuredBound(
+        segs.groupBy("la", "q", "seg")
+          .agg(count(lit(1)).as("ns"))
+          .join(probes.groupBy(col("la").as("pla"), col("q").as("pq"),
+                col("sub"))
+              .agg(count(lit(1)).as("np")),
+            col("la") === col("pla") && col("q") === col("pq") &&
+              col("seg") === col("sub")),
+        sum(col("ns") * col("np"))),
+      "candBudget", candBudget,
+      "The segment buckets are saturated for this key length " +
+        "(pigeonhole selectivity is a property of the KEY, not the " +
+        "corpus); escalate to a longer key column or a smaller d.")
     val cand = segs.join(probes,
         segs("la") === probes("la") && segs("q") === probes("q") &&
           col("seg") === col("sub") && col("id_a") =!= col("id_b"))

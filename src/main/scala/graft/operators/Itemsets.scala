@@ -53,6 +53,41 @@ object Itemsets {
     *   this form, since the materialized form's plan is just the
     *   checkpoint scan.
     */
+  /** Unordered co-occurrence pair counts over baskets — the
+    * market-basket primitive behind "frequently bought together"
+    * (q129). One shuffle builds per-basket distinct sorted item
+    * arrays; the C(n,2) pairs are emitted in codegen
+    * (functions/ArrayPairs) — no basket self-join anywhere.
+    *
+    * ADMISSION GUARD (AdmissionGuard, the q174 discipline): the
+    * fan-out is exactly Σ C(|basket|, 2), knowable from the basket
+    * arrays BEFORE the explode. On the TPC-H-ish order model baskets
+    * are bounded (≤ 7 lineitems), but the operator cannot assume its
+    * caller's data model — a retail-scale basket table with power-law
+    * widths turns this into the quadratic it looks linear as; the
+    * guard names that before the shuffle pays for it.
+    *
+    * Output: (item_a < item_b, n_baskets).
+    */
+  def basketPairs(df: DataFrame, basket: Column, item: Column,
+                  pairBudget: Long = 1000000000L): DataFrame = {
+    val arr = df.select(basket.as("bk"), item.as("it"))
+      .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("a"))
+      .cache() // guard + explode share one build (released by the
+               // runner's clearCache)
+    AdmissionGuard.admit("basketPairs", "pair fan-out bound",
+      AdmissionGuard.measuredBound(arr,
+        sum(expr("CAST(size(a) AS BIGINT) * (size(a) - 1) div 2"))),
+      "pairBudget", pairBudget,
+      "Basket width drives a quadratic per-basket fan-out; cap or " +
+        "pre-filter baskets to frequent items first (the " +
+        "frequentTriples L1 xB maxBasket discipline).")
+    arr.select(explode(graft.functions.ArrayPairs.pairs(col("a")))
+        .as("p"))
+      .groupBy(col("p.u").as("item_a"), col("p.v").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+  }
+
   def frequentTriples(df: DataFrame, basket: Column, item: Column,
                       supNum: Int, supDen: Int, k: Int,
                       maxBasket: Int = 10000,
@@ -112,11 +147,9 @@ object Itemsets {
       // basket-array table, logged when nonzero so callers see that
       // support counts shifted.
       val dropped = arrAll.filter(size(col("items")) > maxBasket).count()
-      if (dropped > 0)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"frequentTriples: $dropped basket(s) exceeded maxBasket=" +
-            s"$maxBasket and were dropped from pair/triple enumeration" +
-            " — support counts exclude them")
+      AdmissionGuard.reportDrops("frequentTriples", dropped,
+        "maxBasket", maxBasket,
+        "support counts exclude their pair/triple contributions")
       Seq(b, arrAll, l2).foreach(_.unpersist(blocking = false))
       out
     }

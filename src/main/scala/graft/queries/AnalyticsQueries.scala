@@ -336,26 +336,23 @@ object AnalyticsQueries {
     // order-keyed SELF-JOIN over the per-order DISTINCT supplier set:
     // baskets are size-bounded (<= 7 lineitems per order), so the
     // per-key fan-out is <= C(7,2) = 21 pairs — linear in order count,
-    // the same bounded-pair argument as the dedup bucket caps (a
-    // basket-size guard would precede this at 100 TB if baskets were
-    // unbounded; here the bound is the data model's). a < b
+    // the same bounded-pair argument as the dedup bucket caps; the
+    // operator still measures Σ C(|basket|,2) and refuses over its
+    // pairBudget (AdmissionGuard — it cannot assume its caller's data
+    // model bounds baskets). a < b
     // deduplicates orientation; ONE co-partitioned shuffle.
     Q("q129_basket_pairs",
-      (s, d) => {
+      (s, d) =>
         // Array fan-out, not a basket self-join: collect_set dedups the
         // (order, supplier) rows inside the agg state; the sorted array
-        // emits its C(n,2) pairs in codegen (functions/ArrayPairs).
-        val arr = Tables(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .groupBy("ok")
-          .agg(sort_array(collect_set(col("sk"))).as("a"))
-        arr.select(explode(graft.functions.ArrayPairs.pairs(col("a")))
-            .as("p"))
-          .groupBy(col("p.u").as("s_a"), col("p.v").as("s_b"))
-          .agg(count(lit(1)).as("n_orders"))
+        // emits its C(n,2) pairs in codegen (functions/ArrayPairs),
+        // behind the shared AdmissionGuard pair-budget check.
+        graft.operators.Itemsets.basketPairs(Tables(s, d, "lineitem"),
+            col("l_orderkey"), col("l_suppkey"))
+          .select(col("item_a").as("s_a"), col("item_b").as("s_b"),
+            col("n_baskets").as("n_orders"))
           .orderBy(col("n_orders").desc, col("s_a"), col("s_b"))
-          .limit(20)
-      },
+          .limit(20),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
         |  FROM lineitem)
         |SELECT a.sk AS s_a, b.sk AS s_b, count(*) AS n_orders

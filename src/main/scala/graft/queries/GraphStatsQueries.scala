@@ -1431,7 +1431,7 @@ object GraphStatsQueries {
       Some("""WITH h AS (SELECT event_type,
         |    CAST(('0x' || substring(md5('0#' ||
         |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h % 64 AS register,
         |    CASE WHEN (h >> 6) = 0 THEN 55
         |         ELSE 55 - length(bin(h >> 6)) END AS rho0
@@ -1499,7 +1499,8 @@ object GraphStatsQueries {
         |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ha,
         |    ('0x' || substring(md5('8#' ||
         |      CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hd
-        |  FROM events),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
         |post AS (SELECT user_id FROM e
         |  WHERE ha >= 900 OR (ha < 900 AND hd >= 50)),
         |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt

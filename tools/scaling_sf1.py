@@ -19,6 +19,9 @@ import re
 import sys
 
 R9_NARRATIVE = (
+    "Historical note \u2014 the narrative below quotes ROUND-10 "
+    "measurements and is not recomputed on reruns; live numbers are "
+    "the table above. "
     "What THIS rehearsal caught (round 10, the q174/q191/q194 \u26a0 "
     "rows if present): q174's verify stage could lose its parallelism "
     "to a plan flake \u2014 when AQE broadcast the byte-tiny "
@@ -40,6 +43,9 @@ R9_NARRATIVE = (
     "q23 / LSH q24 as documented).")
 
 R12_SF1_NARRATIVE = (
+    "Historical note — numbers below quote the ROUND-12 measurement "
+    "(2026-08-16 fixture regeneration) and are NOT recomputed on later "
+    "reruns; the live numbers are the table above. "
     "Round-12 refresh (regenerated fixtures after a host reset; 46 "
     "queries — the prior 42 plus q275 DPP, q276 bloom pruning, q277 "
     "HLL distinct-IVM, q278 signed-CMS frequency-IVM, the last two "

@@ -530,6 +530,43 @@ object JoinQueries {
         |WHERE p_size < 5
         |GROUP BY 1 ORDER BY 1""".stripMargin),
       "runtime bloom-filter join pruning: might_contain pushed into the fact scan of a shuffle join (plan-contracted)"),
+
+    // q279 — the two runtime pruning mechanisms COMPOSED in one star
+    // join (the q151 shape over a partitioned fact layout): the fact
+    // lands partitioned by ship month; the qualifying months exist
+    // only at runtime (region 'ASIA' → nation → month key — the q151
+    // dim chain, no literal in-list to fold), so DPP injects a
+    // `dynamicpruning` partition filter and the scan reads 5 of 12
+    // month partitions; the SAME plan joins the surviving rows to the
+    // small-parts dim on the NON-partition key l_partkey as a shuffle
+    // join (dim-outgrows-broadcast scenario, q276's conf window), and
+    // InjectRuntimeFilter pushes `might_contain` into the already-
+    // partition-pruned fact scan. Partition pruning cuts which FILES
+    // are read, the bloom cuts which ROWS reach the shuffle — at
+    // 100 TB that composition is the whole scan story, and q275/q276
+    // pinned each mechanism only in isolation. Both firing together
+    // is plan-contracted (PlansSpec q279). Semantics untouched by
+    // either mechanism (both only prune; joins re-verify), so the
+    // oracle is the plain two-join aggregate.
+    Q("q279_dual_runtime_pruning",
+      (s, d) =>
+        withBloomConfs(s) {
+          q279Frame(s, d).localCheckpoint(eager = true)
+        }.orderBy("shipmonth"),
+      Some("""WITH dimm AS (SELECT DISTINCT
+        |    CAST(n_nationkey % 12 AS INT) + 1 AS shipmonth
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT CAST(month(l_shipdate) AS INT) AS shipmonth,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM lineitem
+        |JOIN dimm ON dimm.shipmonth = CAST(month(l_shipdate) AS INT)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "DPP + runtime bloom composed in one star join: partition filter prunes month files, might_contain prunes rows, same fact scan (plan-contracted)"),
   )
 
   /** q276's conf window: bloom injection on, application-side size
@@ -558,6 +595,42 @@ object JoinQueries {
     * it inside the conf window) and the PlansSpec contract (which
     * explains it inside the same window).
     */
+  /** q279's logical frame — the q151 star shape over a month-
+    * partitioned fact, shared by the query (materialized inside the
+    * bloom conf window) and the PlansSpec dual-pruning contract
+    * (explained under the same confs — the lazy-planning subtlety
+    * q276's body documents). The fact fixture is written once per JVM
+    * (FeedCache), partitioned by ship month.
+    */
+  private[graft] def q279Frame(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val fact = graft.util.FeedCache.ensure("q279_fact", d) { p =>
+      Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          month(col("l_shipdate")).as("shipmonth"))
+        .write.mode("overwrite").partitionBy("shipmonth").parquet(p) }
+    // qualifying months derived at RUNTIME from the q151 dim chain
+    // (region filter → nation → month key); broadcast-hinted so the
+    // exchange DPP reuses survives the conf window's disabled
+    // auto-broadcast (the hint is the dim-is-small declaration)
+    val dimM = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(((col("n_nationkey") % 12) + 1).cast("int").as("shipmonth"))
+      .distinct()
+    // the row-pruning dim: NON-partition join key, shuffle join under
+    // the conf window — the side the bloom filter is built from
+    val dimP = t(s, d, "part").filter(col("p_size") < 5)
+      .select(col("p_partkey"))
+    s.read.parquet(fact)
+      .join(broadcast(dimM), "shipmonth")
+      .join(dimP, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("shipmonth").cast("int").as("shipmonth"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+  }
+
   private[graft] def q276Frame(s: org.apache.spark.sql.SparkSession,
                                d: String): org.apache.spark.sql.DataFrame = {
     val dim = t(s, d, "part")

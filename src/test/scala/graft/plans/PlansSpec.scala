@@ -659,6 +659,35 @@ class PlansSpec extends SparkSpec {
       s"cartesian in the bloom-pruned join:\n$p")
   }
 
+  test("q279: DPP and the runtime bloom filter fire together in one star-join plan") {
+    // the q275 and q276 assertions COMPOSED: the month-partitioned
+    // fact scan must carry BOTH the dynamicpruning partition filter
+    // (files pruned by the runtime dim) and the injected might_contain
+    // (rows pruned before the shuffle join) — the whole-scan story a
+    // 100 TB star join lives on. Built inside the bloom conf window
+    // (injection happens at optimization time — the q276 lazy-planning
+    // subtlety).
+    val p = graft.queries.JoinQueries.withBloomConfs(spark) {
+      val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      try graft.queries.JoinQueries.q279Frame(spark, sfDir)
+        .queryExecution.explainString(SimpleMode)
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    }
+    assert(p.contains("dynamicpruning"),
+      s"partitioned fact scan lost dynamic partition pruning:\n$p")
+    assert(p.contains("PartitionFilters"),
+      "fact scan must prune on the partition column")
+    assert(p.contains("might_contain"),
+      s"bloom filter not injected into the fact side:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the part join must stay the shuffle join (dim outgrows broadcast)")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the month dim must broadcast (DPP reuses its exchange)")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the dual-pruned star join:\n$p")
+  }
+
   test("q270: a maintenance batch reads state + delta parquet only — no join, no base re-scan") {
     // asserted on the building block (the foreachBatch body runs
     // during query construction, so the query's own plan only shows

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * over a typed row, so each task touches a stream of records without
   * materializing the partition).
   *
-  * The actual media decode is a STUB (this container has no image/audio
-  * codecs): `decodeStub` derives deterministic fake dimensions / frame
-  * counts from the payload bytes. The Spark-side contract — schema,
-  * batch iteration, partitioning, column pruning of heavy payloads — is
-  * real and tested; swap `decodeStub` for a codec call in production.
+  * The DEFAULT media decode is a STUB (this container has no image/audio
+  * codec libraries): `decodeStub` derives deterministic fake dimensions /
+  * frame counts from the payload bytes, keeping every multimodal query
+  * oracle-replayable. The Spark-side contract — schema, batch iteration,
+  * partitioning, column pruning of heavy payloads — is real and tested,
+  * and the seam itself is proven on real bytes: [[decodeMeta]] takes a
+  * [[MediaDecoder]], and [[WavPcmDecoder]] (a dependency-free RIFF/WAVE
+  * PCM parser, `MediaCodecs.scala`) decodes actual WAV headers through
+  * the identical mapPartitions path (MediaCodecsSpec). Production swaps
+  * in its codec behind the same one-method interface.
   */
 object Multimodal {
 
@@ -41,14 +46,21 @@ object Multimodal {
     * input split, payloads streamed, only metadata comes back (payload
     * column pruned from the output, as a real pipeline would do before
     * any shuffle).
+    *
+    * `decoder` is the codec seam ([[MediaDecoder]]): the default
+    * [[StubMediaDecoder]] keeps every oracle query replayable;
+    * [[WavPcmDecoder]] proves the same seam decodes REAL media bytes
+    * (MediaCodecsSpec) — a production deployment drops its codec in
+    * here and the batching/schema/pruning plumbing is untouched.
     */
-  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+  def decodeMeta(spark: SparkSession, media: DataFrame,
+                 decoder: MediaDecoder = StubMediaDecoder): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRecord]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
-          val (w, h, f) = decodeStub(r.payload)
+          val (w, h, f) = decoder.decode(r.payload)
           md.reset()
           val sum = md.digest(r.payload).map("%02x".format(_)).mkString
           MediaMeta(r.doc_id, r.payload.length.toLong, sum, w, h, f)

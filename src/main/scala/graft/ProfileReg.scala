@@ -16,6 +16,12 @@ object ProfileReg {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // keep EVERY Bench session knob (the "same config as Bench"
+      // claim this tool's comparisons rest on): without the bench-
+      // scale split sizing the scans arrive 1-2 splits wide and the
+      // isolated numbers are not comparable to suite numbers
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "4m"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -64,6 +64,28 @@ R12_SF1_NARRATIVE = (
     "verdict: exact ground truth stays at sf1 and below, the "
     "sampled/IVF miners are the decade representatives.")
 
+R13_SF1_NARRATIVE = (
+    "Round-13 refresh (47 queries; numbers quoted here are the "
+    "2026-08-16 round-13 measurement): q191/q194 — the brute-force "
+    "all-pairs mining ground truths and this decade's only ⚠ rows — "
+    "are RETIRED from the sf1 decade under the q254/q255 rule: exact "
+    "ground truth stays at sf0.1 and below, where the driver's "
+    "CORRECTNESS gate and the q247–q249/q265–q267 equality-contract "
+    "audits actually consume them; their decade representatives are "
+    "the sampled/IVF production miners (q247/q248 at exp 0.69/0.87 "
+    "here, q265–q267 at ≤ 0.55 in the sf10 table). Re-admitting them "
+    "to any decade needs a documented reduced scope, not a silent "
+    "re-run — the same contract as q254/q255's sf10 retirement. With "
+    "that tiering applied the sf1 decade is FLAG-FREE (worst exp "
+    "1.00 = q174's honest linear-in-admitted-pairs shape under its "
+    "pairBudget admission). New this round: the streaming stateful "
+    "family joins the decade — q86 sessions 0.57, q204 "
+    "order-independent checksum 0.01 (FLAT: the constant-size "
+    "abelian state doing exactly what it promises), q228 percentiles "
+    "0.30, next to the q277/q278 sketch-IVM pair at 0.19/0.24 — and "
+    "q279 composes DPP + runtime bloom pruning through the "
+    "month-partitioned star fact at exp 0.27.")
+
 R10_NARRATIVE = (
     "Second rehearsal decade (round 10): sf1 → sf10 on the IVF + "
     "graph heavy set, after the round-10 fixes (corpus-scaled "
@@ -195,7 +217,8 @@ def main(lo_path, hi_path, top="sf1"):
             f"Totals: sf0.1 = {lo['value']:.0f}s, sf1 = {hi['value']:.0f}s "
             f"({len(rows)} queries). Exponent = log₁₀(t₁/t₀.₁); "
             f"⚠ = worse than ~linear (exp > 1.15) at a material runtime.")
-        lines += ["", R9_NARRATIVE, "", R12_SF1_NARRATIVE]
+        lines += ["", R9_NARRATIVE, "", R12_SF1_NARRATIVE,
+                  "", R13_SF1_NARRATIVE]
     else:
         lines.append(
             f"Heavy-set rehearsal TWO decades past the driver's largest "

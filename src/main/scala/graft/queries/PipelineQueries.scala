@@ -311,9 +311,20 @@ object PipelineQueries {
     // harmless; session_value rounds at 4dp like q20 (same documented
     // cross-engine float-sum residual). StatefulSessionsSpec covers the
     // cross-micro-batch checkpoint-resume path the oracle cannot see.
+    //
+    // SINK RULE (learned from this query's first sf10 warmup, which
+    // OOM'd the 8 GB bench JVM): the memory sink collects its table on
+    // the DRIVER, so it is only for outputs bounded by key space
+    // (q74's hourly grid, q77/q80's user×type distinct). Sessions are
+    // CORPUS-SIZED — one row per session — so this query writes the
+    // stream to a durable parquet sink (executor-side, the production
+    // shape q74's comment names) and reads the result back; the
+    // memory-sink variant died at 100M events exactly the way a real
+    // cluster's driver would.
     Q("q86_streaming_sessions",
       (s, d) => withStateParts(s, 4) {
-        val qname = s"graft_q86_sink_${streamSinkRuns.incrementAndGet()}"
+        val outDir = graft.util.TmpDirs.perProcess(
+          s"graft_q86_out_${streamSinkRuns.incrementAndGet()}")
         val ev = Tables(s, d, "events").select(col("user_id"), col("ts"), col("value"))
         val maxUs = ev.agg(max(unix_micros(col("ts"))).as("m"))
         val flush = ev.select(col("user_id")).distinct()
@@ -328,12 +339,14 @@ object PipelineQueries {
           .as[graft.streaming.StatefulSessions.Ev]
         val query = graft.streaming.StatefulSessions
           .sessionize(s, stream, gapMinutes = 30)
-          .writeStream.format("memory").queryName(qname)
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/data")
+          .option("checkpointLocation", s"$outDir/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        s.table(qname)
+        s.read.parquet(s"$outDir/data")
           .select(col("user_id"), col("session_start"), col("session_end"),
             col("n_events"), round(col("session_value"), 4).as("session_value"))
           .orderBy("user_id", "session_start")

@@ -84,7 +84,13 @@ R13_SF1_NARRATIVE = (
     "abelian state doing exactly what it promises), q228 percentiles "
     "0.30, next to the q277/q278 sketch-IVM pair at 0.19/0.24 — and "
     "q279 composes DPP + runtime bloom pruning through the "
-    "month-partitioned star fact at exp 0.27.")
+    "month-partitioned star fact at exp 0.27. One caveat this table "
+    "carries: q86's row here was measured with its original "
+    "memory-sink read-back, which the sf10 rehearsal then caught "
+    "OOM-ing the 8 GB bench JVM (sessions are corpus-sized; a memory "
+    "sink collects them on the driver) — the sink moved to durable "
+    "parquet and the POST-FIX q86 decade rows are the sf10 table's "
+    "(both of its columns measured after the fix).")
 
 R10_NARRATIVE = (
     "Second rehearsal decade (round 10): sf1 → sf10 on the IVF + "

@@ -29,7 +29,22 @@ import org.apache.spark.sql.functions._
   *     rows ≈ the shuffle a healthy large cluster absorbs without
   *     drama), never silent caps. The cap-with-loud-drop sibling
   *     ([[reportDrops]]) covers operators whose contract is "drop
-  *     over-wide groups and SAY SO" rather than "refuse the job".
+  *     over-wide groups and SAY SO" rather than "refuse the job";
+  *  5. CACHE RELEASE (the one convention, applied by every guarded
+  *     operator): the shared frame the guard and the fan-out both
+  *     read is `.cache()`d so the guard costs one scan. An operator
+  *     whose OUTPUT is materialized inside it (frequentTriples'
+  *     localCheckpointed top-k, Bpe.learnMerges' merge table)
+  *     unpersists its intermediates before returning — nothing the
+  *     caller holds still references them. An operator returning a
+  *     LAZY corpus-scale frame (basketPairs, skipGramPairs,
+  *     sortedNeighborhoodPairs, editDistanceJoin, ngramJaccard)
+  *     cannot: the returned plan still reads the cache, and
+  *     unpersisting pre-consumption would silently re-pay the build
+  *     per downstream action. Those document the caller contract —
+  *     release via `spark.catalog.clearCache()` (the Verify/Bench
+  *     runners') or `.unpersist` after materializing — at the
+  *     `.cache()` site, citing this rule.
   */
 object AdmissionGuard {
 
@@ -53,6 +68,15 @@ object AdmissionGuard {
   def admit(op: String, boundName: String, bound: Long,
             budgetName: String, budget: Long, escalation: String): Long = {
     require(budget >= 1, s"$op needs $budgetName >= 1")
+    // Overflow tripwire: the bound aggregations run in non-ANSI Long
+    // arithmetic (e.g. c*(c-1) div 2 over a pathologically wide
+    // group), so a wrapped-negative bound is always an overflow
+    // artifact — and it is precisely the blow-up the guard exists to
+    // refuse, never something to admit as "under budget".
+    require(bound >= 0,
+      s"$op: $boundName is negative ($bound) — the bound arithmetic " +
+        s"overflowed Long, which only happens when the true fan-out " +
+        s"is astronomically over any budget. Refusing.")
     require(bound <= budget,
       s"$op: $boundName $bound exceeds $budgetName=$budget — " +
         s"$escalation Or raise $budgetName explicitly if the " +

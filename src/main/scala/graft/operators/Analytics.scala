@@ -200,8 +200,9 @@ object Analytics {
     require(win >= 1, "skipGramPairs needs win >= 1")
     val base = df.select(user.as("u"), ts.as("ts"), ordId.as("oid"),
         typ.as("typ"))
-      .cache() // guard count + rank window share one scan (released
-               // by the runner's clearCache)
+      .cache() // guard count + rank window share one scan; lazy-output
+               // operator, so release is the CALLER's (clearCache /
+               // unpersist after materializing — AdmissionGuard rule 5)
     // ADMISSION GUARD (AdmissionGuard, the q174 discipline): each row
     // emits exactly 2·win probes, so 2·win·|rows| bounds the pair
     // fan-out from above (boundary rows emit fewer). Linear in the

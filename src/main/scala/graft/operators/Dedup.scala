@@ -203,9 +203,10 @@ object Dedup {
   def ngramJaccard(df: DataFrame, id: Column, text: Column,
                    n: Int, thr: Double, maxDf: Int): DataFrame = {
     // Cached: consumed by both the size agg and the pair agg; bounded
-    // (<= maxDf longs per surviving gram). Released by the query
-    // runner's clearCache() — operators cannot unpersist a plan their
-    // caller has not consumed yet.
+    // (<= maxDf longs per surviving gram). Lazy-output operator, so
+    // release is the CALLER's — clearCache / unpersist after
+    // materializing (AdmissionGuard rule 5); operators cannot
+    // unpersist a plan their caller has not consumed yet.
     val buckets = gramBuckets(gramSets(df, id, text, n), maxDf).cache()
     val sz = buckets.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -1183,8 +1184,10 @@ object Dedup {
       .select(col("doc_id"), col("ws"),
         substring(col("t"), 1, keyLen).as("skey"),
         substring(col("t"), 1, blockLen).as("blk"))
-      .cache() // guard + rank window + gram branch share one scan
-               // (released by the runner's clearCache)
+      .cache() // guard + rank window + gram branch share one scan;
+               // lazy-output operator, so release is the CALLER's
+               // (clearCache / unpersist after materializing —
+               // AdmissionGuard rule 5)
     // ADMISSION GUARD (AdmissionGuard, the q174 discipline): the
     // candidate fan-out is EXACT from block sizes alone — a block of
     // c rows emits Σ_{k<c} min(win−1, k) pairs = C(c,2) when the

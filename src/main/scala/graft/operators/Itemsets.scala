@@ -73,8 +73,9 @@ object Itemsets {
                   pairBudget: Long = 1000000000L): DataFrame = {
     val arr = df.select(basket.as("bk"), item.as("it"))
       .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("a"))
-      .cache() // guard + explode share one build (released by the
-               // runner's clearCache)
+      .cache() // guard + explode share one build; lazy-output
+               // operator, so release is the CALLER's (clearCache /
+               // unpersist after materializing — AdmissionGuard rule 5)
     AdmissionGuard.admit("basketPairs", "pair fan-out bound",
       AdmissionGuard.measuredBound(arr,
         sum(expr("CAST(size(a) AS BIGINT) * (size(a) - 1) div 2"))),

@@ -87,8 +87,16 @@ object WavPcmDecoder extends MediaDecoder {
           dataBytes = math.min(sz, (payload.length - body).toLong)
         case _ => // skip unknown chunk
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      off = body + sz.toInt + (sz.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance
+      // in Long: sz is an unsigned 32-bit value, so `sz.toInt` wraps
+      // negative for sz >= 2^31 and a crafted chunk size (e.g.
+      // 0xFFFFFFF8 → advance of 0) would stall the walker forever —
+      // the loud-per-record contract demands a throw, not a hung task.
+      require(sz <= payload.length,
+        s"WavPcmDecoder: chunk '$id' at offset $off claims $sz bytes — " +
+          s"larger than the whole ${payload.length}-byte payload")
+      // a truncated final chunk (next past EOF) just ends the walk
+      off = math.min(body.toLong + sz + (sz & 1L), payload.length.toLong).toInt
     }
     require(rate > 0, "WavPcmDecoder: missing fmt chunk")
     require(dataBytes >= 0, "WavPcmDecoder: missing data chunk")

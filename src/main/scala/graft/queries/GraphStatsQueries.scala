@@ -1431,7 +1431,8 @@ object GraphStatsQueries {
       Some("""WITH h AS (SELECT event_type,
         |    CAST(('0x' || substring(md5('0#' ||
         |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
         |r AS (SELECT event_type, h % 64 AS register,
         |    CASE WHEN (h >> 6) = 0 THEN 55
         |         ELSE 55 - length(bin(h >> 6)) END AS rho0

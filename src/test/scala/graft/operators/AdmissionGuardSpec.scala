@@ -32,6 +32,14 @@ class AdmissionGuardSpec extends SparkSpec {
       AdmissionGuard.admit("op", "b", 0L, "budget", 0L, "x")
     }
     assert(z.getMessage.contains("budget >= 1"))
+    // a wrapped-negative bound (non-ANSI Long overflow in the bound
+    // aggregation, e.g. c*(c-1) div 2 on a ~4.3e9-row group) is the
+    // blow-up itself — it must REFUSE, never compare under budget
+    val neg = intercept[IllegalArgumentException] {
+      AdmissionGuard.admit("op", "pair bound", -42L,
+        "pairBudget", Long.MaxValue, "Escalate to X.")
+    }
+    assert(neg.getMessage.contains("overflowed Long"))
   }
 
   test("measuredBound: null-safe scalar from an empty frame") {

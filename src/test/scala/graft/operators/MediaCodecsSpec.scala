@@ -60,6 +60,21 @@ class MediaCodecsSpec extends SparkSpec {
       WavPcmDecoder.decode(w)
     }
     assert(nonPcm.getMessage.contains("not PCM"))
+    // an unknown chunk BEFORE fmt whose unsigned-32 size is 0xFFFFFFF8
+    // (advance of exactly 0 under the old `sz.toInt` arithmetic) must
+    // throw, not spin the walker forever — the executor-task-stall
+    // regression the round-13 ADVICE flagged
+    val loop = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      .put(new Array[Byte](24))
+      .array()
+    val corrupt = intercept[IllegalArgumentException] {
+      WavPcmDecoder.decode(loop)
+    }
+    assert(corrupt.getMessage.contains("larger than the whole"))
   }
 
   test("decodeMeta carries real WAV bytes through the batch seam") {

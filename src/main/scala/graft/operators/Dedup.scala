@@ -371,11 +371,24 @@ object Dedup {
         "corpus (closed vocabulary / dense prefixes); escalate to the " +
         "capped n-gram Jaccard (Dedup.ngramJaccard, q23) or " +
         "MinHash-LSH (Dedup.minhashLsh, q24).")
+    // The pair EMISSION stage needs the same deterministic-width pin
+    // as the verify stage below: the grouped posting table is one row
+    // per prefix token — byte-tiny on a closed vocabulary (~31 rows on
+    // the bench fixture) — so AQE can legally coalesce the post-agg
+    // exchange to 1 partition and serialize the entire C(c,2) explode
+    // plus the pair-distinct's map side onto one core (in-suite flake,
+    // round-14 sf1 rehearsal: 237 s vs 42 s solo at sf1; the r10
+    // verify-stage collapse, same class). A user repartition AQE never
+    // coalesces spreads bucket rows round-robin so each token's
+    // emission runs on its own task; the shuffle it adds moves only
+    // the bucket rows (≤ vocab × maxPost longs), not the pairs.
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val cand = bucketPairs(
         packed.groupBy(col("token"))
           .agg(graft.functions.BoundedLongList(col("pk"), maxPost).as("docs"))
           .filter(col("docs").isNotNull)
-          .select(sort_array(col("docs")).as("docs")))
+          .select(sort_array(col("docs")).as("docs"))
+          .repartition(width))
       // ascending packed order ⟹ sz(doc_a) ≤ sz(doc_b); admit down to
       // t_eff = (2·thrBp − 1)/20000 (half-up slack, see above)
       .filter(shiftrightunsigned(col("doc_a"), 40) * 20000 >=
@@ -395,7 +408,6 @@ object Dedup {
     // (measured at sf1: 451 s first-plan vs 38 s at width 32 — the
     // knnJoin 1-split lesson, same class, SCALING.md sf1 triage).
     // Explicit numPartitions: AQE never coalesces a user repartition.
-    val width = df.sparkSession.sparkContext.defaultParallelism
     val sets = grams.select(col("doc_id"), array_sort(col("grams")).as("toks"))
       .repartition(width, col("doc_id"))
     cand

@@ -393,14 +393,18 @@ class PlansSpec extends SparkSpec {
       s"base corpus re-scanned at insert time:\n$p")
   }
 
-  test("q174: verify probe side carries a user repartition AQE cannot coalesce") {
+  test("q174: emission and verify stages carry user repartitions AQE cannot coalesce") {
     val p = plan("q174_prefix_jaccard")
-    // the compute-bound intersect stage must never inherit the scan's
-    // split count through the cached gram relation (451 s degenerate
-    // plan at sf1 when AQE broadcast the pair table) — the explicit
-    // numPartitions repartition is the deterministic-width guarantee
-    assert(p.contains("REPARTITION_BY_NUM"),
-      s"verify probe side lost its explicit cluster-width repartition:\n$p")
+    // TWO deterministic-width pins: (1) the compute-bound intersect
+    // stage must never inherit the scan's split count through the
+    // cached gram relation (451 s degenerate plan at sf1 when AQE
+    // broadcast the pair table, r10); (2) the pair-emission stage must
+    // never ride the post-groupBy exchange of the byte-tiny bucket
+    // table, which AQE can coalesce to 1 partition and serialize the
+    // whole C(c,2) explode (237 s in-suite vs 42 s solo at sf1, r14)
+    assert(occurrences(p, "REPARTITION_BY_NUM") >= 2,
+      s"q174 lost an explicit cluster-width repartition (needs both " +
+        s"the emission pin and the verify probe pin):\n$p")
     assert(!p.contains("CartesianProduct"),
       s"cartesian in the prefix-join assembly:\n$p")
   }

@@ -196,6 +196,40 @@ R10_NARRATIVE = (
     "discipline doing exactly its job.")
 
 
+def r14_sf1_narrative(rows):
+    """Round-14 sf1 paragraph, DERIVED from the loaded rows (same
+    regen-stability rule as the sf10 one)."""
+    by_q = {q: (exp, t0, t1) for exp, q, t0, t1, _ in rows}
+
+    def cell(prefix):
+        for q, (exp, t0, t1) in by_q.items():
+            if q.startswith(prefix):
+                return f"{q} exp {exp:.2f} ({t0:.1f}s → {t1:.1f}s)"
+        return f"{prefix}* not in this run"
+
+    return (
+        "Round-14 refresh (this paragraph is recomputed from the live "
+        "table on every regen): the composed curation lineages join "
+        "the decade — " + cell("q62_") + ", " + cell("q82_") + " — "
+        "exercising per-stage admission guards on post-upstream-stage "
+        "sizes above sf0.1 for the first time. What THIS rehearsal "
+        "caught (round 14): q174's candidate-EMISSION stage could lose "
+        "its width the same way its verify stage once did (r10) — the "
+        "grouped prefix-posting table is one row per token, byte-tiny "
+        "on the closed fixture vocabulary, and AQE could legally "
+        "coalesce the post-agg exchange to 1 partition, serializing "
+        "the whole C(c,2) explode plus the pair-distinct map side "
+        "(237 s in-suite vs 42 s solo at sf1, an in-suite-only plan "
+        "flake). Fix: a user repartition to cluster width on the "
+        "bucket table before the explode — AQE never coalesces a user "
+        "repartition, and the shuffle it adds moves only bucket rows, "
+        "not pairs; PlansSpec now requires BOTH width pins "
+        "(REPARTITION_BY_NUM ≥ 2) in q174's plan. Post-pin the live "
+        "row reads " + cell("q174_") + " — the honest "
+        "linear-in-admitted-pairs shape under its pairBudget "
+        "admission.")
+
+
 def r14_sf10_narrative(rows):
     """Round-14 sf10 paragraph, DERIVED from the loaded rows (the
     round-13 ADVICE rule: regen-stable narratives quote live numbers
@@ -263,7 +297,7 @@ def main(lo_path, hi_path, top="sf1"):
             f"({len(rows)} queries). Exponent = log₁₀(t₁/t₀.₁); "
             f"⚠ = worse than ~linear (exp > 1.15) at a material runtime.")
         lines += ["", R9_NARRATIVE, "", R12_SF1_NARRATIVE,
-                  "", R13_SF1_NARRATIVE]
+                  "", R13_SF1_NARRATIVE, "", r14_sf1_narrative(rows)]
     else:
         lines.append(
             f"Heavy-set rehearsal TWO decades past the driver's largest "

@@ -26,6 +26,7 @@ object Graph {
       case _ => df.unpersist(blocking = false)
     }
 
+
   /** Co-occurrence edges: distinct undirected item pairs sharing a
     * group (e.g. parts sharing an order). Output one row per ordered
     * direction (u, v) plus each source's out-degree — the shape the
@@ -46,20 +47,35 @@ object Graph {
     * the edge/node key.
     */
   def coOccurrenceEdges(df: DataFrame, group: Column, item: Column): DataFrame = {
+    val sym = coOccurrenceEdgesUV(df, group, item)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("du"))
+    sym.join(deg, "u")
+  }
+
+  /** The (u, v)-only form of [[coOccurrenceEdges]]: symmetrized
+    * distinct co-occurrence pairs WITHOUT the out-degree aggregation
+    * and its node-keyed join. The propagation operators that never
+    * read `du` (kHopFrontiers, labelPropagationCommunities, kCorePeel,
+    * connectedComponentsInt — each recomputes whatever degree notion
+    * it needs, or none) were paying a full |2m|-row count aggregation
+    * plus a join per query for a column Catalyst cannot prove unused
+    * through their loops (r14 guide §2.4: don't compute what you
+    * throw away; the join survives column pruning because join
+    * elimination is not a thing Spark does).
+    */
+  def coOccurrenceEdgesUV(df: DataFrame, group: Column, item: Column): DataFrame = {
     val arr = df.select(group.as("gk"), item.as("it"))
       .groupBy("gk").agg(sort_array(collect_set(col("it"))).as("a"))
       .filter(size(col("a")) >= 2)
     // The distinct pair table feeds BOTH union branches of the
-    // symmetrization and, through them, the degree aggregate — cache it
-    // so the build runs once, not per consumer.
+    // symmetrization (and, in the degreed form, the degree aggregate)
+    // — cache it so the build runs once, not per consumer.
     val pairs = arr
       .select(explode(graft.functions.ArrayPairs.pairs(col("a"))).as("p"))
       .select(col("p.u"), col("p.v"))
       .distinct()
       .cache()
-    val sym = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("du"))
-    sym.join(deg, "u")
+    pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
   }
 
   /** PERSONALIZED PageRank from the deterministic min-id seed — the
@@ -97,7 +113,7 @@ object Graph {
             .otherwise(lit(0L)) +
           expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
         .drop("inc")
-        .localCheckpoint(true)
+        .localCheckpoint(eager = true)
     }
     score.filter(col("s") > 0 && col("node") =!= col("seed"))
       .select(col("node"), col("s").as("ppr"))
@@ -314,7 +330,7 @@ object Graph {
       score = score.select("node", "du", "tele").join(inbound, "node")
         .withColumn("s", expr("tele + (85 * inc) div 100"))
         .drop("inc")
-        .localCheckpoint(true)
+        .localCheckpoint(eager = true)
     }
     score.select(col("node"), col("s").as("pr"))
   }
@@ -351,7 +367,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("node", "lbl")
-        .localCheckpoint(true)
+        .localCheckpoint(eager = true)
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).cast("long").as("sz"))

@@ -23,6 +23,7 @@ import graft.functions.ArrayCosine
   */
 object Similarity {
 
+
   private def cos(a: Column, b: Column): Column = ArrayCosine.cosine(a, b)
 
   /** Query = the embedding of `queryId`; returns the k nearest others. */

@@ -511,7 +511,9 @@ object GraphStatsQueries {
     // the per-hop size scalar on the driver. Oracle unrolls 3 hops.
     Q("q199_khop_frontiers",
       (s, d) => {
-        val edges = graft.operators.Graph.coOccurrenceEdges(
+        // u,v-only edge form: BFS never reads du (r14 — drops the
+        // degree agg + join from the build)
+        val edges = graft.operators.Graph.coOccurrenceEdgesUV(
           Tables(s, d, "lineitem").filter(col("l_quantity") >= 40),
           col("l_orderkey"), col("l_partkey"))
         graft.operators.Graph.kHopFrontiers(edges, hops = 3)
@@ -944,8 +946,9 @@ object GraphStatsQueries {
     // modularity methods (which need floats). Oracle unrolls both
     // rounds; output = top-20 communities by size.
     Q("q219_label_propagation",
+      // u,v-only edge form: label propagation never reads du (r14)
       (s, d) => graft.operators.Graph.labelPropagationCommunities(
-        graft.operators.Graph.coOccurrenceEdges(
+        graft.operators.Graph.coOccurrenceEdgesUV(
           Tables(s, d, "lineitem"), col("l_orderkey"), col("l_partkey")),
         rounds = 2, k = 20),
       Some("""WITH g AS MATERIALIZED (
@@ -977,8 +980,11 @@ object GraphStatsQueries {
     // (nodes, edges) decay curve is the "is there a dense core"
     // diagnostic. Oracle materializes each round's edge set once.
     Q("q221_kcore_peel",
+      // u,v-only edge form: the peel recomputes its own degree table
+      // from the symmetric edges; coOccurrenceEdges' du was computed
+      // and thrown away (r14)
       (s, d) => graft.operators.Graph.kCorePeel(
-        graft.operators.Graph.coOccurrenceEdges(
+        graft.operators.Graph.coOccurrenceEdgesUV(
           Tables(s, d, "lineitem"), col("l_orderkey"), col("l_partkey")),
         rounds = 3),
       Some("""WITH g AS MATERIALIZED (
@@ -1192,7 +1198,15 @@ object GraphStatsQueries {
       (s, d) => {
         val e = graft.operators.Graph.coOccurrenceEdges(
           Tables(s, d, "lineitem"), col("l_orderkey"), col("l_partkey"))
-        val dv = e.select(col("u").as("v"), col("du").as("dv")).distinct()
+        // v-side degree by partial-combined count over the symmetric
+        // edges (≡ du keyed by v, since deg(x) = |{edges out of x}| =
+        // |{edges into x}| on a symmetrized graph) instead of a full
+        // |2m|-row distinct of (v, du) pairs: the count agg ships ≤
+        // |V| rows per input partition to its exchange where the
+        // distinct shuffled all 2.4M — then broadcast to keep the
+        // probe map-side (r14 guide §2.3).
+        val dv = broadcast(
+          e.groupBy(col("v")).agg(count(lit(1)).as("dv")))
         graft.operators.Stats.chiSquareBp(
           e.join(dv, "v"),
           length(bin(col("du"))), length(bin(col("dv"))))
@@ -1334,7 +1348,8 @@ object GraphStatsQueries {
     // so convergence is an audited output, never an assumption.
     Q("q259_connected_components",
       (s, d) => {
-        val edges = graft.operators.Graph.coOccurrenceEdges(
+        // u,v-only edge form: min-label propagation never reads du (r14)
+        val edges = graft.operators.Graph.coOccurrenceEdgesUV(
           Tables(s, d, "lineitem").filter(col("l_quantity") >= 40),
           col("l_orderkey"), col("l_partkey"))
         val cc = graft.operators.Graph.connectedComponentsInt(edges, rounds = 6)

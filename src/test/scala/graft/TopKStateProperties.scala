@@ -61,6 +61,22 @@ object TopKStateProperties extends Properties("graft.topkstate") {
   private val splitsGen: Gen[List[Int]] =
     Gen.nonEmptyListOf(Gen.choose(1, 9)).map(_.take(5))
 
+  private val runId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // State rides the operator's PRODUCTION transport — a parquet
+  // round-trip per batch, exactly q273's BatchState shape. The previous
+  // harness carried state via localCheckpoint(true); in Spark 4.1
+  // Dataset.checkpoint copies the ORIGIN plan's statistics/constraints
+  // onto the wrapped LogicalRDD (LogicalRDD.fromDataset →
+  // rewriteStatsAndConstraints), so checkpoint-of-checkpoint loops
+  // compound sizeInBytes multiplicatively (BigInt digits grow
+  // exponentially per batch: minutes of stats arithmetic per step by
+  // batch ~35) and feed every later batch's planner stats/constraints
+  // derived from a plan the data no longer comes from — the round-14
+  // gate falsification (seed KsAomgVvSDtGi1mIvcGtpiUv11UjXe1XoNELlly
+  // wNgM=) reproduced exactly; the SAME history and batching through
+  // the parquet transport matches the reference trace at every batch
+  // (TopKStateReproSpec pins it). The operator under test is unchanged.
   private def runSplits(evs: List[Ev],
                         cuts: List[Int]): Seq[(String, Long, Long, Long)] = {
     import spark.implicits._
@@ -77,17 +93,25 @@ object TopKStateProperties extends Properties("graft.topkstate") {
       }
       out.toList
     }
+    val stateDir = graft.util.TmpDirs.perProcess(
+      s"topk_props_state_${runId.incrementAndGet()}")
     var (buf, meta) = TopKState.emptyState(all, Seq("g"))
-    batches.foreach { b =>
+    batches.zipWithIndex.foreach { case (b, i) =>
       val (b2, m2) = TopKState.step(buf, meta,
         b.map(e => (e.g, e.id, e.v, e.sign)).toDF("g", "id", "v", "sign"),
         Seq("g"), B)
-      buf = b2.localCheckpoint(true); meta = m2.localCheckpoint(true)
+      // versioned dirs: batch i's state is still read by batch i+1's plan
+      b2.write.mode("overwrite").parquet(s"$stateDir/buf$i")
+      m2.write.mode("overwrite").parquet(s"$stateDir/meta$i")
+      buf = spark.read.parquet(s"$stateDir/buf$i")
+      meta = spark.read.parquet(s"$stateDir/meta$i")
     }
-    TopKState.topkWithRefill(buf, meta, all, Seq("g"), K)
+    val out = TopKState.topkWithRefill(buf, meta, all, Seq("g"), K)
       .orderBy("g", "rnk").collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    out
   }
 
   private def brute(evs: List[Ev]): Seq[(String, Long, Long, Long)] = {

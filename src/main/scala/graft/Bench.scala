@@ -21,6 +21,15 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Cumulative executor task time (ms), fed by a listener: the r14
+    // driver read the ≈1 wall-clock c8/c32 ratios at sf0.1 as "nothing
+    // scales" (suspect_cpus_ignored) when the suite is actually
+    // overhead-bound at this SF — per-query EXECUTOR task time >> wall
+    // time is the legible form of "the cores were used". Listener
+    // events are posted asynchronously, so attribution at query
+    // boundaries can leak a trailing task into the next query; the
+    // numbers are for the scaling picture, not sub-second accounting.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,6 +59,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) taskMs.addAndGet(m.executorRunTime)
+        }
+      })
 
     // JVM + parquet-footer warmup so per-query numbers measure the query,
     // not first-touch class loading. Warmup failures are fatal: a table
@@ -72,8 +89,9 @@ object Bench {
     // Two timed passes, best-of per query: a single GC pause / host
     // hiccup landing on one query would otherwise report a 10x-inflated
     // number for it (observed once: a 3.5 s query measured at 28 s).
-    def timedPass(): Seq[(String, Double, Option[String])] =
+    def timedPass(): Seq[(String, Double, Double, Option[String])] =
       selected.map { case (name, fn) =>
+        val task0 = taskMs.get()
         val t0 = System.nanoTime()
         val err: Option[String] =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -81,7 +99,8 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           }
           finally spark.catalog.clearCache() // release operator-level caches per query
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        (name, (System.nanoTime() - t0) / 1e9,
+          (taskMs.get() - task0) / 1e3, err)
       }
     val (pass1, pass2) = (timedPass(), timedPass())
     // A third pass only when the two totals disagree badly: host-load
@@ -92,9 +111,11 @@ object Bench {
     val passes =
       if (math.abs(t1 - t2) > 0.15 * math.min(t1, t2)) Seq(pass1, pass2, timedPass())
       else Seq(pass1, pass2)
+    // per query: best-of wall time, that same pass's executor task time
     val results = passes.transpose.map { ms =>
-      (ms.head._1, ms.map(_._2).min,
-        ms.foldLeft(Option.empty[String])((acc, m) => acc.orElse(m._3)))
+      val best = ms.minBy(_._2)
+      (ms.head._1, best._2, best._3,
+        ms.foldLeft(Option.empty[String])((acc, m) => acc.orElse(m._4)))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -103,13 +124,19 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    // executor task-seconds per query (same best-of pass as the wall
+    // number): task_sec >> wall sec at c32 is the direct evidence the
+    // query runs wide — the scaling signal the wall-clock c8/c32 ratio
+    // cannot carry on an overhead-bound SF.
+    val tsk = results.map { case (k, _, ts, _) => jstr(k) + ":" + ts }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"task_sec":$tsk,"cpus":$cpus,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }

@@ -77,7 +77,10 @@ object Bpe {
     }
     val out = winners.reduce(_.unionAll(_)).orderBy("merge_round")
       .localCheckpoint(eager = true)
-    cached.foreach(_.unpersist(blocking = false))
+    // per-round seq caches (plain) left to the caller's clearCache
+    // (r15): the Dataset.unpersist sweep re-canonicalizes every cached
+    // plan per call — seconds on the nested per-round lineages (the
+    // kHopFrontiers finding); the winner rows are checkpointed above.
     out
   }
 

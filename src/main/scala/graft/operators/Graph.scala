@@ -26,6 +26,25 @@ object Graph {
       case _ => df.unpersist(blocking = false)
     }
 
+  /** Dev-only plan evidence for checkpointed loops (the r14 verdict's
+    * plan-evidence gap): the shipped queries materialize every round
+    * through `localCheckpoint`, so their dumped plans are just
+    * checkpoint scans — this hook writes the UNMATERIALIZED round-body
+    * plan (the q218 `materialize=false` staircase pattern) when
+    * `-Dgraft.plan.probe.dir=<dir>` is set (PlanDump sets it from
+    * SPARK_GRAFT_PLAN_PROBE_DIR). A no-op in every production/bench
+    * path: the property is never set there, and the probe costs one
+    * string render, no job.
+    */
+  private[graft] def probeRoundPlan(tag: String, round: Int,
+                                    df: DataFrame): Unit =
+    sys.props.get("graft.plan.probe.dir").foreach { d =>
+      val p = java.nio.file.Paths.get(d, s"${tag}_round$round.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+
 
   /** Co-occurrence edges: distinct undirected item pairs sharing a
     * group (e.g. parts sharing an order). Output one row per ordered
@@ -95,25 +114,28 @@ object Graph {
     val e = edges.select("u", "v", "du")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node"), col("du")).distinct()
+    // measured-|V| broadcast gate for the loop frames (see `gated`)
+    val small = nodes.count() <= 10000000L
     val seed = nodes.agg(min("node").as("seed"))
     var score = nodes.crossJoin(broadcast(seed))
       .select(col("node"), col("du"), col("seed"),
         when(col("node") === col("seed"), lit(1000000000L))
           .otherwise(lit(0L)).as("s"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = score.filter(col("s") > 0)
         .select(col("node").as("u"), expr("s div du").as("c"))
-      val inbound = e.select("u", "v").join(contrib, "u")
+      val inbound = e.select("u", "v").join(gated(contrib, small), "u")
         .groupBy("v").agg(sum("c").as("inc"))
         .withColumnRenamed("v", "node")
-      score = score.select("node", "du", "seed")
-        .join(inbound, Seq("node"), "left")
+      val step = score.select("node", "du", "seed")
+        .join(gated(inbound, small), Seq("node"), "left")
         .withColumn("s",
           when(col("node") === col("seed"), lit(150000000L))
             .otherwise(lit(0L)) +
           expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
         .drop("inc")
-        .localCheckpoint(eager = true)
+      probeRoundPlan("q209_personalized_pagerank", it, step)
+      score = step.localCheckpoint(eager = true)
     }
     score.filter(col("s") > 0 && col("node") =!= col("seed"))
       .select(col("node"), col("s").as("ppr"))
@@ -160,12 +182,25 @@ object Graph {
       val size = next.count()
       cum += size
       rows :+= ((h.toLong, size, cum))
-      visited = visited.unionAll(next).distinct().cache()
+      // No distinct on the union (r15, guide §2.4 "a distinct on data
+      // that is already unique"): `visited` is distinct by induction
+      // and `next` is distinct AND disjoint from it (it was built
+      // through `.distinct()` + the left_anti against visited), so the
+      // union is already a set — the distinct was one full shuffle of
+      // the visited table per hop for nothing.
+      visited = visited.unionAll(next).cache()
       cached += visited
       frontier = next
     }
-    // result rows are already on the driver — release every hop cache
-    cached.foreach(_.unpersist(blocking = false))
+    // Hop caches are NOT swept here (r15, measured): each
+    // `Dataset.unpersist` is a CacheManager uncacheQuery that
+    // re-canonicalizes every registered plan against the target — for
+    // the ~9 deep-lineage hop frames the sweep cost 1.5-2.5 s of the
+    // query's ~4.5 s (within-session A/B, plans/r15 probe: ~2.2-2.8 s
+    // without the sweep vs 2.8-5.4 s with). Release is the CALLER's
+    // clearCache — the ngramJaccard/AdmissionGuard rule-5 convention;
+    // every harness (Bench, Verify, the profile mains) clears per
+    // query. `cached` stays as the documentation of what is held.
     import spark.implicits._
     rows.toDF("hop", "frontier_size", "cumulative_visited")
   }
@@ -306,20 +341,42 @@ object Graph {
           .as("clustering_bp"))
   }
 
+  /** Broadcast a |V|-row loop frame only when the MEASURED node count
+    * fits the broadcast envelope (r15, the q237 dv discipline): the
+    * score/label/contribution tables of every propagation loop are one
+    * row per node, so an unconditional hint OOMs at 10⁸-10⁹-node scale
+    * — but WITHOUT the hint Spark 4.1 plans the per-round probe as a
+    * SortMergeJoin even at bench SF (checkpoint stats carryover keeps
+    * origin-plan sizes, over the auto threshold; the r15 round-body
+    * probes show the SMJ+exchange per round). ≤ 10M nodes broadcasts —
+    * the per-round edge-side exchange AND sort disappear; above, the
+    * keyed join degrades gracefully. The count is one action over an
+    * already-persisted frame.
+    */
+  private def gated(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "pageRankInt needs iters >= 1")
     val e = edges.select("u", "v", "du")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node"), col("du")).distinct()
-    val n = nodes.agg(count(lit(1)).as("n"))
-    var score = nodes.crossJoin(broadcast(n))
+    // node count to the driver (one action on the persisted edges):
+    // feeds the SAME init/tele scalars the crossJoin(broadcast(n))
+    // computed per-row before (Long./ == div on positives — and n = 0
+    // means no rows, so the guard value never reaches one), and gates
+    // the loop broadcasts.
+    val nNodes = nodes.count()
+    val small = nNodes <= 10000000L
+    val init = if (nNodes == 0) 0L else 1000000000L / nNodes
+    val tele = (15L * init) / 100L
+    var score = nodes
       .select(col("node"), col("du"),
-        expr("CAST(1000000000 AS BIGINT) div n").as("s"),
-        expr("(15 * (CAST(1000000000 AS BIGINT) div n)) div 100").as("tele"))
-    for (_ <- 1 to iters) {
+        lit(init).as("s"), lit(tele).as("tele"))
+    for (it <- 1 to iters) {
       val contrib = score
         .select(col("node").as("u"), expr("s div du").as("c"))
-      val inbound = e.select("u", "v").join(contrib, "u")
+      val inbound = e.select("u", "v").join(gated(contrib, small), "u")
         .groupBy("v").agg(sum("c").as("inc"))
         .withColumnRenamed("v", "node")
       // Each superstep's score table (|nodes| rows) is cached: without
@@ -327,10 +384,12 @@ object Graph {
       // O(iters²) join work (measured 10.4 s -> ~5 s at sf0.1, 3
       // iters). The cluster-scale form checkpoints every few supersteps
       // and unpersists the predecessors.
-      score = score.select("node", "du", "tele").join(inbound, "node")
+      val step = score.select("node", "du", "tele")
+        .join(gated(inbound, small), "node")
         .withColumn("s", expr("tele + (85 * inc) div 100"))
         .drop("inc")
-        .localCheckpoint(eager = true)
+      probeRoundPlan("q180_pagerank_copurchase", it, step)
+      score = step.localCheckpoint(eager = true)
     }
     score.select(col("node"), col("s").as("pr"))
   }
@@ -356,18 +415,37 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    for (_ <- 1 to rounds) {
+    // measured-|V| broadcast gate for the per-round label table (see
+    // `gated`): without it the label join sort-merges the cached edge
+    // set every round (checkpoint stats carryover defeats the auto
+    // threshold)
+    val small = labels.count() <= 10000000L
+    for (r <- 1 to rounds) {
       val counted = e
-        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .join(gated(labels.select(col("node").as("v"), col("lbl")), small),
+          "v")
         .groupBy(col("u").as("node"), col("lbl"))
         .agg(count(lit(1)).as("n"))
+      // Per-node top-1 stays the row_number window DELIBERATELY (r15
+      // measured negative result): a max(struct(n, -lbl, lbl))
+      // aggregation — the §2.3 aggregate-before-shuffle rewrite — falls
+      // back to SortAggregate in Spark 4.1 (struct max has no hash-agg
+      // buffer), adding a sort on BOTH sides of the exchange, while
+      // this window form plans as WindowGroupLimit: a rank-limit
+      // pushdown that already keeps only each partition's per-node
+      // top-1 BEFORE the exchange — the map-side reduction the agg
+      // rewrite was chasing, minus the sort-agg fallback. Within-
+      // session A/B: agg form 4.9-5.0 s vs window 4.1-6.5 s (noisy,
+      // no win); plans/r15/q219_label_propagation_round2.txt vs
+      // _roundbody_before.txt shows the SortAggregate fallback.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("node").orderBy(col("n").desc, col("lbl"))
-      labels = counted
+      val step = counted
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("node", "lbl")
-        .localCheckpoint(eager = true)
+      probeRoundPlan("q219_label_propagation", r, step)
+      labels = step.localCheckpoint(eager = true)
     }
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).cast("long").as("sz"))
@@ -442,11 +520,12 @@ object Graph {
       val corr = e0
         .join(broadcast(drop.select(col("u").as("v"))), "v")
         .groupBy("u").agg(count(lit(1)).as("dc"))
-      deg = deg.filter(col("dg") >= k)
+      val step = deg.filter(col("dg") >= k)
         .join(corr, Seq("u"), "left")
         .select(col("u"),
           (col("dg") - coalesce(col("dc"), lit(0L))).as("dg"))
-        .localCheckpoint(eager = true)
+      probeRoundPlan("q221_kcore_peel", rnd, step)
+      deg = step.localCheckpoint(eager = true)
       roundBlocks += deg
       nodesRow
         .crossJoin(deg.agg(
@@ -464,7 +543,13 @@ object Graph {
     // them — release the wrapped RDD directly.
     val out = roundStats.reduce(_ unionAll _).orderBy("rnd")
       .localCheckpoint(eager = true)
-    Seq(e0, d0).foreach(_.unpersist(blocking = false))
+    // e0/d0 (plain caches) are left to the caller's clearCache — the
+    // Dataset.unpersist sweep re-canonicalizes every cached plan per
+    // call and measured ~0.2-0.3 s each (r15, the kHopFrontiers
+    // finding). The checkpointed round blocks MUST still be released
+    // here: their blocks belong to the wrapped RDD, which clearCache
+    // (a CacheManager operation) never touches — and that RDD-level
+    // release is cheap, no plan matching anywhere.
     roundBlocks.foreach(releaseCheckpoint)
     out
   }
@@ -504,24 +589,30 @@ object Graph {
     var lbl = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(eager = true)
+    // measured-|V| broadcast gate for the per-round label frames (see
+    // `gated`)
+    val small = lbl.count() <= 10000000L
     var last = lbl
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       last = lbl
-      val nbrMin = e.join(lbl.select(col("node").as("u"),
-          col("lbl").as("nl")), "u")
+      val nbrMin = e.join(gated(lbl.select(col("node").as("u"),
+          col("lbl").as("nl")), small), "u")
         .groupBy(col("v").as("node")).agg(min("nl").as("m"))
-      lbl = lbl.join(nbrMin, Seq("node"), "left")
+      val step = lbl.join(gated(nbrMin, small), Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("m"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = true)
+      probeRoundPlan("q259_connected_components", r, step)
+      lbl = step.localCheckpoint(eager = true)
     }
     val out = lbl
-      .join(last.select(col("node"), col("lbl").as("pl")), "node")
+      .join(gated(last.select(col("node"), col("lbl").as("pl")), small),
+        "node")
       .select(col("node"), col("lbl").as("component"),
         when(col("lbl") =!= col("pl"), lit(1L)).otherwise(lit(0L))
           .as("changed"))
       .localCheckpoint(eager = true)
-    e.unpersist(blocking = false)
+    // e (plain cache) left to the caller's clearCache (r15 — the
+    // Dataset.unpersist CacheManager sweep cost, see kHopFrontiers)
     out
   }
 }

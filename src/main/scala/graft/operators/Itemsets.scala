@@ -116,6 +116,20 @@ object Itemsets {
     // bargain. Codes inherit the item sort order, so the sorted code
     // arrays enumerate the identical i<j<k combinations and the
     // decoded output is bit-identical, tie-order included.
+    // The rank window below is UNPARTITIONED — a deliberate
+    // single-partition sort that is only sane because |L1| is
+    // support-bounded. That bound is the CALLER's supNum/supDen; a
+    // tiny relative support would silently turn this into an unbounded
+    // one-task sort, so the admission guard names it first (r15
+    // ADVICE: the operator's other caps are loud, this one wasn't).
+    AdmissionGuard.admit("frequentTriples", "L1 survivor count",
+      AdmissionGuard.measuredBound(l1, count(lit(1))),
+      "l1Budget", 1000000L,
+      "Relative support supNum/supDen bounds |L1| to " +
+        "avgBasketWidth*supDen/supNum; a support this low makes the " +
+        "dictionary rank window a single-task sort over an unbounded " +
+        "item set — raise the support or dictionary-encode with a " +
+        "distributed zipWithIndex instead.")
     val wDict = org.apache.spark.sql.expressions.Window.orderBy("it")
     val dict = l1
       .withColumn("__c", (row_number().over(wDict) - 1).cast("long"))
@@ -184,7 +198,10 @@ object Itemsets {
       AdmissionGuard.reportDrops("frequentTriples", dropped,
         "maxBasket", maxBasket,
         "support counts exclude their pair/triple contributions")
-      Seq(b, arrAll, l2, dict).foreach(_.unpersist(blocking = false))
+      // round caches (plain) left to the caller's clearCache (r15):
+      // each Dataset.unpersist re-canonicalizes every cached plan —
+      // measured seconds per sweep on deep lineages (the kHopFrontiers
+      // finding); the k result rows above are already checkpointed.
       out
     }
   }

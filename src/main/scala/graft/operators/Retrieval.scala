@@ -150,8 +150,19 @@ object Retrieval {
     val grams = df.select(id.as("doc_id"), words(text).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"),
+        // Shingle hashing at the explode (r15, guide §2.3 narrower
+        // types — the q23 gramBuckets precedent): every downstream
+        // key — the tf agg, the df agg, the idf broadcast probe and
+        // the posting self-join — groups/joins an 8-byte xxhash64
+        // instead of a ~25-byte gram string (≈3× fewer shuffled key
+        // bytes, long compares instead of string compares). A 64-bit
+        // collision merges two grams' tf/df — P ≈ G²/2⁶⁵, ~1e-11 at
+        // 10M distinct grams — the same accepted tradeoff MinHash
+        // makes hashing shingles; the gram string itself never
+        // reaches the output (pairs are scored, not labeled).
         explode(graft.functions.WordGramsNative.gramsCol(col("ws"), n))
-          .as("gram"))
+          .as("gram0"))
+      .select(col("doc_id"), xxhash64(col("gram0")).as("gram"))
     val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)

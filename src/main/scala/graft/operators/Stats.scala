@@ -276,10 +276,20 @@ object Stats {
     * sees a data-sized row count.
     */
   def chiSquareBp(df: DataFrame, a: Column, b: Column): DataFrame = {
+    // cached (r15, guide §5): the contingency table is consumed by
+    // FOUR branches (cells, row totals, column totals, grand total) —
+    // without the cache each branch re-executes the ENTIRE upstream
+    // (for q237 that is the co-occurrence edge build + two degree
+    // joins + this agg, replicated 4x in the plan; exchange reuse did
+    // not dedupe the replicas at runtime — measured). The cached table
+    // is ≤ |bins(a)|·|bins(b)| rows (both bitlen-bounded for every
+    // caller), so the cache is bytes. In-query cache: released by the
+    // caller's clearCache, the coOccurrenceEdgesUV convention.
     val cells = df.select(a.as("ca"), b.as("cb"))
       .filter(col("ca").isNotNull && col("cb").isNotNull)
       .groupBy("ca", "cb")
       .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+      .cache()
     val rowT = cells.groupBy("ca").agg(sum("o").as("r"))
     val colT = cells.groupBy("cb").agg(sum("o").as("c"))
     val tot = cells.agg(sum("o").as("nn"))

@@ -1203,10 +1203,18 @@ object GraphStatsQueries {
         // |{edges into x}| on a symmetrized graph) instead of a full
         // |2m|-row distinct of (v, du) pairs: the count agg ships ≤
         // |V| rows per input partition to its exchange where the
-        // distinct shuffled all 2.4M — then broadcast to keep the
-        // probe map-side (r14 guide §2.3).
-        val dv = broadcast(
-          e.groupBy(col("v")).agg(count(lit(1)).as("dv")))
+        // distinct shuffled all 2.4M (r14 guide §2.3). The broadcast
+        // is SIZE-GATED on the MEASURED node count (r15, the r14
+        // verdict's scale caution): dv is one row per NODE, so an
+        // unconditional hint OOMs at 10⁸-10⁹-node scale, while no hint
+        // at all planned the probe as a sort-merge join even at bench
+        // SF (estimates put the agg output over the auto threshold and
+        // the AQE runtime rewrite did not fire — measured, see
+        // plans/r15). dv is cached and counted once — the same rows
+        // the probe join consumes anyway — and ≤ 10M nodes (~160 MB
+        // built) broadcasts; above, the keyed join degrades gracefully.
+        val dvT = e.groupBy(col("v")).agg(count(lit(1)).as("dv")).cache()
+        val dv = if (dvT.count() <= 10000000L) broadcast(dvT) else dvT
         graft.operators.Stats.chiSquareBp(
           e.join(dv, "v"),
           length(bin(col("du"))), length(bin(col("dv"))))

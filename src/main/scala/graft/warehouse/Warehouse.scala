@@ -171,21 +171,38 @@ object Warehouse {
                     valueBp: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
     val aD = da.withColumnRenamed("sign", "__sa")
-    val bD = db.withColumnRenamed("sign", "__sb")
     val a0s = a0.withColumn("__sa", lit(1L))
-    val b0s = b0.withColumn("__sb", lit(1L))
+    // Pre-aggregate the B side per join key BEFORE any join (r15, guide
+    // §2.3 "aggregate before you shuffle"): every output aggregate only
+    // ever consumes Σ sign and Σ sign·value of the B rows sharing a key
+    // — Σ_pairs sa·sb = Σ_a sa·(Σ_b sb) and Σ_pairs sa·sb·v =
+    // Σ_a sa·(Σ_b sb·v) by distributivity, exact in long arithmetic —
+    // so the join can move one (Σsb, Σsb·v) row per key instead of
+    // every B row. At sf0.1 that turns the V₀ join from 135k orders ⋈
+    // 540k lineitems (SMJ of the wide side, 540k-row downstream agg)
+    // into 135k ⋈ ≈135k pre-combined keys; at 100 TB it is the
+    // difference between shuffling the fact table and shuffling its
+    // per-key partial. NULL values keep their old semantics: sum()
+    // skips them on both paths, and the pair COUNT never did (sb
+    // counts the row whether or not v is NULL).
+    def bAgg(b: DataFrame, sign: org.apache.spark.sql.Column): DataFrame =
+      b.select(col(key), sign.as("__sb"), valueBp.as("__v"))
+        .groupBy(key)
+        .agg(sum("__sb").as("__nb"), sum(col("__sb") * col("__v")).as("__vb"))
+    val b0A = bAgg(b0, lit(1L))
+    val dbA = bAgg(db, col("sign"))
     def contrib(l: DataFrame, r: DataFrame): DataFrame =
       l.join(r, key).select(
-        groupCols.map(col) ++ Seq((col("__sa") * col("__sb")).as("__s"),
-          valueBp.as("__v")): _*)
-    val delta = contrib(broadcast(aD), b0s)
-      .unionAll(contrib(a0s, broadcast(bD)))
-      .unionAll(contrib(broadcast(aD), broadcast(bD)))
+        groupCols.map(col) ++ Seq((col("__sa") * col("__nb")).as("__n"),
+          (col("__sa") * col("__vb")).as("__tv")): _*)
+    val delta = contrib(broadcast(aD), b0A)
+      .unionAll(contrib(a0s, broadcast(dbA)))
+      .unionAll(contrib(broadcast(aD), broadcast(dbA)))
     val dAgg = delta.groupBy(groupCols.map(col): _*)
-      .agg(sum("__s").as("n_rows"), sum(col("__s") * col("__v")).as("total_bp"))
-    val v0 = contrib(a0s, b0s)
+      .agg(sum("__n").as("n_rows"), sum("__tv").as("total_bp"))
+    val v0 = contrib(a0s, b0A)
       .groupBy(groupCols.map(col): _*)
-      .agg(sum("__s").as("n_rows"), sum(col("__s") * col("__v")).as("total_bp"))
+      .agg(sum("__n").as("n_rows"), sum("__tv").as("total_bp"))
     mergeAggState(Seq(v0, dAgg), groupCols)
       .filter(col("n_rows") =!= 0)
   }

@@ -95,23 +95,27 @@ object TopKStateProperties extends Properties("graft.topkstate") {
     }
     val stateDir = graft.util.TmpDirs.perProcess(
       s"topk_props_state_${runId.incrementAndGet()}")
-    var (buf, meta) = TopKState.emptyState(all, Seq("g"))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val (b2, m2) = TopKState.step(buf, meta,
-        b.map(e => (e.g, e.id, e.v, e.sign)).toDF("g", "id", "v", "sign"),
-        Seq("g"), B)
-      // versioned dirs: batch i's state is still read by batch i+1's plan
-      b2.write.mode("overwrite").parquet(s"$stateDir/buf$i")
-      m2.write.mode("overwrite").parquet(s"$stateDir/meta$i")
-      buf = spark.read.parquet(s"$stateDir/buf$i")
-      meta = spark.read.parquet(s"$stateDir/meta$i")
-    }
-    val out = TopKState.topkWithRefill(buf, meta, all, Seq("g"), K)
-      .orderBy("g", "rnk").collect()
-      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSeq
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
-    out
+    // try/finally (r15 ADVICE): a falsified property or an exception
+    // mid-batch must not leak per-iteration state dirs across hundreds
+    // of ScalaCheck runs.
+    try {
+      var (buf, meta) = TopKState.emptyState(all, Seq("g"))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val (b2, m2) = TopKState.step(buf, meta,
+          b.map(e => (e.g, e.id, e.v, e.sign)).toDF("g", "id", "v", "sign"),
+          Seq("g"), B)
+        // versioned dirs: batch i's state is still read by batch i+1's plan
+        b2.write.mode("overwrite").parquet(s"$stateDir/buf$i")
+        m2.write.mode("overwrite").parquet(s"$stateDir/meta$i")
+        buf = spark.read.parquet(s"$stateDir/buf$i")
+        meta = spark.read.parquet(s"$stateDir/meta$i")
+      }
+      TopKState.topkWithRefill(buf, meta, all, Seq("g"), K)
+        .orderBy("g", "rnk").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
   }
 
   private def brute(evs: List[Ev]): Seq[(String, Long, Long, Long)] = {

@@ -29,9 +29,14 @@ class PlanSweepSpec extends SparkSpec {
             case e: Throwable =>
               fail(s"$name failed to build/plan at sf0.001: ${e.getMessage}")
           }
+          // per-query release (r15): operators no longer self-sweep
+          // their caches (the Dataset.unpersist CacheManager cost —
+          // see Graph.kHopFrontiers); a 279-query single-session sweep
+          // must clear per query like every other harness, or the
+          // CacheManager registry grows for the whole sweep.
+          finally spark.catalog.clearCache()
         if (plan.contains("CartesianProduct")) Some(name) else None
       }
-    spark.catalog.clearCache()
     assert(offenders.isEmpty,
       s"unhinted cartesian joins in: ${offenders.mkString(", ")}")
   }

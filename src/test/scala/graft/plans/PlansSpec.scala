@@ -125,6 +125,13 @@ class PlansSpec extends SparkSpec {
       "support counts lost their map-side combine")
     assert(p.contains("TakeOrderedAndProject"),
       "top-k must not materialize a global sort")
+    // the width pin before the C(w,3) fan-out (r15, the q174 emission
+    // contract applied here): the basket-array table is byte-tiny, so
+    // without a USER repartition AQE legally coalesces the entire
+    // triple enumeration onto 1-2 tasks — the exact regression class a
+    // Spark upgrade or refactor could silently reintroduce
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"q218 lost the explicit pre-fan-out width repartition:\n$p")
   }
 
   test("q237: whole-graph stats fold has no sort-merge join; edges from the array fan-out") {
